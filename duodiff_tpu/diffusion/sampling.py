@@ -1,0 +1,315 @@
+"""On-device diffusion samplers.
+
+The reference drives all three of its reverse-diffusion loops from host
+Python, one model dispatch per step (sampler.py:129, eesampler.py:57,
+ddpm_core.py:147). Here each sampler is a single jitted ``lax.scan`` over the
+timestep axis carrying ``(x_t, rng)`` — zero host round-trips per step:
+
+- :func:`ddpm_sample` — ancestral DDPM, all three parametrizations
+  (reference sampler.py:47-79,129-139).
+- :func:`ddim_sample` — DDIM over a linspace grid with eta
+  (reference sampler.py:103-126).
+- :func:`duodiff_sample` — DuoDiff shallow->full handoff at t_switch as a
+  two-segment scan, each segment's weights static for XLA
+  (reference sampler.py:135-136; SURVEY.md §7 "Host-free DuoDiff handoff").
+- :func:`early_exit_sample` — DeeDiff/AdaDiff threshold gating, vectorized
+  argmax + gather inside the scan (reference eesampler.py:62-68).
+
+All samplers take an ``apply_fn(x, t_batch, y) -> model_output`` closure so
+they are agnostic to the model/params packaging and jit cleanly.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from duodiff_tpu.diffusion.schedule import NoiseSchedule
+
+
+def _step_noise(key: jax.Array, t: jax.Array, shape) -> jax.Array:
+    """z ~ N(0, I) for t > 0, exactly 0 at t == 0 (reference sampler.py:52)."""
+    z = jax.random.normal(key, shape, dtype=jnp.float32)
+    return jnp.where(t > 0, z, jnp.zeros_like(z))
+
+
+def _ddpm_segment(
+    apply_fn: Callable,
+    schedule: NoiseSchedule,
+    parametrization: str,
+    x: jax.Array,
+    key: jax.Array,
+    t_start: int,
+    t_end: int,
+    y: Optional[jax.Array],
+):
+    """Scan the ancestral DDPM update for t = t_start down to t_end (inclusive).
+
+    Returns (x, key) after the segment. The whole segment is one lax.scan; the
+    model forward + elementwise posterior update compile to a single XLA
+    while-loop body resident on device.
+    """
+    num = t_start - t_end + 1
+    if num <= 0:
+        return x, key
+    batch = x.shape[0]
+    ts = jnp.arange(t_start, t_end - 1, -1)
+
+    def body(carry, t):
+        x, key = carry
+        key, zkey = jax.random.split(key)
+        t_batch = jnp.full((batch,), t, dtype=jnp.float32)
+        model_output = apply_fn(x, t_batch, y)
+        z = _step_noise(zkey, t, x.shape)
+        x = schedule.step(parametrization, model_output, x, t, z)
+        return (x, key), None
+
+    (x, key), _ = jax.lax.scan(body, (x, key), ts)
+    return x, key
+
+
+def ddpm_sample(
+    apply_fn: Callable,
+    key: jax.Array,
+    *,
+    schedule: NoiseSchedule,
+    shape: Sequence[int],
+    parametrization: str = "predict_noise",
+    y: Optional[jax.Array] = None,
+    timesteps_save: Sequence[int] = (),
+    x_init: Optional[jax.Array] = None,
+):
+    """Full ancestral DDPM sampling loop, t = T-1 .. 0.
+
+    Args:
+      apply_fn: model closure, (x, t_batch, y) -> prediction.
+      key: PRNG key (split internally for x_0 init and per-step noise).
+      shape: (B, H, W, C) sample shape.
+      timesteps_save: "elapsed steps" values at which to stash intermediates
+        (reference semantics: stash when ``1000 - t in timesteps_save``,
+        sampler.py:138-139). Static; implemented as segmented scans.
+      x_init: optional starting noise (defaults to N(0, I)).
+    Returns:
+      (x, intermediates) with x in model space (not yet rescaled to [0,1]);
+      intermediates is a list aligned with timesteps_save.
+    """
+    steps = schedule.steps
+    key, init_key = jax.random.split(key)
+    x = x_init if x_init is not None else jax.random.normal(
+        init_key, tuple(shape), dtype=jnp.float32
+    )
+
+    # Split the scan at each save point: save at "1000 - t == s" means after
+    # the update at t = steps - s.
+    boundaries = sorted({steps - s for s in timesteps_save if 0 <= steps - s <= steps})
+    segments = []
+    t_hi = steps - 1
+    for b in sorted(boundaries, reverse=True):
+        segments.append((t_hi, b, True))
+        t_hi = b - 1
+    if t_hi >= 0:
+        segments.append((t_hi, 0, False))
+
+    intermediates = []
+    for t_start, t_end, save in segments:
+        x, key = _ddpm_segment(
+            apply_fn, schedule, parametrization, x, key, t_start, t_end, y
+        )
+        if save:
+            intermediates.append(x)
+    return x, intermediates
+
+
+def duodiff_sample(
+    early_apply_fn: Callable,
+    late_apply_fn: Callable,
+    key: jax.Array,
+    *,
+    schedule: NoiseSchedule,
+    shape: Sequence[int],
+    t_switch: int,
+    parametrization: str = "predict_noise",
+    y: Optional[jax.Array] = None,
+    x_init: Optional[jax.Array] = None,
+):
+    """DuoDiff dual-backbone sampling.
+
+    The shallow model runs the first ``t_switch`` (high-noise) steps
+    t = T-1 .. T-t_switch, then the full model takes over for the remaining
+    T-t_switch steps — reference handoff ``if t == 1000 - t_switch:
+    model = late_model`` (sampler.py:135-136). Two sequential scans keep each
+    segment's weights static for XLA (no per-step branching on params).
+    """
+    steps = schedule.steps
+    key, init_key = jax.random.split(key)
+    x = x_init if x_init is not None else jax.random.normal(
+        init_key, tuple(shape), dtype=jnp.float32
+    )
+    t_switch = int(min(t_switch, steps))
+    handoff = steps - t_switch  # first t handled by the late model is handoff-1
+    x, key = _ddpm_segment(
+        early_apply_fn, schedule, parametrization, x, key, steps - 1, handoff, y
+    )
+    x, key = _ddpm_segment(
+        late_apply_fn, schedule, parametrization, x, key, handoff - 1, 0, y
+    )
+    return x
+
+
+def ddim_timestep_grid(steps: int, ddim_steps: int):
+    """linspace(0, steps-1, ddim_steps) descending (reference sampler.py:104)."""
+    import numpy as np
+
+    return np.linspace(0, steps - 1, ddim_steps).astype(int)[::-1].copy()
+
+
+def ddim_sample(
+    apply_fn: Callable,
+    key: jax.Array,
+    *,
+    schedule: NoiseSchedule,
+    shape: Sequence[int],
+    ddim_steps: int = 50,
+    eta: float = 0.0,
+    y: Optional[jax.Array] = None,
+    timesteps_save: Sequence[int] = (),
+    x_init: Optional[jax.Array] = None,
+    late_apply_fn: Optional[Callable] = None,
+    t_switch: Optional[int] = None,
+):
+    """DDIM sampling over a linspace timestep grid (reference sampler.py:103-126).
+
+    Supports the DuoDiff handoff in DDIM mode: the late model takes over for
+    grid timesteps t < steps - t_switch (reference sampler.py:122-123 switches
+    after the step where ``t < 1000 - t_switch`` first holds; equivalently the
+    early model handles all grid points with t >= steps - t_switch plus the
+    first one below — replicated exactly here).
+    """
+    steps = schedule.steps
+    grid = ddim_timestep_grid(steps, ddim_steps)
+    pairs = list(zip(grid[:-1], grid[1:]))  # (t, s) with s < t
+
+    key, init_key = jax.random.split(key)
+    x = x_init if x_init is not None else jax.random.normal(
+        init_key, tuple(shape), dtype=jnp.float32
+    )
+    batch = x.shape[0]
+
+    # Reference switch: checked AFTER each step with the condition t < 1000 -
+    # t_switch on the *current* t — so the early model also runs the first
+    # pair whose t is below the boundary.
+    if late_apply_fn is not None and t_switch is not None:
+        boundary = steps - t_switch
+        early_pairs, late_pairs = [], []
+        switched = False
+        for t, s in pairs:
+            (late_pairs if switched else early_pairs).append((t, s))
+            if t < boundary:
+                switched = True
+    else:
+        early_pairs, late_pairs = pairs, []
+
+    def run_pairs(apply_fn, x, key, segment_pairs, collect):
+        if not segment_pairs:
+            return x, key, []
+        ts = jnp.asarray([p[0] for p in segment_pairs])
+        ss = jnp.asarray([p[1] for p in segment_pairs])
+
+        def body(carry, t_s):
+            x, key = carry
+            t, s = t_s
+            key, zkey = jax.random.split(key)
+            t_batch = jnp.full((batch,), t, dtype=jnp.float32)
+            model_output = apply_fn(x, t_batch, y)
+            z = _step_noise(zkey, s, x.shape)
+            x = schedule.ddim_step(model_output, x, t, s, z, eta=eta)
+            return (x, key), (x if collect else None)
+
+        (x, key), ys = jax.lax.scan(body, (x, key), (ts, ss))
+        return x, key, ys
+
+    collect = bool(timesteps_save)
+    x, key, ys_early = run_pairs(apply_fn, x, key, early_pairs, collect)
+    x, key, ys_late = run_pairs(
+        late_apply_fn if late_apply_fn is not None else apply_fn,
+        x,
+        key,
+        late_pairs,
+        collect,
+    )
+
+    intermediates = []
+    if collect:
+        import numpy as np
+
+        all_ts = [p[0] for p in early_pairs + late_pairs]
+        ys = (
+            jnp.concatenate([ys_early, ys_late], axis=0)
+            if late_pairs
+            else ys_early
+        )
+        for i, t in enumerate(all_ts):
+            if steps - int(t) in set(int(v) for v in timesteps_save):
+                intermediates.append(ys[i])
+        del np
+    return x, intermediates
+
+
+def early_exit_sample(
+    apply_fn: Callable,
+    key: jax.Array,
+    *,
+    schedule: NoiseSchedule,
+    shape: Sequence[int],
+    threshold: float,
+    y: Optional[jax.Array] = None,
+    x_init: Optional[jax.Array] = None,
+):
+    """DeeDiff/AdaDiff early-exit sampling (reference eesampler.py:40-89).
+
+    ``apply_fn`` must return ``(backbone_out, classifier_outputs, ee_outputs)``
+    with classifier_outputs (depth, B) and ee_outputs (depth, B, H, W, C) —
+    the stacked-probe layout (SURVEY.md §7 "Probes as stacked params").
+
+    Exit rule (vectorized, identical to eesampler.py:62-68): append the
+    backbone output with probe value 0, then for each sample pick
+    ``argmax(u <= threshold)`` — the first layer whose predicted error falls
+    below the threshold — and gather that layer's output. Update with the
+    predict_noise DDPM posterior.
+
+    Returns:
+      (x, error_prediction_by_timestep (T, depth), indices_by_timestep (T, B)).
+    """
+    steps = schedule.steps
+    key, init_key = jax.random.split(key)
+    x = x_init if x_init is not None else jax.random.normal(
+        init_key, tuple(shape), dtype=jnp.float32
+    )
+    batch = x.shape[0]
+    ts = jnp.arange(steps - 1, -1, -1)
+
+    def body(carry, t):
+        x, key = carry
+        key, zkey = jax.random.split(key)
+        t_batch = jnp.full((batch,), t, dtype=jnp.float32)
+        backbone_out, u, g = apply_fn(x, t_batch, y)
+        # stack heads + backbone: (depth+1, B, ...) / probe rows + zeros row
+        outputs = jnp.concatenate([g, backbone_out[None]], axis=0)
+        probes = jnp.concatenate([u, jnp.zeros((1, batch), u.dtype)], axis=0)
+        indices = jnp.argmax((probes <= threshold).astype(jnp.int32), axis=0)  # (B,)
+        sel = jnp.take_along_axis(
+            outputs, indices[None, :, None, None, None], axis=0
+        )[0]
+        z = _step_noise(zkey, t, x.shape)
+        x = schedule.step_predict_noise(sel, x, t, z)
+        # logging rows (reference eesampler.py:70-72)
+        err_row = jnp.mean(probes[:-1], axis=1)  # (depth,)
+        return (x, key), (err_row, indices)
+
+    (x, key), (err_rows, idx_rows) = jax.lax.scan(body, (x, key), ts)
+    # scan emits rows for t = T-1 .. 0; reference logs indexed by t ascending.
+    error_prediction_by_timestep = err_rows[::-1]
+    indices_by_timestep = idx_rows[::-1]
+    return x, error_prediction_by_timestep, indices_by_timestep

@@ -1,0 +1,240 @@
+"""U-ViT building blocks in Flax.
+
+TPU-first redesign of the reference's torch modules (models/uvit.py:69-225):
+images are NHWC (XLA's native TPU conv layout), the patch embedding is a
+reshape + matmul instead of a strided conv (identical math, lands directly on
+the MXU), and attention runs through duodiff_tpu.ops with fp32 softmax.
+Activations run in ``dtype`` (bf16 for speed); parameters are always fp32.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from duodiff_tpu.ops import multi_head_attention
+
+# Matches torch trunc_normal_(std=0.02) used for every Linear kernel and the
+# positional embedding (reference models/uvit.py:335-345).
+trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02)
+
+
+def timestep_embedding(timesteps: jax.Array, dim: int, max_period: int = 10000):
+    """Sinusoidal timestep embeddings, cos-first ordering
+    (reference models/uvit.py:95-115).
+
+    Args:
+      timesteps: (B,) possibly-fractional timestep values.
+      dim: embedding width.
+    Returns:
+      (B, dim) float32 embeddings.
+    """
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None]
+    embedding = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        embedding = jnp.concatenate(
+            [embedding, jnp.zeros_like(embedding[:, :1])], axis=-1
+        )
+    return embedding
+
+
+def patchify(imgs: jax.Array, patch_size: int) -> jax.Array:
+    """NHWC image -> (B, h*w, p*p*C) patch tokens.
+
+    Token ordering matches the reference's
+    ``B C (h p1) (w p2) -> B (h w) (p1 p2 C)`` (models/uvit.py:118-122).
+    """
+    b, hh, ww, c = imgs.shape
+    p = patch_size
+    h, w = hh // p, ww // p
+    x = imgs.reshape(b, h, p, w, p, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # (B, h, w, p1, p2, C)
+    return x.reshape(b, h * w, p * p * c)
+
+
+def unpatchify(x: jax.Array, channels: int = 3) -> jax.Array:
+    """(B, L, p*p*C) patch tokens -> NHWC image (reference models/uvit.py:125-132)."""
+    b, num_patches, patch_dim = x.shape
+    p = int((patch_dim // channels) ** 0.5)
+    h = w = int(num_patches**0.5)
+    assert h * w == num_patches and p * p * channels == patch_dim
+    x = x.reshape(b, h, w, p, p, channels)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # (B, h, p1, w, p2, C)
+    return x.reshape(b, h * p, w * p, channels)
+
+
+class Mlp(nn.Module):
+    """Two-layer GELU MLP (reference models/uvit.py:69-92; drop=0 everywhere)."""
+
+    hidden_features: int
+    out_features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(
+            self.hidden_features,
+            dtype=self.dtype,
+            kernel_init=trunc_normal_init,
+            name="fc1",
+        )(x)
+        # torch nn.GELU default is the exact erf formulation.
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(
+            self.out_features,
+            dtype=self.dtype,
+            kernel_init=trunc_normal_init,
+            name="fc2",
+        )(x)
+        return x
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention with packed QKV projection
+    (reference models/uvit.py:135-168).
+
+    The reference computes ``self.scale`` but never passes it to SDPA, so the
+    effective scale is always head_dim**-0.5 — replicated here.
+    Softmax always accumulates in fp32 (the reference casts qkv to float).
+    """
+
+    num_heads: int
+    qkv_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x):
+        b, l, d = x.shape
+        head_dim = d // self.num_heads
+
+        qkv = nn.Dense(
+            3 * d,
+            use_bias=self.qkv_bias,
+            dtype=self.dtype,
+            kernel_init=trunc_normal_init,
+            name="qkv",
+        )(x)
+        # (B, L, 3, H, Dh) -> (3, B, H, L, Dh); reference packs K-major:
+        # "B L (K H D) -> K B H L D" (models/uvit.py:159-161).
+        qkv = qkv.reshape(b, l, 3, self.num_heads, head_dim)
+        qkv = qkv.transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        out = multi_head_attention(q, k, v, impl=self.attn_impl)
+        out = out.transpose(0, 2, 1, 3).reshape(b, l, d)
+
+        out = nn.Dense(
+            d, dtype=self.dtype, kernel_init=trunc_normal_init, name="proj"
+        )(out.astype(self.dtype))
+        return out
+
+
+class Block(nn.Module):
+    """Pre-norm transformer block with optional long-skip input
+    (reference models/uvit.py:171-208):
+
+      x = skip_linear(concat(x, skip))     # out-blocks only
+      x = x + attn(norm1(x))
+      x = x + mlp(norm2(x))
+    """
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = False
+    skip: bool = False
+    dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, x, skip: Optional[jax.Array] = None):
+        d = x.shape[-1]
+        if self.skip:
+            assert skip is not None
+            x = nn.Dense(
+                d,
+                dtype=self.dtype,
+                kernel_init=trunc_normal_init,
+                name="skip_linear",
+            )(jnp.concatenate([x, skip], axis=-1))
+        x = x + Attention(
+            num_heads=self.num_heads,
+            qkv_bias=self.qkv_bias,
+            dtype=self.dtype,
+            attn_impl=self.attn_impl,
+            name="attn",
+        )(_layer_norm(x, name="norm1")).astype(x.dtype)
+        x = x + Mlp(
+            hidden_features=int(d * self.mlp_ratio),
+            out_features=d,
+            dtype=self.dtype,
+            name="mlp",
+        )(_layer_norm(x, name="norm2")).astype(x.dtype)
+        return x
+
+
+def _layer_norm(x, name):
+    """LayerNorm with torch's eps=1e-5, statistics in fp32."""
+    return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name=name)(x)
+
+
+class PatchEmbed(nn.Module):
+    """Image -> patch embedding (reference models/uvit.py:211-225).
+
+    The reference uses Conv2d(kernel=p, stride=p); a non-overlapping strided
+    conv is exactly a Linear over flattened patches, so on TPU we patchify
+    with reshapes and hit the MXU with one (B*L, p*p*C) x (p*p*C, D) matmul.
+    """
+
+    patch_size: int
+    embed_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        assert h % self.patch_size == 0 and w % self.patch_size == 0
+        x = patchify(x, self.patch_size)
+        x = nn.Dense(
+            self.embed_dim,
+            dtype=self.dtype,
+            kernel_init=trunc_normal_init,
+            name="proj",
+        )(x)
+        return x
+
+
+class TimeEmbed(nn.Module):
+    """Optional Linear-SiLU-Linear over the sinusoidal embedding
+    (reference models/uvit.py:264-272; Identity when mlp_time_embed=False)."""
+
+    embed_dim: int
+    mlp_time_embed: bool
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, emb):
+        if not self.mlp_time_embed:
+            return emb
+        x = nn.Dense(
+            4 * self.embed_dim,
+            dtype=self.dtype,
+            kernel_init=trunc_normal_init,
+            name="fc1",
+        )(emb)
+        x = nn.silu(x)
+        x = nn.Dense(
+            self.embed_dim,
+            dtype=self.dtype,
+            kernel_init=trunc_normal_init,
+            name="fc2",
+        )(x)
+        return x

@@ -1,0 +1,175 @@
+"""Sampler tests: scan-based DDPM/DDIM/DuoDiff/early-exit loops.
+
+The reference has zero sampler tests (SURVEY.md §4). These use a tiny
+schedule (20 steps) and stub models so the scans compile in milliseconds.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from duodiff_tpu.diffusion import (
+    NoiseSchedule,
+    ddim_sample,
+    ddpm_sample,
+    duodiff_sample,
+    early_exit_sample,
+)
+from duodiff_tpu.diffusion.sampling import ddim_timestep_grid
+
+SHAPE = (2, 8, 8, 3)
+
+
+def stub_model(scale):
+    def apply_fn(x, t_batch, y):
+        del y
+        return scale * x + 0.01 * t_batch[:, None, None, None]
+
+    return apply_fn
+
+
+def test_ddpm_sample_shape_and_determinism():
+    sched = NoiseSchedule.create(steps=20)
+    key = jax.random.PRNGKey(0)
+    x1, inter = ddpm_sample(stub_model(0.1), key, schedule=sched, shape=SHAPE)
+    x2, _ = ddpm_sample(stub_model(0.1), key, schedule=sched, shape=SHAPE)
+    assert x1.shape == SHAPE and inter == []
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+    assert np.all(np.isfinite(np.asarray(x1)))
+    # different key -> different sample
+    x3, _ = ddpm_sample(stub_model(0.1), jax.random.PRNGKey(1), schedule=sched, shape=SHAPE)
+    assert not np.allclose(np.asarray(x1), np.asarray(x3))
+
+
+def test_ddpm_sample_parametrizations_run():
+    sched = NoiseSchedule.create(steps=10)
+    key = jax.random.PRNGKey(0)
+    for p in ["predict_noise", "predict_original", "predict_previous"]:
+        x, _ = ddpm_sample(
+            stub_model(0.05), key, schedule=sched, shape=SHAPE, parametrization=p
+        )
+        assert x.shape == SHAPE and np.all(np.isfinite(np.asarray(x)))
+
+
+def test_ddpm_intermediates_segmentation():
+    sched = NoiseSchedule.create(steps=20)
+    key = jax.random.PRNGKey(0)
+    # save after 5 and 10 elapsed steps (t = 15 and t = 10)
+    x_full, inter = ddpm_sample(
+        stub_model(0.1), key, schedule=sched, shape=SHAPE, timesteps_save=[5, 10]
+    )
+    assert len(inter) == 2
+    # segmentation must not change the final sample vs an unsegmented run
+    x_plain, _ = ddpm_sample(stub_model(0.1), key, schedule=sched, shape=SHAPE)
+    np.testing.assert_allclose(
+        np.asarray(x_full), np.asarray(x_plain), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_duodiff_equals_ddpm_when_models_identical():
+    sched = NoiseSchedule.create(steps=20)
+    key = jax.random.PRNGKey(0)
+    f = stub_model(0.1)
+    x_duo = duodiff_sample(f, f, key, schedule=sched, shape=SHAPE, t_switch=7)
+    x_one, _ = ddpm_sample(f, key, schedule=sched, shape=SHAPE)
+    np.testing.assert_allclose(
+        np.asarray(x_duo), np.asarray(x_one), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_duodiff_switches_models():
+    sched = NoiseSchedule.create(steps=20)
+    key = jax.random.PRNGKey(0)
+    early, late = stub_model(0.5), stub_model(-0.5)
+    x = duodiff_sample(early, late, key, schedule=sched, shape=SHAPE, t_switch=7)
+    # all-early and all-late runs must both differ
+    x_e = duodiff_sample(early, early, key, schedule=sched, shape=SHAPE, t_switch=7)
+    x_l = duodiff_sample(late, late, key, schedule=sched, shape=SHAPE, t_switch=7)
+    assert not np.allclose(np.asarray(x), np.asarray(x_e))
+    assert not np.allclose(np.asarray(x), np.asarray(x_l))
+
+
+def test_ddim_grid_matches_reference():
+    grid = ddim_timestep_grid(1000, 50)
+    assert grid[0] == 999 and grid[-1] == 0 and len(grid) == 50
+    assert all(grid[i] > grid[i + 1] for i in range(len(grid) - 1))
+
+
+def test_ddim_sample_runs_and_is_deterministic_eta0():
+    sched = NoiseSchedule.create(steps=100)
+    key = jax.random.PRNGKey(0)
+    x1, _ = ddim_sample(stub_model(0.1), key, schedule=sched, shape=SHAPE, ddim_steps=10)
+    x2, _ = ddim_sample(stub_model(0.1), key, schedule=sched, shape=SHAPE, ddim_steps=10)
+    np.testing.assert_array_equal(np.asarray(x1), np.asarray(x2))
+    assert np.all(np.isfinite(np.asarray(x1)))
+
+
+def test_ddim_duodiff_handoff():
+    sched = NoiseSchedule.create(steps=100)
+    key = jax.random.PRNGKey(0)
+    f = stub_model(0.1)
+    x_duo, _ = ddim_sample(
+        f, key, schedule=sched, shape=SHAPE, ddim_steps=10,
+        late_apply_fn=f, t_switch=30,
+    )
+    x_one, _ = ddim_sample(f, key, schedule=sched, shape=SHAPE, ddim_steps=10)
+    np.testing.assert_allclose(np.asarray(x_duo), np.asarray(x_one), rtol=1e-5)
+
+
+def test_early_exit_sample_selects_by_threshold():
+    """Craft probes so layer selection is known: layer i has probe value
+    0.1 * (depth - i); with threshold 0.25 the first layer with u <= 0.25 is
+    depth-2 (u = 0.2). ee output of layer i is constant i."""
+    depth = 4
+    sched = NoiseSchedule.create(steps=5)
+    batch = SHAPE[0]
+
+    def apply_fn(x, t_batch, y):
+        backbone = jnp.zeros_like(x) + 99.0
+        u = jnp.stack(
+            [jnp.full((batch,), 0.1 * (depth - i)) for i in range(depth)]
+        )  # (depth, B): [0.4, 0.3, 0.2, 0.1]
+        g = jnp.stack([jnp.zeros_like(x) + i for i in range(depth)])
+        return backbone, u, g
+
+    x, err_by_t, idx_by_t = early_exit_sample(
+        apply_fn, jax.random.PRNGKey(0), schedule=sched, shape=SHAPE, threshold=0.25
+    )
+    assert x.shape == SHAPE
+    assert err_by_t.shape == (5, depth)
+    assert idx_by_t.shape == (5, batch)
+    # first u <= 0.25 is index 2 (u=0.2)
+    assert np.all(np.asarray(idx_by_t) == 2)
+    np.testing.assert_allclose(np.asarray(err_by_t), np.tile([0.4, 0.3, 0.2, 0.1], (5, 1)), rtol=1e-6)
+
+
+def test_early_exit_sample_falls_back_to_backbone():
+    """With an impossible threshold the sentinel row (backbone, u=0) wins:
+    indices == depth, matching reference eesampler.py:62-68 semantics."""
+    depth = 3
+    sched = NoiseSchedule.create(steps=3)
+    batch = SHAPE[0]
+
+    def apply_fn(x, t_batch, y):
+        backbone = jnp.zeros_like(x)
+        u = jnp.full((depth, batch), 0.9)
+        g = jnp.stack([jnp.zeros_like(x) + 7 for _ in range(depth)])
+        return backbone, u, g
+
+    x, _, idx_by_t = early_exit_sample(
+        apply_fn, jax.random.PRNGKey(0), schedule=sched, shape=SHAPE, threshold=0.05
+    )
+    assert np.all(np.asarray(idx_by_t) == depth)
+
+
+def test_ddpm_sample_jits():
+    sched = NoiseSchedule.create(steps=10)
+    f = stub_model(0.1)
+
+    @jax.jit
+    def run(key):
+        x, _ = ddpm_sample(f, key, schedule=sched, shape=SHAPE)
+        return x
+
+    x = run(jax.random.PRNGKey(0))
+    assert x.shape == SHAPE
