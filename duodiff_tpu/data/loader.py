@@ -1,0 +1,80 @@
+"""Batched data loader with threaded decode + prefetch.
+
+TPU-oriented replacement for torch DataLoader + worker processes
+(reference datasets/*.py use num_workers up to 36): decode with a thread
+pool (PIL/numpy release the GIL for the heavy parts), assemble contiguous
+NHWC batches, and prefetch a bounded queue of ready batches so the host
+keeps the device fed. drop_last semantics are implicit: batches are always
+full (the sampler is an infinite index stream).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional
+
+import numpy as np
+
+from duodiff_tpu.data.sampler import ResumableSeedableSampler
+
+
+class DataLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        sampler: ResumableSeedableSampler,
+        num_workers: int = 4,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.sampler = sampler
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self._pool: Optional[ThreadPoolExecutor] = None
+
+    def _fetch_batch(self, indices: np.ndarray) -> dict:
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        items = list(self._pool.map(self.dataset.__getitem__, indices))
+        images = np.stack([it[0] for it in items]).astype(np.float32)
+        labels = np.asarray([it[1] for it in items], dtype=np.int32)
+        return {"image": images, "label": labels}
+
+    def next_batch(self) -> dict:
+        """Synchronously fetch the next batch (advances the sampler state)."""
+        return self._fetch_batch(self.sampler.next_indices(self.batch_size))
+
+    def __iter__(self) -> Iterator[dict]:
+        """Prefetching iterator. The producer advances the sampler state
+        eagerly; when exact-state checkpointing matters, use next_batch()
+        from the trainer instead (the trainer does)."""
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            while not stop.is_set():
+                batch = self.next_batch()
+                while not stop.is_set():
+                    try:
+                        q.put(batch, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                yield q.get()
+        finally:
+            stop.set()
+
+    def get_state(self) -> dict:
+        return self.sampler.get_state()
+
+    def set_state(self, state: dict) -> None:
+        self.sampler.set_state(state)

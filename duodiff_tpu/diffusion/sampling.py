@@ -44,6 +44,7 @@ def _ddpm_segment(
     t_start: int,
     t_end: int,
     y: Optional[jax.Array],
+    variance_mode: str = "beta_tilde",
 ):
     """Scan the ancestral DDPM update for t = t_start down to t_end (inclusive).
 
@@ -63,7 +64,7 @@ def _ddpm_segment(
         t_batch = jnp.full((batch,), t, dtype=jnp.float32)
         model_output = apply_fn(x, t_batch, y)
         z = _step_noise(zkey, t, x.shape)
-        x = schedule.step(parametrization, model_output, x, t, z)
+        x = schedule.step(parametrization, model_output, x, t, z, variance_mode)
         return (x, key), None
 
     (x, key), _ = jax.lax.scan(body, (x, key), ts)
@@ -80,6 +81,7 @@ def ddpm_sample(
     y: Optional[jax.Array] = None,
     timesteps_save: Sequence[int] = (),
     x_init: Optional[jax.Array] = None,
+    variance_mode: str = "beta_tilde",
 ):
     """Full ancestral DDPM sampling loop, t = T-1 .. 0.
 
@@ -115,7 +117,8 @@ def ddpm_sample(
     intermediates = []
     for t_start, t_end, save in segments:
         x, key = _ddpm_segment(
-            apply_fn, schedule, parametrization, x, key, t_start, t_end, y
+            apply_fn, schedule, parametrization, x, key, t_start, t_end, y,
+            variance_mode,
         )
         if save:
             intermediates.append(x)
@@ -133,6 +136,7 @@ def duodiff_sample(
     parametrization: str = "predict_noise",
     y: Optional[jax.Array] = None,
     x_init: Optional[jax.Array] = None,
+    variance_mode: str = "beta_tilde",
 ):
     """DuoDiff dual-backbone sampling.
 
@@ -150,10 +154,12 @@ def duodiff_sample(
     t_switch = int(min(t_switch, steps))
     handoff = steps - t_switch  # first t handled by the late model is handoff-1
     x, key = _ddpm_segment(
-        early_apply_fn, schedule, parametrization, x, key, steps - 1, handoff, y
+        early_apply_fn, schedule, parametrization, x, key, steps - 1, handoff, y,
+        variance_mode,
     )
     x, key = _ddpm_segment(
-        late_apply_fn, schedule, parametrization, x, key, handoff - 1, 0, y
+        late_apply_fn, schedule, parametrization, x, key, handoff - 1, 0, y,
+        variance_mode,
     )
     return x
 

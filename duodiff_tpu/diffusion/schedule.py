@@ -88,43 +88,47 @@ class NoiseSchedule:
     # caller supplies z ~ N(0, I) (z must be 0 at t == 0).
     # ------------------------------------------------------------------
 
-    def step_predict_noise(self, model_output, x, t, z):
+    def sigma(self, t, variance_mode: str = "beta_tilde"):
+        """Reverse-step noise scale sqrt(sigma^2_t). The CLI samplers use
+        beta_tilde (reference sampler.py:50, eesampler.py:76); the in-training
+        logging sampler uses beta (reference ddpm_core.py:72-79 default)."""
+        return jnp.sqrt(self.sigma_squared(variance_mode)[t])
+
+    def step_predict_noise(self, model_output, x, t, z, variance_mode="beta_tilde"):
         """x_{t-1} from predicted epsilon (reference sampler.py:47-56)."""
         alpha_t = self.alphas[t]
         alpha_bar_t = self.alphas_bar[t]
-        sigma_t = jnp.sqrt(self.betas_tilde[t])
         mean = jnp.sqrt(1.0 / alpha_t) * (
             x - (1.0 - alpha_t) / jnp.sqrt(1.0 - alpha_bar_t) * model_output
         )
-        return mean + sigma_t * z
+        return mean + self.sigma(t, variance_mode) * z
 
-    def step_predict_original(self, model_output, x, t, z):
+    def step_predict_original(self, model_output, x, t, z, variance_mode="beta_tilde"):
         """x_{t-1} from predicted x_0 via the closed-form posterior mean
         (reference sampler.py:59-72)."""
         alpha_t = self.alphas[t]
         alpha_bar_t = self.alphas_bar[t]
         alpha_bar_prev = self.alphas_bar_prev[t]
         beta_t = self.betas[t]
-        sigma_t = jnp.sqrt(self.betas_tilde[t])
         mean = (
             jnp.sqrt(alpha_bar_prev) * beta_t * model_output / (1.0 - alpha_bar_t)
             + jnp.sqrt(alpha_t) * (1.0 - alpha_bar_prev) * x / (1.0 - alpha_bar_t)
         )
-        return mean + sigma_t * z
+        return mean + self.sigma(t, variance_mode) * z
 
-    def step_predict_previous(self, model_output, x, t, z):
+    def step_predict_previous(self, model_output, x, t, z, variance_mode="beta_tilde"):
         """x_{t-1} predicted directly (reference sampler.py:75-79)."""
         del x
-        sigma_t = jnp.sqrt(self.betas_tilde[t])
-        return model_output + sigma_t * z
+        return model_output + self.sigma(t, variance_mode) * z
 
-    def step(self, parametrization: str, model_output, x, t, z):
+    def step(self, parametrization: str, model_output, x, t, z,
+             variance_mode: str = "beta_tilde"):
         if parametrization == "predict_noise":
-            return self.step_predict_noise(model_output, x, t, z)
+            return self.step_predict_noise(model_output, x, t, z, variance_mode)
         elif parametrization == "predict_original":
-            return self.step_predict_original(model_output, x, t, z)
+            return self.step_predict_original(model_output, x, t, z, variance_mode)
         elif parametrization == "predict_previous":
-            return self.step_predict_previous(model_output, x, t, z)
+            return self.step_predict_previous(model_output, x, t, z, variance_mode)
         raise ValueError(f"Invalid parametrization {parametrization}")
 
     def ddim_step(self, model_output, x, t, s, z, eta: float = 0.0):

@@ -11,7 +11,8 @@ TPU-specific choices:
   - NHWC images end to end; patch embedding is reshape+matmul (MXU-friendly).
   - Activations in a configurable compute dtype (bf16 by default at call
     sites); parameters and LayerNorm/softmax statistics stay fp32.
-  - ``jax.checkpoint``-friendly: pure function of (params, x, t, y).
+  - setup()-style submodules so EarlyExitUViT can interleave probes/heads at
+    block boundaries without duplicating the backbone definition.
 """
 
 from __future__ import annotations
@@ -47,62 +48,24 @@ class UViT(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
 
-    @nn.compact
-    def __call__(
-        self, x: jax.Array, timesteps: jax.Array, y: Optional[jax.Array] = None
-    ) -> jax.Array:
+    def setup(self):
         cfg = self.config
-        tokens, skips = self.encode(x, timesteps, y)
-        del skips  # encode() runs the full network; skips already consumed
-        return tokens
-
-    # The forward pass is split so EarlyExitUViT can interleave probes/heads
-    # at every block boundary without duplicating the backbone definition.
-
-    def embed_tokens(self, x, timesteps, y):
-        """Patchify + time/label tokens + positional embedding
-        (reference models/uvit.py:351-365)."""
-        cfg = self.config
-        if cfg.normalize_timesteps:
-            timesteps = timesteps.astype(jnp.float32) / 1000.0
-
-        x = PatchEmbed(
-            patch_size=cfg.patch_size,
-            embed_dim=cfg.embed_dim,
-            dtype=self.dtype,
-            name="patch_embed",
-        )(x.astype(self.dtype))
-        b, l, d = x.shape
-
-        time_token = TimeEmbed(
+        self.patch_embed = PatchEmbed(
+            patch_size=cfg.patch_size, embed_dim=cfg.embed_dim, dtype=self.dtype
+        )
+        self.time_embed = TimeEmbed(
             embed_dim=cfg.embed_dim,
             mlp_time_embed=cfg.mlp_time_embed,
             dtype=self.dtype,
-            name="time_embed",
-        )(timestep_embedding(timesteps, cfg.embed_dim))
-        x = jnp.concatenate([time_token[:, None, :].astype(self.dtype), x], axis=1)
-
+        )
         if cfg.num_classes > 0:
-            assert y is not None, "class-conditional model requires labels"
-            label_emb = nn.Embed(
-                cfg.num_classes,
-                cfg.embed_dim,
-                dtype=self.dtype,
-                name="label_emb",
-            )(y)
-            x = jnp.concatenate([label_emb[:, None, :], x], axis=1)
-
-        pos_embed = self.param(
+            self.label_emb = nn.Embed(cfg.num_classes, cfg.embed_dim, dtype=self.dtype)
+        self.pos_embed = self.param(
             "pos_embed",
             trunc_normal_init,
             (1, cfg.extras + cfg.num_patches, cfg.embed_dim),
         )
-        x = x + pos_embed.astype(self.dtype)
-        return x
 
-    def make_blocks(self):
-        """Instantiate the in/mid/out blocks with stable names for checkpoints."""
-        cfg = self.config
         common = dict(
             num_heads=cfg.num_heads,
             mlp_ratio=cfg.mlp_ratio,
@@ -110,55 +73,66 @@ class UViT(nn.Module):
             dtype=self.dtype,
             attn_impl=self.attn_impl,
         )
-        in_blocks = [
-            Block(**common, name=f"in_blocks_{i}") for i in range(cfg.depth // 2)
-        ]
-        mid_block = Block(**common, name="mid_block")
-        out_blocks = [
-            Block(**common, skip=cfg.skip, name=f"out_blocks_{i}")
-            for i in range(cfg.depth // 2)
-        ]
-        return in_blocks, mid_block, out_blocks
+        self.in_blocks = [Block(**common) for _ in range(cfg.depth // 2)]
+        self.mid_block = Block(**common)
+        self.out_blocks = [Block(**common, skip=cfg.skip) for _ in range(cfg.depth // 2)]
+
+        self.norm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
+        self.decoder_pred = nn.Dense(
+            cfg.patch_dim, dtype=self.dtype, kernel_init=trunc_normal_init
+        )
+        if cfg.conv:
+            self.final_layer = nn.Conv(
+                cfg.in_chans, kernel_size=(3, 3), padding="SAME", dtype=self.dtype
+            )
+
+    def embed_tokens(self, x, timesteps, y=None):
+        """Patchify + time/label tokens + positional embedding
+        (reference models/uvit.py:351-365)."""
+        cfg = self.config
+        if cfg.normalize_timesteps:
+            timesteps = timesteps.astype(jnp.float32) / 1000.0
+
+        x = self.patch_embed(x.astype(self.dtype))
+
+        time_token = self.time_embed(timestep_embedding(timesteps, cfg.embed_dim))
+        x = jnp.concatenate([time_token[:, None, :].astype(self.dtype), x], axis=1)
+
+        if cfg.num_classes > 0:
+            assert y is not None, "class-conditional model requires labels"
+            label_emb = self.label_emb(y)
+            x = jnp.concatenate([label_emb[:, None, :], x], axis=1)
+
+        return x + self.pos_embed.astype(self.dtype)
 
     def decode_tokens(self, x):
         """Final norm + linear decoder + unpatchify + 3x3 conv
         (reference models/uvit.py:377-382)."""
         cfg = self.config
-        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x)
-        x = nn.Dense(
-            cfg.patch_dim,
-            dtype=self.dtype,
-            kernel_init=trunc_normal_init,
-            name="decoder_pred",
-        )(x)
+        x = self.norm(x)
+        x = self.decoder_pred(x)
         x = x[:, cfg.extras :, :]
         x = unpatchify(x, cfg.in_chans)
         if cfg.conv:
-            x = nn.Conv(
-                cfg.in_chans,
-                kernel_size=(3, 3),
-                padding="SAME",
-                dtype=self.dtype,
-                name="final_layer",
-            )(x)
+            x = self.final_layer(x)
         return x.astype(jnp.float32)
 
-    def encode(self, x, timesteps, y):
-        """Full forward pass; returns (output_image, None)."""
+    def __call__(
+        self, x: jax.Array, timesteps: jax.Array, y: Optional[jax.Array] = None
+    ) -> jax.Array:
         x = self.embed_tokens(x, timesteps, y)
-        in_blocks, mid_block, out_blocks = self.make_blocks()
 
         skips = []
-        for blk in in_blocks:
+        for blk in self.in_blocks:
             x = blk(x)
             skips.append(x)
 
-        x = mid_block(x)
+        x = self.mid_block(x)
 
-        for blk in out_blocks:
+        for blk in self.out_blocks:
             x = blk(x, skips.pop())
 
-        return self.decode_tokens(x), None
+        return self.decode_tokens(x)
 
 
 def init_uvit(

@@ -1,0 +1,109 @@
+"""Device mesh + sharding layer.
+
+The reference has no distributed layer at all (SURVEY.md §2b: no DDP, no
+torch.distributed, single device). This module is the framework's
+communication backend, built the TPU way: a ``jax.sharding.Mesh`` over ICI
+with named axes, parameter partition rules (Megatron-style tensor
+parallelism over attention heads / MLP hidden), and batch sharding for data
+parallelism. XLA GSPMD inserts the psum/all-gather collectives.
+
+Axes:
+  - "data": batch dimension (gradient psum rides this axis)
+  - "model": tensor-parallel dimension (attention qkv/proj, MLP fc1/fc2)
+
+Multi-host extension: call ``jax.distributed.initialize()`` before
+``create_mesh`` and pass the global device list; the DCN axis goes outermost
+by passing ``shape=(num_hosts, local, ...)``.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(
+    shape: Optional[Sequence[int]] = None,
+    axis_names: Sequence[str] = ("data", "model"),
+    devices=None,
+) -> Mesh:
+    """Create a mesh over the available devices.
+
+    Default: all devices on the "data" axis, "model" axis of size 1 — pure
+    data parallelism, the right default for U-ViT-sized models.
+    """
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if shape is None:
+        shape = (n,) + (1,) * (len(axis_names) - 1)
+    if int(np.prod(shape)) != n:
+        raise ValueError(f"mesh shape {shape} does not match {n} devices")
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, axis_names)
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
+    """Shard the leading (batch) dimension over the "data" axis."""
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# Partition rules: (regex on the param path, PartitionSpec).
+# Column-parallel: qkv + mlp fc1 (shard output features over "model").
+# Row-parallel: attention proj + mlp fc2 (shard input features; XLA inserts
+# the psum on the "model" axis after the matmul).
+_TP_RULES = (
+    (r".*attn/qkv/kernel$", P(None, "model")),
+    (r".*attn/qkv/bias$", P("model")),
+    (r".*attn/proj/kernel$", P("model", None)),
+    (r".*mlp/fc1/kernel$", P(None, "model")),
+    (r".*mlp/fc1/bias$", P("model")),
+    (r".*mlp/fc2/kernel$", P("model", None)),
+    # time-embed MLP (4x hidden) when present
+    (r".*time_embed/fc1/kernel$", P(None, "model")),
+    (r".*time_embed/fc2/kernel$", P("model", None)),
+)
+
+# Stacked early-exit heads/probes carry a leading depth axis; same rules
+# shifted by one dim.
+_TP_RULES_STACKED = (
+    (r".*heads/decoder_pred/kernel$", P(None, None, None)),
+)
+
+
+def param_sharding_rules(path: str) -> P:
+    """PartitionSpec for one parameter path (joined with '/')."""
+    for pattern, spec in _TP_RULES:
+        if re.match(pattern, path):
+            return spec
+    return P()  # replicated
+
+
+def shard_params(params, mesh: Mesh):
+    """Compute a NamedSharding pytree for a parameter pytree."""
+
+    def path_str(path) -> str:
+        return "/".join(
+            p.key if hasattr(p, "key") else str(p) for p in path
+        )
+
+    def spec_for(path, leaf):
+        spec = param_sharding_rules(path_str(path))
+        # guard: rank/divisibility mismatch -> replicate
+        if len(spec) > leaf.ndim:
+            return NamedSharding(mesh, P())
+        for dim, axis in enumerate(spec):
+            if axis is not None:
+                axis_size = mesh.shape[axis]
+                if leaf.shape[dim] % axis_size != 0:
+                    return NamedSharding(mesh, P())
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)

@@ -1,0 +1,137 @@
+"""Full-training-state checkpoint/resume on Orbax.
+
+Capability parity with the reference Checkpointer (checkpointer.py:10-148):
+  - full state: step, model params, optimizer state, data-sampler state
+    (permutation / index / epoch / seed), and the run args,
+  - two save modes: rolling ``<name>_last`` vs archived ``<name>_step-N``
+    (reference checkpointer.py:59-62),
+  - ``last_checkpoint()`` walks candidates newest-first and skips ones that
+    fail to restore (corruption tolerance, reference checkpointer.py:135-148),
+  - partial restoration (params-only for backbone loading,
+    reference trainer.py:108-116).
+
+TPU-native details: Orbax writes sharded arrays directly from device
+(multi-host-safe), and restore targets carry shardings so params land
+sharded without a host round-trip. No GradScaler state exists — bf16
+training needs no loss scaling.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import shutil
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _tree_checkpointer() -> ocp.Checkpointer:
+    return ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
+
+
+class Checkpointer:
+    """Manages ``<log_path>/<exp_name>/<save_name>{_last,_step-N}`` dirs."""
+
+    def __init__(
+        self,
+        log_path,
+        exp_name: str,
+        save_name: Optional[str] = None,
+        dataset: str = "",
+        model: str = "",
+    ):
+        self.log_path = Path(log_path) / exp_name
+        self.save_name = save_name or f"{dataset}_{model}"
+        self.log_path.mkdir(parents=True, exist_ok=True)
+        self._ckptr = _tree_checkpointer()
+
+    # ---------------- save ----------------
+
+    def save(
+        self,
+        *,
+        step: int,
+        params: Any,
+        opt_state: Any = None,
+        sampler_state: Optional[dict] = None,
+        args: Optional[dict] = None,
+        new_checkpoint: bool = False,
+    ) -> Path:
+        suffix = f"step-{step}" if new_checkpoint else "last"
+        path = self.log_path / f"{self.save_name}_{suffix}"
+        state = {"step": np.asarray(step), "params": params}
+        if opt_state is not None:
+            state["opt_state"] = opt_state
+        if sampler_state is not None:
+            state["sampler_state"] = dict(sampler_state)
+        self._ckptr.save(path.resolve(), state, force=True)
+        if args is not None:
+            with open(path / "run_args.json", "w") as f:
+                json.dump(_jsonable(args), f, indent=2)
+        return path
+
+    # ---------------- discovery ----------------
+
+    def tracked_checkpoints(self) -> list[Path]:
+        """Archived step-N checkpoints sorted by step ascending."""
+        found = []
+        for p in self.log_path.glob(f"{self.save_name}_step-*"):
+            m = re.search(r"step-(\d+)$", p.name)
+            if m and p.is_dir():
+                found.append((int(m.group(1)), p))
+        return [p for _, p in sorted(found)]
+
+    def last_checkpoint(self) -> Optional[Path]:
+        """Newest restorable checkpoint; skips corrupted ones
+        (reference checkpointer.py:135-148)."""
+        candidates = self.tracked_checkpoints()
+        last = self.log_path / f"{self.save_name}_last"
+        if last.is_dir():
+            candidates.append(last)
+        for path in reversed(candidates):
+            try:
+                if not (path / "_CHECKPOINT_METADATA").exists():
+                    raise IOError("missing _CHECKPOINT_METADATA (partial write?)")
+                meta = self._ckptr.metadata(path.resolve())
+                if meta is None:
+                    raise IOError("unreadable checkpoint metadata")
+                return path
+            except Exception as e:  # corrupted / partial write
+                print(f"Checkpoint {path} appears corrupted: {e}")
+        return None
+
+    # ---------------- restore ----------------
+
+    def restore(self, path, template: Any) -> Any:
+        """Restore a state pytree. ``template`` supplies structure/dtypes/
+        shardings (e.g. a freshly created state); pass None leaves to skip."""
+        restore_args = ocp.checkpoint_utils.construct_restore_args(template)
+        return self._ckptr.restore(
+            Path(path).resolve(),
+            args=ocp.args.PyTreeRestore(
+                item=template, restore_args=restore_args
+            ),
+        )
+
+    def restore_params(self, path, params_template: Any) -> Any:
+        """Params-only restore (backbone loading, reference trainer.py:108-116)."""
+        state = self.restore(path, {"step": np.asarray(0), "params": params_template})
+        return state["params"]
+
+    def delete(self, path) -> None:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def _jsonable(d: dict) -> dict:
+    out = {}
+    for k, v in d.items():
+        try:
+            json.dumps(v)
+            out[k] = v
+        except TypeError:
+            out[k] = str(v)
+    return out

@@ -1,0 +1,145 @@
+"""Train state + jitted train step.
+
+TPU replacements for the reference's eager loop (trainer.py:182-215):
+  - native bf16 forward (no GradScaler — bf16 needs no loss scaling),
+  - optax chain: global-norm clip (max_grad_norm) -> AdamW with the
+    cosine-warmup schedule,
+  - one jitted, donated train_step with batch sharded over the "data" mesh
+    axis and optional tensor parallelism over "model" (gradient reduction is
+    the psum XLA inserts — the reference has no equivalent, SURVEY.md §2b).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from duodiff_tpu.diffusion.schedule import NoiseSchedule
+from duodiff_tpu.training.losses import deediff_loss, total_deediff_loss, uvit_loss
+from duodiff_tpu.training.lr import cosine_schedule_with_warmup
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(
+            step=self.step + 1, params=new_params, opt_state=new_opt_state
+        )
+
+
+def make_optimizer(
+    *,
+    lr: float,
+    weight_decay: float,
+    beta1: float,
+    beta2: float,
+    max_grad_norm: float,
+    num_warmup_steps: int,
+    num_training_steps: int,
+) -> optax.GradientTransformation:
+    """AdamW + cosine-warmup + global-norm clipping
+    (reference trainer.py:121-130,166-172,210)."""
+    schedule = cosine_schedule_with_warmup(lr, num_warmup_steps, num_training_steps)
+    return optax.chain(
+        optax.clip_by_global_norm(max_grad_norm),
+        optax.adamw(
+            learning_rate=schedule,
+            b1=beta1,
+            b2=beta2,
+            weight_decay=weight_decay,
+        ),
+    )
+
+
+def create_train_state(params, tx: optax.GradientTransformation) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        tx=tx,
+    )
+
+
+def make_train_step(
+    apply_fn: Callable,
+    schedule: NoiseSchedule,
+    *,
+    model_kind: str,  # "uvit" | "deediff_uvit"
+    parametrization: str,
+    use_unweighted_loss: bool = False,
+    has_labels: bool = False,
+):
+    """Build the pure train-step function.
+
+    step(state, batch, key) -> (state, metrics)
+      batch: dict with "image" (B, H, W, C) [latents already encoded for
+      imagenet256] and optionally "label" (B,).
+
+    The per-step flow mirrors reference trainer.py:307-352: draw uniform
+    timesteps, add noise via q(x_t|x_0), forward, parametrization loss.
+    """
+
+    def loss_fn(params, batch, key):
+        clean = batch["image"].astype(jnp.float32)
+        labels = batch.get("label") if has_labels else None
+        b = clean.shape[0]
+        t_key, n_key = jax.random.split(key)
+        timesteps = jax.random.randint(t_key, (b,), 0, schedule.steps)
+        noise, noisy = schedule.add_noise(n_key, clean, timesteps)
+
+        if model_kind == "uvit":
+            pred = apply_fn(params, noisy, timesteps.astype(jnp.float32), labels)
+            loss = uvit_loss(
+                pred,
+                parametrization=parametrization,
+                noise=noise,
+                clean=clean,
+                noisy=noisy,
+                timesteps=timesteps,
+                schedule=schedule,
+            )
+            metrics = {"train_loss": loss}
+        elif model_kind == "deediff_uvit":
+            backbone, u, g = apply_fn(
+                params, noisy, timesteps.astype(jnp.float32), labels
+            )
+            parts = deediff_loss(
+                backbone,
+                u,
+                g,
+                parametrization=parametrization,
+                noise=noise,
+                clean=clean,
+            )
+            loss = total_deediff_loss(parts, use_unweighted_loss)
+            metrics = {
+                "train_loss": loss,
+                "regular_train_loss": parts[0],
+                "classifier_train_loss": parts[1],
+                "weighted_train_loss": parts[2],
+                "unweighted_loss": parts[3],
+            }
+        else:
+            raise ValueError(f"Unknown model kind {model_kind}")
+        return loss, metrics
+
+    def train_step(state: TrainState, batch, key):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, metrics), grads = grad_fn(state.params, batch, key)
+        new_state = state.apply_gradients(grads)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return train_step

@@ -1,0 +1,375 @@
+"""Training orchestration (TPU re-design of reference trainer.py:25-407).
+
+Differences from the reference driven by the TPU execution model:
+  - one jitted, buffer-donated ``train_step`` (forward+loss+grad+AdamW) per
+    step instead of eager per-op dispatch,
+  - batch sharded over the mesh "data" axis; optional tensor parallelism over
+    "model" (the reference is single-device, SURVEY.md §2b),
+  - native bf16 compute under ``--use_amp`` — no GradScaler (bf16 needs no
+    loss scaling; the reference's scaler state has no TPU equivalent),
+  - determinism via explicit PRNG threading: step key = fold_in(seed, step)
+    (replaces reference's per-step global reseed, trainer.py:262),
+  - in-training sampling runs the on-device lax.scan sampler (the reference
+    nests a 1000-step host loop inside training, trainer.py:225).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from duodiff_tpu.config import UViTConfig
+from duodiff_tpu.data import get_dataloader
+from duodiff_tpu.diffusion import NoiseSchedule, ddpm_sample
+from duodiff_tpu.models.early_exit import init_early_exit_uvit
+from duodiff_tpu.models.uvit import init_uvit
+from duodiff_tpu.parallel import batch_sharding, create_mesh, replicate, shard_params
+from duodiff_tpu.training.checkpointer import Checkpointer
+from duodiff_tpu.training.train_state import (
+    TrainState,
+    create_train_state,
+    make_optimizer,
+    make_train_step,
+)
+from duodiff_tpu.utils.image import make_grid
+from duodiff_tpu.utils.runtime import setup_compilation_cache
+from duodiff_tpu.utils.train_utils import MetricsLogger
+
+
+class Trainer:
+    """``Trainer(args).train()`` with the reference flag surface
+    (reference main.py:10-194)."""
+
+    def __init__(self, args):
+        setup_compilation_cache()
+        self.args = args
+        self.log_path = Path(args.log_path) / args.exp_name
+        self.log_path.mkdir(parents=True, exist_ok=True)
+
+        # data axis must divide the global batch; drop to the largest divisor
+        n_devices = jax.device_count()
+        data_size = n_devices
+        while args.batch_size % data_size != 0:
+            data_size -= 1
+        if data_size != n_devices:
+            print(
+                f"batch_size {args.batch_size} not divisible by {n_devices} "
+                f"devices; using {data_size}-device data parallelism"
+            )
+        self.mesh = create_mesh(devices=jax.devices()[:data_size])
+        print(f"Training on mesh {dict(self.mesh.shape)} ({n_devices} devices)")
+
+        self.compute_dtype = (
+            jnp.bfloat16
+            if getattr(args, "use_amp", False)
+            and getattr(args, "amp_dtype", "bfloat16") == "bfloat16"
+            else jnp.float32
+        )
+
+        self.model_config = UViTConfig.from_dict(vars(args))
+        self.schedule = NoiseSchedule.create(steps=args.num_timesteps)
+
+        self._init_model()
+        self._init_data()
+        self._init_optimizer()
+        self._init_autoencoder()
+
+        self.checkpointer = Checkpointer(
+            args.log_path,
+            args.exp_name,
+            save_name=getattr(args, "save_checkpoint_path", None),
+            dataset=args.dataset,
+            model=args.model,
+        )
+        self.logger = MetricsLogger(self.log_path)
+        self.logger.log_hparams(vars(args))
+
+        self.start_step = 0
+        self._maybe_resume()
+
+        self._train_step = self._build_train_step()
+        self._sample_fn = None  # compiled lazily on first log
+
+    # ------------------------------------------------------------------
+    # init pieces
+    # ------------------------------------------------------------------
+
+    def _init_model(self):
+        args = self.args
+        key = jax.random.PRNGKey(args.seed)
+        if args.model == "uvit":
+            self.model, params = init_uvit(
+                self.model_config, key, dtype=self.compute_dtype
+            )
+        elif args.model == "deediff_uvit":
+            self.model, params = init_early_exit_uvit(
+                self.model_config, key, dtype=self.compute_dtype
+            )
+            if getattr(args, "load_backbone", None):
+                print(f"Loading backbone from {args.load_backbone}")
+                backbone = load_params_flexible(args.load_backbone, params["uvit"])
+                params = dict(params)
+                params["uvit"] = backbone
+        else:
+            raise ValueError(f"Unknown model {args.model}")
+
+        # place params according to the mesh partition rules
+        self.param_shardings = shard_params(params, self.mesh)
+        self.params = jax.device_put(params, self.param_shardings)
+
+    def _init_data(self):
+        args = self.args
+        self.dataloader = get_dataloader(
+            args.dataset, args.batch_size, args.seed, args.data_path
+        )
+        self.has_labels = "imagenet" in args.dataset
+
+    def _init_optimizer(self):
+        args = self.args
+        tx = make_optimizer(
+            lr=args.lr,
+            weight_decay=args.weight_decay,
+            beta1=args.beta1,
+            beta2=args.beta2,
+            max_grad_norm=args.max_grad_norm,
+            num_warmup_steps=args.num_warmup_steps,
+            num_training_steps=args.n_steps,
+        )
+        if args.model == "deediff_uvit" and getattr(args, "freeze_backbone", False):
+            print("Freezing the backbone...")
+
+            def label_fn(params):
+                return {
+                    k: jax.tree_util.tree_map(
+                        lambda _: "frozen" if k == "uvit" else "trainable", v
+                    )
+                    for k, v in params.items()
+                }
+
+            tx = optax.multi_transform(
+                {"trainable": tx, "frozen": optax.set_to_zero()}, label_fn
+            )
+        self.tx = tx
+        self.state = self._place_state(create_train_state(self.params, tx))
+
+    def _place_state(self, state):
+        """Commit every train-state leaf to the mesh: params per the partition
+        rules, optimizer state and step replicated (mu/nu replication is a
+        simplification vs sharding them like their params — revisit for TP)."""
+        rep = replicate(self.mesh)
+        return state.replace(
+            step=jax.device_put(state.step, rep),
+            params=jax.device_put(state.params, self.param_shardings),
+            opt_state=jax.device_put(state.opt_state, rep),
+        )
+
+    def _init_autoencoder(self):
+        """Frozen KL autoencoder for latent-space imagenet256
+        (reference trainer.py:46-51,266-269)."""
+        self.encode_fn = None
+        ae_path = getattr(self.args, "autoencoder_checkpoint_path", None)
+        if ae_path:
+            from duodiff_tpu.models.autoencoder import load_autoencoder
+
+            ae_model, ae_params = load_autoencoder(ae_path, dtype=self.compute_dtype)
+            ae_params = jax.device_put(ae_params, replicate(self.mesh))
+
+            def encode(key, images):
+                return ae_model.apply(
+                    {"params": ae_params}, images, key, method=ae_model.encode
+                )
+
+            self.encode_fn = encode
+
+    def _maybe_resume(self):
+        args = self.args
+        ckpt_path = getattr(args, "load_checkpoint_path", None)
+        if ckpt_path is None and getattr(args, "resume", False):
+            ckpt_path = self.checkpointer.last_checkpoint()
+        if ckpt_path is None:
+            return
+        print(f"Loading training state from {ckpt_path}")
+        template = {
+            "step": np.asarray(0),
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "sampler_state": self.dataloader.get_state(),
+        }
+        restored = self.checkpointer.restore(ckpt_path, template)
+        self.state = self._place_state(
+            self.state.replace(
+                step=jnp.asarray(int(restored["step"]), jnp.int32),
+                params=restored["params"],
+                opt_state=restored["opt_state"],
+            )
+        )
+        self.dataloader.set_state(restored["sampler_state"])
+        self.start_step = int(restored["step"])
+
+    def _build_train_step(self):
+        args = self.args
+        model = self.model
+
+        def apply_fn(params, x, t, y):
+            return model.apply({"params": params}, x, t, y)
+
+        step_fn = make_train_step(
+            apply_fn,
+            self.schedule,
+            model_kind=args.model,
+            parametrization=args.parametrization,
+            use_unweighted_loss=getattr(args, "use_unweighted_loss", False),
+            has_labels=self.has_labels,
+        )
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    # ------------------------------------------------------------------
+    # the loop
+    # ------------------------------------------------------------------
+
+    def train(self):
+        args = self.args
+        base_key = jax.random.PRNGKey(args.seed)
+        bshard = batch_sharding(self.mesh)
+        lshard = batch_sharding(self.mesh, ndim=1)
+
+        logs = []
+        t_last = time.time()
+        for step in range(self.start_step + 1, args.n_steps + 1):
+            batch = self.dataloader.next_batch()
+            device_batch = {
+                "image": jax.device_put(batch["image"], bshard),
+                "label": jax.device_put(batch["label"], lshard),
+            }
+            if self.encode_fn is not None:
+                enc_key = jax.random.fold_in(
+                    jax.random.fold_in(base_key, step), 7
+                )
+                device_batch["image"] = self.encode_fn(
+                    enc_key, device_batch["image"]
+                )
+
+            step_key = jax.random.fold_in(base_key, step)
+            self.state, metrics = self._train_step(self.state, device_batch, step_key)
+
+            if step % 50 == 0 or step == args.n_steps or step == self.start_step + 1:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                dt = time.time() - t_last
+                t_last = time.time()
+                metrics["steps_per_sec"] = (
+                    50 / dt if step % 50 == 0 else 1 / max(dt, 1e-9)
+                )
+                self.logger.log_scalars(step, metrics)
+                logs.append({"step": step, **metrics})
+                print(f"step {step:>7} | {metrics}")
+
+            if args.log_every_n_steps is not None and (
+                step % args.log_every_n_steps == 0 or step == args.n_steps
+            ):
+                self._log_samples(step)
+
+            if (
+                getattr(args, "save_every_n_steps", None)
+                and step % args.save_every_n_steps == 0
+            ) or step == args.n_steps:
+                self._save(step, new_checkpoint=False)
+            if (
+                getattr(args, "save_new_every_n_steps", None) is not None
+                and step % args.save_new_every_n_steps == 0
+            ):
+                self._save(step, new_checkpoint=True)
+
+        return logs
+
+    def _log_samples(self, step: int):
+        """Periodic qualitative sampling to an image grid
+        (reference trainer.py:221-245; variance mode 'beta' like
+        ddpm_core.py default)."""
+        args = self.args
+        if self._sample_fn is None:
+            model = self.model
+            is_ee = args.model == "deediff_uvit"
+            shape = (
+                args.n_samples,
+                args.sample_height,
+                args.sample_width,
+                self.model_config.in_chans,
+            )
+
+            def apply_fn(params, x, t, y):
+                out = model.apply({"params": params}, x, t, y)
+                return out[0] if is_ee else out
+
+            def sample(params, key, y):
+                x, _ = ddpm_sample(
+                    lambda x, t, yy: apply_fn(params, x, t, yy),
+                    key,
+                    schedule=self.schedule,
+                    shape=shape,
+                    parametrization="predict_noise",
+                    y=y,
+                    variance_mode="beta",
+                )
+                return x
+
+            self._sample_fn = jax.jit(sample)
+
+        key = jax.random.PRNGKey(args.sample_seed)
+        y = None
+        if self.has_labels and self.model_config.num_classes > 0:
+            y = jax.random.randint(
+                key, (args.n_samples,), 0, self.model_config.num_classes
+            )
+        x = self._sample_fn(self.state.params, key, y)
+        samples = np.asarray((x + 1.0) / 2.0)
+        self.logger.log_image(step, "Samples", make_grid(samples))
+
+    def _save(self, step: int, new_checkpoint: bool):
+        self.checkpointer.save(
+            step=step,
+            params=self.state.params,
+            opt_state=self.state.opt_state,
+            sampler_state=self.dataloader.get_state(),
+            args=vars(self.args),
+            new_checkpoint=new_checkpoint,
+        )
+
+
+def load_params_flexible(path: str, template: Any):
+    """Load a params pytree from either an Orbax checkpoint directory (raw
+    params or a full train-state dict) or a reference torch ``.pth``
+    checkpoint via the converter. The result is validated against
+    ``template``'s tree structure and leaf shapes."""
+    p = Path(path)
+    if p.is_dir():
+        import orbax.checkpoint as ocp
+
+        raw = ocp.Checkpointer(ocp.PyTreeCheckpointHandler()).restore(p.resolve())
+        params = raw.get("params", raw) if isinstance(raw, dict) else raw
+        if "uvit" in params and "uvit" not in template:
+            # early-exit checkpoint providing the backbone subtree
+            params = params["uvit"]
+        chex_assert_same_structure(params, template)
+        return jax.tree_util.tree_map(
+            lambda a, t: jnp.asarray(a, dtype=t.dtype), params, template
+        )
+    if p.suffix in (".pth", ".pt", ".ckpt", ".bin"):
+        from duodiff_tpu.utils.torch_convert import convert_torch_checkpoint
+
+        return convert_torch_checkpoint(path, template)
+    raise ValueError(f"Unrecognized checkpoint format: {path}")
+
+
+def chex_assert_same_structure(a, b):
+    ta = jax.tree_util.tree_structure(a)
+    tb = jax.tree_util.tree_structure(b)
+    if ta != tb:
+        raise ValueError(
+            f"checkpoint params structure does not match model:\n{ta}\nvs\n{tb}"
+        )

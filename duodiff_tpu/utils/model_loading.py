@@ -1,0 +1,42 @@
+"""Config+checkpoint -> (model, params) loading shared by the sampler CLIs
+(reference sampler.py:270-304, eesampler.py:143-168)."""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from duodiff_tpu.config import AutoencoderConfig, UViTConfig, load_config
+from duodiff_tpu.models.early_exit import init_early_exit_uvit
+from duodiff_tpu.models.uvit import init_uvit
+
+
+def load_model_from_config(
+    config_path: str,
+    checkpoint_path: Optional[str] = None,
+    *,
+    early_exit: bool = False,
+    dtype=jnp.bfloat16,
+    seed: int = 0,
+) -> Tuple[object, dict, UViTConfig, Optional[AutoencoderConfig]]:
+    """Build a (UViT | EarlyExitUViT) from a reference-format YAML and
+    optionally load weights from an Orbax dir or torch .pth.
+
+    checkpoint_path=None keeps random init (useful for smoke/perf runs).
+    """
+    raw = load_config(config_path)
+    cfg = UViTConfig.from_dict(raw["model_params"])
+    ae_cfg = (
+        AutoencoderConfig.from_dict(raw["autoencoder"])
+        if "autoencoder" in raw
+        else None
+    )
+    init = init_early_exit_uvit if early_exit else init_uvit
+    model, params = init(cfg, jax.random.PRNGKey(seed), dtype=dtype)
+    if checkpoint_path:
+        from duodiff_tpu.training.trainer import load_params_flexible
+
+        params = load_params_flexible(checkpoint_path, params)
+    return model, params, cfg, ae_cfg

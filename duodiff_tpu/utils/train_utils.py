@@ -1,0 +1,67 @@
+"""Run-naming and logging helpers (reference utils/train_utils.py:15-19,
+trainer.py:174-245)."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from time import localtime, strftime
+
+
+def get_exp_name(args) -> str:
+    """``{dataset}-{model}-{timestamp}`` (reference utils/train_utils.py:15-19)."""
+    timestamp = strftime("%Y-%m-%d_%H:%M:%S", localtime())
+    return f"{args.dataset}-{args.model}-{timestamp}"
+
+
+class MetricsLogger:
+    """Scalar/image logging: TensorBoard events (via torch's SummaryWriter,
+    lazily imported) plus an always-on metrics.jsonl for tooling that
+    doesn't read TB."""
+
+    def __init__(self, log_dir, use_tensorboard: bool = True):
+        self.log_dir = Path(log_dir)
+        self.log_dir.mkdir(parents=True, exist_ok=True)
+        self._jsonl = open(self.log_dir / "metrics.jsonl", "a")
+        self._tb = None
+        if use_tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(str(self.log_dir))
+            except Exception as e:  # tensorboard optional
+                print(f"TensorBoard writer unavailable ({e}); jsonl only")
+
+    def log_scalars(self, step: int, scalars: dict) -> None:
+        rec = {"step": step, **{k: float(v) for k, v in scalars.items()}}
+        self._jsonl.write(json.dumps(rec) + "\n")
+        self._jsonl.flush()
+        if self._tb is not None:
+            for k, v in scalars.items():
+                self._tb.add_scalar(k, float(v), step)
+
+    def log_image(self, step: int, tag: str, image_hwc) -> None:
+        """image_hwc: (H, W, C) float in [0, 1]."""
+        if self._tb is not None:
+            import numpy as np
+
+            self._tb.add_image(
+                tag, np.transpose(np.asarray(image_hwc), (2, 0, 1)), step
+            )
+
+    def log_hparams(self, hparams: dict) -> None:
+        with open(self.log_dir / "hparams.json", "w") as f:
+            json.dump({k: _maybe_str(v) for k, v in hparams.items()}, f, indent=2)
+
+    def close(self) -> None:
+        self._jsonl.close()
+        if self._tb is not None:
+            self._tb.close()
+
+
+def _maybe_str(v):
+    try:
+        json.dumps(v)
+        return v
+    except TypeError:
+        return str(v)

@@ -1,0 +1,110 @@
+"""Training CLI — same flag surface as the reference (main.py:10-194) on the
+TPU-native trainer (duodiff_tpu.training.trainer)."""
+
+import argparse
+
+from duodiff_tpu.config import load_config, merge_args_with_config
+from duodiff_tpu.utils.train_utils import get_exp_name
+
+
+def get_args(argv=None):
+    parser = argparse.ArgumentParser(description="Training parameters")
+
+    # Training
+    parser.add_argument("--seed", type=int, default=1, help="Seed")
+    parser.add_argument("--n_steps", type=int, required=True, help="Number of steps")
+    parser.add_argument("--batch_size", type=int, default=128, help="Batch size")
+    parser.add_argument("--num_timesteps", type=int, default=1000,
+                        help="Number of timesteps")
+    parser.add_argument("--use_amp", action="store_true", default=False,
+                        help="bf16 compute (native on TPU; no grad scaler needed)")
+    parser.add_argument("--amp_dtype", type=str, default="bfloat16",
+                        help="AMP data type")
+    parser.add_argument("--max_grad_norm", type=float, default=1.0,
+                        help="Max gradient norm")
+
+    # Logging
+    parser.add_argument("--log_path", type=str, default="logs")
+    parser.add_argument("--exp_name", type=str, default=None)
+    parser.add_argument("--log_every_n_steps", type=int, default=None)
+    parser.add_argument("--n_samples", type=int, default=16,
+                        help="Number of images to sample for logging")
+    parser.add_argument("--sample_height", type=int, default=32)
+    parser.add_argument("--sample_width", type=int, default=32)
+    parser.add_argument("--sample_seed", type=int, default=42)
+
+    # Checkpointing
+    parser.add_argument("--load_checkpoint_path", type=str, default=None)
+    parser.add_argument("--load_backbone", type=str, default=None,
+                        help="Checkpoint to a pretrained UViT backbone "
+                             "(Orbax dir or reference .pth)")
+    parser.add_argument("--freeze_backbone", action="store_true")
+    parser.add_argument("--normalize_timesteps", action="store_true")
+    parser.add_argument("--use_unweighted_loss", action="store_true")
+    parser.add_argument("--parametrization", type=str,
+                        choices=["predict_noise", "predict_original",
+                                 "predict_previous"],
+                        default="predict_noise")
+    parser.add_argument("--save_checkpoint_path", type=str, default=None)
+    parser.add_argument("--save_every_n_steps", type=int, default=None)
+    parser.add_argument("--save_new_every_n_steps", type=int, default=None)
+    parser.add_argument("--resume", action="store_true", default=False)
+
+    # Optimizer
+    parser.add_argument("--optimizer", type=str, default="adamw",
+                        choices=["adamw"])
+    parser.add_argument("--lr", type=float, default=0.0002)
+    parser.add_argument("--weight_decay", type=float, default=0.03)
+    parser.add_argument("--beta1", type=float, default=0.99)
+    parser.add_argument("--beta2", type=float, default=0.999)
+
+    # LR scheduler
+    parser.add_argument("--num_warmup_steps", type=int, default=1500)
+
+    # Model
+    parser.add_argument("--config_path", type=str, default=None,
+                        help="YAML config; its model_params overwrite CLI args")
+    parser.add_argument("--model", type=str, default="uvit",
+                        choices=["uvit", "deediff_uvit"])
+    parser.add_argument("--classifier_type", type=str, default="attention_probe",
+                        choices=["attention_probe", "mlp_probe_per_layer",
+                                 "mlp_probe_per_timestep",
+                                 "mlp_probe_per_layer_per_timestep"])
+    parser.add_argument("--img_size", type=int, default=32)
+    parser.add_argument("--patch_size", type=int, default=2)
+    parser.add_argument("--in_chans", type=int, default=3)
+    parser.add_argument("--embed_dim", type=int, default=512)
+    parser.add_argument("--depth", type=int, default=13)
+    parser.add_argument("--num_heads", type=int, default=8)
+    parser.add_argument("--mlp_ratio", type=int, default=4)
+    parser.add_argument("--qkv_bias", action="store_true", default=False)
+    parser.add_argument("--mlp_time_embed", action="store_true", default=False)
+    parser.add_argument("--num_classes", type=int, default=-1)
+
+    # Dataset
+    parser.add_argument("--dataset", type=str, default="cifar10",
+                        choices=["cifar10", "celeba", "imagenet64", "imagenet256"])
+    parser.add_argument("--data_path", type=str, default="data")
+
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    args = get_args(argv)
+
+    if args.exp_name is None:
+        args.exp_name = get_exp_name(args)
+
+    if args.config_path is not None:
+        config = load_config(args.config_path)
+        merge_args_with_config(args, config)
+
+    # Late import so --help stays fast (jax/TPU init is expensive).
+    from duodiff_tpu.training.trainer import Trainer
+
+    trainer = Trainer(args)
+    return trainer.train()
+
+
+if __name__ == "__main__":
+    main()

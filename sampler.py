@@ -1,0 +1,155 @@
+"""Dense / DuoDiff / DDIM sampling CLI.
+
+Same public contract as the reference sampler.py:192-356 — seed, checkpoint
+pair, parametrization, DDIM flags, t_switch, intermediate saves, PNG + grid
+dump, statistics.txt — but the whole 1000-step reverse process runs as one
+jitted on-device lax.scan (duodiff_tpu.diffusion.sampling) instead of a
+host-driven loop. Accepts Orbax checkpoint dirs or reference .pth files
+(converted on the fly), plus --random_init for smoke/perf runs.
+"""
+
+import argparse
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def get_args(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--checkpoint_path", type=str, default=None,
+                        help="Checkpoint of the (early, for DuoDiff) model")
+    parser.add_argument("--checkpoint_path_late", type=str, default=None,
+                        help="Checkpoint of the model used for the latest steps")
+    parser.add_argument("--batch_size", type=int, required=True)
+    parser.add_argument("--parametrization", type=str,
+                        choices=["predict_noise", "predict_original",
+                                 "predict_previous"],
+                        required=True)
+    parser.add_argument("--output_folder", type=str, required=True)
+    parser.add_argument("--config_path", type=str, required=True)
+    parser.add_argument("--config_path_late", type=str, default=None)
+    parser.add_argument("--t_switch", type=int, default=None,
+                        help="Sampling timestep at which the late model takes over")
+    parser.add_argument("--class_id", type=int, default=None)
+    parser.add_argument("--use_ddim", action="store_true")
+    parser.add_argument("--ddim_steps", type=int, default=50)
+    parser.add_argument("--ddim_eta", type=float, default=0.0)
+    parser.add_argument("--timesteps_save", type=int, nargs="+", default=[])
+    parser.add_argument("--random_init", action="store_true",
+                        help="Skip checkpoint loading (random weights)")
+    parser.add_argument("--num_timesteps", type=int, default=1000)
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    args = get_args(argv)
+    output_folder = Path(args.output_folder)
+    output_folder.mkdir(parents=True, exist_ok=True)
+
+    from duodiff_tpu.utils.runtime import setup_compilation_cache
+
+    setup_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from duodiff_tpu.diffusion import NoiseSchedule, ddim_sample, ddpm_sample, duodiff_sample
+    from duodiff_tpu.utils.image import save_samples
+    from duodiff_tpu.utils.model_loading import load_model_from_config
+
+    if not args.random_init and args.checkpoint_path is None:
+        raise SystemExit("--checkpoint_path is required (or pass --random_init)")
+
+    model, params, cfg, ae_cfg = load_model_from_config(
+        args.config_path,
+        None if args.random_init else args.checkpoint_path,
+        seed=args.seed,
+    )
+
+    late = None
+    if args.config_path_late or args.checkpoint_path_late:
+        late_model, late_params, late_cfg, _ = load_model_from_config(
+            args.config_path_late or args.config_path,
+            None if args.random_init else args.checkpoint_path_late,
+            seed=args.seed + 1,
+        )
+        late = (late_model, late_params)
+
+    decode_fn = None
+    if ae_cfg is not None:
+        from duodiff_tpu.models.autoencoder import load_autoencoder
+
+        ae_model, ae_params = load_autoencoder(ae_cfg.autoencoder_checkpoint_path)
+        decode_fn = jax.jit(
+            lambda z: ae_model.apply({"params": ae_params}, z, method=ae_model.decode)
+        )
+
+    schedule = NoiseSchedule.create(steps=args.num_timesteps)
+    shape = (args.batch_size, cfg.img_size, cfg.img_size, cfg.in_chans)
+
+    key = jax.random.PRNGKey(args.seed)
+    y = None
+    if args.class_id is not None:
+        # reference draws random labels in [1, 1001) when --class_id is given
+        # (sampler.py:314-318)
+        key, ykey = jax.random.split(key)
+        y = jax.random.randint(ykey, (args.batch_size,), 1, 1001)
+
+    def apply_early(x, t, yy):
+        return model.apply({"params": params}, x, t, yy)
+
+    def apply_late(x, t, yy):
+        late_model, late_params = late
+        return late_model.apply({"params": late_params}, x, t, yy)
+
+    timesteps_save = tuple(args.timesteps_save)
+
+    @jax.jit
+    def run(key, y):
+        if args.use_ddim:
+            x, inter = ddim_sample(
+                apply_early, key, schedule=schedule, shape=shape,
+                ddim_steps=args.ddim_steps, eta=args.ddim_eta, y=y,
+                timesteps_save=timesteps_save,
+                late_apply_fn=apply_late if late else None,
+                t_switch=args.t_switch if late else None,
+            )
+        elif late is not None and args.t_switch is not None:
+            x = duodiff_sample(
+                apply_early, apply_late, key, schedule=schedule, shape=shape,
+                t_switch=args.t_switch, parametrization=args.parametrization, y=y,
+            )
+            inter = []
+        else:
+            x, inter = ddpm_sample(
+                apply_early, key, schedule=schedule, shape=shape,
+                parametrization=args.parametrization, y=y,
+                timesteps_save=timesteps_save,
+            )
+        return x, inter
+
+    print(f"Sampling {args.batch_size} images on {jax.devices()[0].platform}...")
+    tic = time.time()
+    x, intermediates = jax.block_until_ready(run(key, y))
+    elapsed = time.time() - tic
+
+    def finish(z):
+        if decode_fn is not None:
+            z = decode_fn(z)
+        return np.asarray((z + 1.0) / 2.0)
+
+    samples = finish(x)
+    with open(output_folder / "statistics.txt", "w") as f:
+        f.write(f"Elapsed time: {elapsed} s\n")
+    save_samples(samples, output_folder)
+
+    for ts, inter in zip(args.timesteps_save, intermediates):
+        save_samples(finish(inter), output_folder, timestep=ts)
+
+    print(f"Elapsed time: {elapsed:.2f} s -> {output_folder}")
+
+
+if __name__ == "__main__":
+    main()

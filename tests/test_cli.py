@@ -1,0 +1,179 @@
+"""End-to-end CLI tests: train a few steps, sample (dense / DuoDiff / DDIM /
+early-exit), resume — on tiny configs over the virtual CPU mesh. The
+reference has no integration tests at all (SURVEY.md §4)."""
+
+import json
+import pickle
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+import eesampler as eesampler_cli  # noqa: E402
+import main as main_cli  # noqa: E402
+import sampler as sampler_cli  # noqa: E402
+
+TINY_YAML = """model_params:
+  img_size: 16
+  patch_size: 2
+  in_chans: 3
+  embed_dim: 32
+  depth: 3
+  num_heads: 4
+  mlp_ratio: 4
+  qkv_bias: False
+  mlp_time_embed: False
+  num_classes: -1
+  normalize_timesteps: True
+  classifier_type: "mlp_probe_per_layer"
+"""
+
+
+TINY_TRAIN_YAML = TINY_YAML.replace("img_size: 16", "img_size: 32").replace(
+    "patch_size: 2", "patch_size: 4"
+)
+
+
+@pytest.fixture
+def tiny_config(tmp_path):
+    p = tmp_path / "tiny.yaml"
+    p.write_text(TINY_YAML)
+    return p
+
+
+@pytest.fixture
+def tiny_train_config(tmp_path):
+    p = tmp_path / "tiny_train.yaml"
+    p.write_text(TINY_TRAIN_YAML)
+    return p
+
+
+@pytest.fixture
+def cifar_data(tmp_path):
+    root = tmp_path / "data" / "cifar10" / "cifar-10-batches-py"
+    root.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    for i in range(1, 6):
+        data = rng.randint(0, 256, (16, 3072), dtype=np.uint8)
+        labels = rng.randint(0, 10, (16,)).tolist()
+        with open(root / f"data_batch_{i}", "wb") as f:
+            pickle.dump({b"data": data, b"labels": labels}, f)
+    return tmp_path / "data"
+
+
+def test_sampler_cli_dense(tmp_path, tiny_config):
+    out = tmp_path / "out"
+    sampler_cli.main([
+        "--config_path", str(tiny_config),
+        "--batch_size", "2",
+        "--parametrization", "predict_noise",
+        "--output_folder", str(out),
+        "--random_init",
+        "--num_timesteps", "8",
+        "--timesteps_save", "4",
+    ])
+    assert (out / "0.png").exists() and (out / "1.png").exists()
+    assert (out / "grid_image.png").exists()
+    assert (out / "0_4.png").exists()  # intermediate save
+    assert "Elapsed time" in (out / "statistics.txt").read_text()
+
+
+def test_sampler_cli_duodiff(tmp_path, tiny_config):
+    out = tmp_path / "out_duo"
+    sampler_cli.main([
+        "--config_path", str(tiny_config),
+        "--config_path_late", str(tiny_config),
+        "--batch_size", "2",
+        "--parametrization", "predict_noise",
+        "--output_folder", str(out),
+        "--random_init",
+        "--num_timesteps", "8",
+        "--t_switch", "3",
+    ])
+    assert (out / "0.png").exists()
+
+
+def test_sampler_cli_ddim(tmp_path, tiny_config):
+    out = tmp_path / "out_ddim"
+    sampler_cli.main([
+        "--config_path", str(tiny_config),
+        "--batch_size", "2",
+        "--parametrization", "predict_noise",
+        "--output_folder", str(out),
+        "--random_init",
+        "--num_timesteps", "100",
+        "--use_ddim", "--ddim_steps", "5",
+    ])
+    assert (out / "0.png").exists()
+
+
+def test_eesampler_cli(tmp_path, tiny_config):
+    out = tmp_path / "out_ee"
+    eesampler_cli.main([
+        "--config_path", str(tiny_config),
+        "--batch_size", "2",
+        "--threshold", "0.5",
+        "--output_folder", str(out),
+        "--random_init",
+        "--num_timesteps", "8",
+    ])
+    assert (out / "0.png").exists()
+    err = np.load(out / "error_prediction_by_timestep.npy")
+    idx = np.load(out / "indices_by_timestep.npy")
+    assert err.shape == (8, 3)
+    assert idx.shape == (8, 2)
+
+
+def test_main_cli_train_and_resume(tmp_path, tiny_train_config, cifar_data):
+    logdir = tmp_path / "logs"
+    common = [
+        "--config_path", str(tiny_train_config),
+        "--n_steps", "4",
+        "--batch_size", "4",
+        "--num_timesteps", "50",
+        "--dataset", "cifar10",
+        "--data_path", str(cifar_data),
+        "--log_path", str(logdir),
+        "--exp_name", "t1",
+        "--save_every_n_steps", "2",
+        "--num_warmup_steps", "1",
+        "--n_samples", "2",
+        "--sample_height", "32",
+        "--sample_width", "32",
+    ]
+    logs = main_cli.main(common)
+    assert logs, "train produced no logs"
+    assert (logdir / "t1" / "cifar10_uvit_last").exists()
+    assert (logdir / "t1" / "hparams.json").exists()
+    metrics = [json.loads(l) for l in
+               (logdir / "t1" / "metrics.jsonl").read_text().splitlines()]
+    assert any(np.isfinite(m["train_loss"]) for m in metrics)
+
+    # resume from the saved checkpoint and run 2 more steps
+    resume_args = list(common)
+    resume_args[resume_args.index("--n_steps") + 1] = "6"
+    logs2 = main_cli.main(resume_args + ["--resume"])
+    assert logs2
+    assert logs2[0]["step"] > 4  # continued from the checkpoint, not step 1
+
+
+def test_main_cli_train_deediff_frozen(tmp_path, tiny_train_config, cifar_data):
+    logdir = tmp_path / "logs2"
+    logs = main_cli.main([
+        "--config_path", str(tiny_train_config),
+        "--model", "deediff_uvit",
+        "--freeze_backbone",
+        "--n_steps", "2",
+        "--batch_size", "4",
+        "--num_timesteps", "50",
+        "--dataset", "cifar10",
+        "--data_path", str(cifar_data),
+        "--log_path", str(logdir),
+        "--exp_name", "t2",
+        "--num_warmup_steps", "1",
+    ])
+    assert logs and "classifier_train_loss" in logs[-1]

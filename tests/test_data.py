@@ -1,0 +1,144 @@
+"""Data-layer tests on synthetic datasets (the reference skips data tests
+when data/ is absent, tests/test_datasets.py:14-22; we synthesize instead)."""
+
+import pickle
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from duodiff_tpu.data import (
+    DataLoader,
+    ResumableSeedableSampler,
+    get_cifar10_dataloader,
+    get_celeba_dataloader,
+    get_imagenet_dataloader,
+)
+
+
+# ---------------- sampler ----------------
+
+def test_sampler_is_seeded_permutation():
+    s1 = ResumableSeedableSampler(10, seed=3)
+    s2 = ResumableSeedableSampler(10, seed=3)
+    a = s1.next_indices(10)
+    b = s2.next_indices(10)
+    np.testing.assert_array_equal(a, b)
+    assert sorted(a.tolist()) == list(range(10))
+
+
+def test_sampler_rolls_epochs_with_new_perm():
+    s = ResumableSeedableSampler(5, seed=0)
+    first = s.next_indices(5)
+    second = s.next_indices(5)
+    assert sorted(first.tolist()) == sorted(second.tolist()) == list(range(5))
+    assert s.epoch == 2  # hmm: after exactly 2*5 draws both epochs rolled
+
+
+def test_sampler_resume_mid_epoch():
+    s = ResumableSeedableSampler(100, seed=1)
+    s.next_indices(37)
+    state = s.get_state()
+    rest_a = s.next_indices(63)
+
+    s2 = ResumableSeedableSampler(100, seed=999)  # different seed; state overrides
+    s2.set_state(state)
+    rest_b = s2.next_indices(63)
+    np.testing.assert_array_equal(rest_a, rest_b)
+
+
+def test_sampler_iter_protocol():
+    s = ResumableSeedableSampler(4, seed=0)
+    it = iter(s)
+    vals = [next(it) for _ in range(9)]  # crosses 2 epoch boundaries
+    assert all(0 <= v < 4 for v in vals)
+
+
+# ---------------- synthetic datasets ----------------
+
+@pytest.fixture
+def cifar_dir(tmp_path):
+    root = tmp_path / "cifar10" / "cifar-10-batches-py"
+    root.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    for i in range(1, 6):
+        data = rng.randint(0, 256, (20, 3072), dtype=np.uint8)
+        labels = rng.randint(0, 10, (20,)).tolist()
+        with open(root / f"data_batch_{i}", "wb") as f:
+            pickle.dump({b"data": data, b"labels": labels}, f)
+    return tmp_path
+
+
+@pytest.fixture
+def celeba_dir(tmp_path):
+    root = tmp_path / "celeba" / "img_align_celeba"
+    root.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    for i in range(6):
+        arr = rng.randint(0, 256, (218, 178, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(root / f"{i:06d}.jpg")
+    return tmp_path
+
+
+@pytest.fixture
+def imagenet_dir(tmp_path):
+    root = tmp_path / "imagenet"
+    rng = np.random.RandomState(0)
+    for cls in ["n01", "n02"]:
+        (root / cls).mkdir(parents=True)
+        for i in range(4):
+            arr = rng.randint(0, 256, (256, 256, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(root / cls / f"{i}.png")
+    return tmp_path
+
+
+def test_cifar10_loader(cifar_dir):
+    dl = get_cifar10_dataloader(8, seed=0, data_dir=cifar_dir, num_workers=2)
+    batch = dl.next_batch()
+    assert batch["image"].shape == (8, 32, 32, 3)
+    assert batch["label"].shape == (8,)
+    assert batch["image"].min() >= -1.0 and batch["image"].max() <= 1.0
+    # normalize=False keeps [0, 1]
+    dl2 = get_cifar10_dataloader(8, seed=0, data_dir=cifar_dir, normalize=False)
+    b2 = dl2.next_batch()
+    assert b2["image"].min() >= 0.0
+
+
+def test_celeba_loader_crop_resize(celeba_dir):
+    dl = get_celeba_dataloader(4, seed=0, data_dir=celeba_dir, num_workers=2)
+    batch = dl.next_batch()
+    assert batch["image"].shape == (4, 64, 64, 3)
+
+
+def test_imagenet_loader_both_sizes(imagenet_dir):
+    dl64 = get_imagenet_dataloader(4, seed=0, data_dir=imagenet_dir, resize=True)
+    assert dl64.next_batch()["image"].shape == (4, 64, 64, 3)
+    dl256 = get_imagenet_dataloader(4, seed=0, data_dir=imagenet_dir, resize=False)
+    b = dl256.next_batch()
+    assert b["image"].shape == (4, 256, 256, 3)
+    assert set(np.unique(b["label"])) <= {0, 1}
+
+
+def test_loader_deterministic_given_seed(cifar_dir):
+    a = get_cifar10_dataloader(8, seed=7, data_dir=cifar_dir).next_batch()
+    b = get_cifar10_dataloader(8, seed=7, data_dir=cifar_dir).next_batch()
+    np.testing.assert_array_equal(a["image"], b["image"])
+
+
+def test_loader_state_roundtrip(cifar_dir):
+    dl = get_cifar10_dataloader(8, seed=0, data_dir=cifar_dir)
+    dl.next_batch()
+    state = dl.get_state()
+    want = dl.next_batch()
+
+    dl2 = get_cifar10_dataloader(8, seed=123, data_dir=cifar_dir)
+    dl2.set_state(state)
+    got = dl2.next_batch()
+    np.testing.assert_array_equal(want["image"], got["image"])
+
+
+def test_loader_prefetch_iterator(cifar_dir):
+    dl = get_cifar10_dataloader(8, seed=0, data_dir=cifar_dir)
+    it = iter(dl)
+    batches = [next(it) for _ in range(3)]
+    assert all(b["image"].shape == (8, 32, 32, 3) for b in batches)

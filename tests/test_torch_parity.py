@@ -1,0 +1,152 @@
+"""Forward-pass parity vs the reference PyTorch implementation.
+
+Builds the reference models (imported from /root/reference, torch CPU) with
+random init, converts the state dict with duodiff_tpu.utils.torch_convert,
+and asserts our forward matches to fp32 tolerance. Skipped when the
+reference checkout is absent. This is the converter + model-topology golden
+test SURVEY.md §7 stage 10 calls for.
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REFERENCE = Path("/root/reference")
+pytestmark = pytest.mark.skipif(
+    not REFERENCE.exists(), reason="reference checkout not available"
+)
+
+if REFERENCE.exists():
+    sys.path.insert(0, str(REFERENCE))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from duodiff_tpu.config import UViTConfig  # noqa: E402
+from duodiff_tpu.models.early_exit import init_early_exit_uvit  # noqa: E402
+from duodiff_tpu.models.uvit import init_uvit  # noqa: E402
+from duodiff_tpu.utils.torch_convert import convert_torch_checkpoint  # noqa: E402
+
+CFG = dict(
+    img_size=16,
+    patch_size=2,
+    in_chans=3,
+    embed_dim=32,
+    depth=5,
+    num_heads=4,
+    mlp_ratio=4,
+    qkv_bias=False,
+    mlp_time_embed=True,
+    num_classes=-1,
+    normalize_timesteps=True,
+)
+
+
+def _save_ref_uvit(tmp_path, **overrides):
+    import torch
+    from models.uvit import UViT as RefUViT
+
+    kwargs = {**CFG, **overrides}
+    torch.manual_seed(0)
+    ref = RefUViT(**kwargs)
+    ref.eval()
+    path = tmp_path / "ref.pth"
+    torch.save(ref.state_dict(), path)
+    return ref, path, kwargs
+
+
+def test_uvit_forward_parity(tmp_path):
+    import torch
+
+    ref, path, kwargs = _save_ref_uvit(tmp_path)
+    cfg = UViTConfig(**{k: v for k, v in kwargs.items()})
+    model, params0 = init_uvit(cfg, jax.random.PRNGKey(0))
+    params = convert_torch_checkpoint(path, params0)
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 3, 16, 16).astype(np.float32)
+    t = np.array([17.0, 941.0], dtype=np.float32)
+
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x), torch.from_numpy(t)).numpy()
+
+    out = model.apply(
+        {"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(t)
+    )
+    out = np.asarray(out).transpose(0, 3, 1, 2)
+
+    err = np.abs(out - ref_out).max()
+    assert err < 2e-4, f"max abs err {err}"
+
+
+def test_uvit_class_conditional_parity(tmp_path):
+    import torch
+
+    ref, path, kwargs = _save_ref_uvit(
+        tmp_path, num_classes=11, normalize_timesteps=False, mlp_time_embed=False
+    )
+    cfg = UViTConfig(**{k: v for k, v in kwargs.items()})
+    model, params0 = init_uvit(cfg, jax.random.PRNGKey(0))
+    params = convert_torch_checkpoint(path, params0)
+
+    rng = np.random.RandomState(1)
+    x = rng.randn(2, 3, 16, 16).astype(np.float32)
+    t = np.array([3.0, 500.0], dtype=np.float32)
+    y = np.array([1, 9])
+
+    with torch.no_grad():
+        ref_out = ref(
+            torch.from_numpy(x), torch.from_numpy(t), torch.from_numpy(y)
+        ).numpy()
+    out = model.apply(
+        {"params": params},
+        jnp.asarray(x.transpose(0, 2, 3, 1)),
+        jnp.asarray(t),
+        jnp.asarray(y),
+    )
+    out = np.asarray(out).transpose(0, 3, 1, 2)
+    assert np.abs(out - ref_out).max() < 2e-4
+
+
+@pytest.mark.parametrize(
+    "classifier_type",
+    ["mlp_probe_per_layer", "attention_probe", "mlp_probe_per_timestep"],
+)
+def test_early_exit_forward_parity(tmp_path, classifier_type):
+    import torch
+    from models.early_exit import EarlyExitUViT as RefEE
+    from models.uvit import UViT as RefUViT
+
+    kwargs = {**CFG, "mlp_time_embed": False}
+    torch.manual_seed(0)
+    ref = RefEE(RefUViT(**kwargs), classifier_type=classifier_type)
+    ref.eval()
+    path = tmp_path / "ref_ee.pth"
+    torch.save(ref.state_dict(), path)
+
+    cfg = UViTConfig(**kwargs, classifier_type=classifier_type)
+    model, params0 = init_early_exit_uvit(cfg, jax.random.PRNGKey(0))
+    params = convert_torch_checkpoint(path, params0)
+
+    rng = np.random.RandomState(2)
+    x = rng.randn(2, 3, 16, 16).astype(np.float32)
+    # reference probes index by int(timesteps[0]) -> use a uniform batch t
+    t = np.array([123.0, 123.0], dtype=np.float32)
+
+    with torch.no_grad():
+        ref_bb, ref_u, ref_g = ref(torch.from_numpy(x), torch.from_numpy(t))
+        ref_u = torch.stack(ref_u).numpy()
+        ref_g = torch.stack(ref_g).numpy()
+        ref_bb = ref_bb.numpy()
+
+    bb, u, g = model.apply(
+        {"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(t)
+    )
+    bb = np.asarray(bb).transpose(0, 3, 1, 2)
+    g = np.asarray(g).transpose(0, 1, 4, 2, 3)
+
+    assert np.abs(bb - ref_bb).max() < 2e-4
+    assert np.abs(np.asarray(u) - ref_u).max() < 2e-4
+    assert np.abs(g - ref_g).max() < 2e-4

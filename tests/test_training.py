@@ -1,0 +1,227 @@
+"""Training-stack tests: losses (golden formulas), LR schedule, train step
+on an 8-device data-parallel mesh (coverage the single-device reference
+cannot have, SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from duodiff_tpu.config import UViTConfig
+from duodiff_tpu.diffusion import NoiseSchedule
+from duodiff_tpu.models.early_exit import init_early_exit_uvit
+from duodiff_tpu.models.uvit import init_uvit
+from duodiff_tpu.parallel import batch_sharding, create_mesh, shard_params
+from duodiff_tpu.training import (
+    cosine_schedule_with_warmup,
+    create_train_state,
+)
+from duodiff_tpu.training.losses import deediff_loss, total_deediff_loss, uvit_loss
+from duodiff_tpu.training.train_state import make_optimizer, make_train_step
+
+TINY = UViTConfig(
+    img_size=8, patch_size=2, in_chans=3, embed_dim=32, depth=3, num_heads=4,
+    mlp_ratio=4, num_classes=-1, normalize_timesteps=True,
+)
+
+
+def test_cosine_schedule_with_warmup():
+    sched = cosine_schedule_with_warmup(2e-4, 100, 1000)
+    assert float(sched(0)) == 0.0
+    np.testing.assert_allclose(float(sched(50)), 1e-4, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(100)), 2e-4, rtol=1e-6)
+    # midpoint of cosine: progress=0.5 -> 0.5 * base
+    np.testing.assert_allclose(float(sched(550)), 1e-4, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(1000)), 0.0, atol=1e-12)
+    # monotone decay after warmup
+    vals = [float(sched(s)) for s in range(100, 1001, 100)]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+
+def test_uvit_loss_parametrizations():
+    sched = NoiseSchedule.create()
+    rng = np.random.RandomState(0)
+    clean = jnp.asarray(rng.randn(2, 4, 4, 3), jnp.float32)
+    noisy = jnp.asarray(rng.randn(2, 4, 4, 3), jnp.float32)
+    noise = jnp.asarray(rng.randn(2, 4, 4, 3), jnp.float32)
+    pred = jnp.asarray(rng.randn(2, 4, 4, 3), jnp.float32)
+    ts = jnp.array([5, 700])
+
+    l_noise = uvit_loss(pred, parametrization="predict_noise", noise=noise,
+                        clean=clean, noisy=noisy, timesteps=ts, schedule=sched)
+    np.testing.assert_allclose(
+        float(l_noise), float(jnp.mean((pred - noise) ** 2)), rtol=1e-6
+    )
+    l_orig = uvit_loss(pred, parametrization="predict_original", noise=noise,
+                       clean=clean, noisy=noisy, timesteps=ts, schedule=sched)
+    np.testing.assert_allclose(
+        float(l_orig), float(jnp.mean((pred - clean) ** 2)), rtol=1e-6
+    )
+    target = sched.predict_previous_target(clean, noisy, ts)
+    l_prev = uvit_loss(pred, parametrization="predict_previous", noise=noise,
+                       clean=clean, noisy=noisy, timesteps=ts, schedule=sched)
+    np.testing.assert_allclose(
+        float(l_prev), float(jnp.mean((pred - target) ** 2)), rtol=1e-6
+    )
+
+
+def test_deediff_loss_golden():
+    """4-term DeeDiff loss against a straight numpy transcription of
+    reference trainer.py:358-405."""
+    rng = np.random.RandomState(1)
+    L, B, H, W, C = 3, 2, 4, 4, 3
+    backbone = rng.randn(B, H, W, C).astype(np.float32)
+    u = rng.rand(L, B).astype(np.float32)
+    g = rng.randn(L, B, H, W, C).astype(np.float32)
+    noise = rng.randn(B, H, W, C).astype(np.float32)
+
+    # numpy golden
+    l_simple = np.mean((backbone - noise) ** 2)
+    u_hat = np.tanh(np.abs(g - noise[None])).mean(axis=(-1, -2, -3))
+    l_u_t = np.sum((u - u_hat) ** 2)
+    l_n_t = ((g - noise[None]) ** 2).mean(axis=(-1, -2, -3))
+    l_ual = ((1 - u_hat) * l_n_t).mean(axis=1).sum()
+    unweighted = l_n_t.mean(axis=1).sum()
+
+    parts = deediff_loss(
+        jnp.asarray(backbone), jnp.asarray(u), jnp.asarray(g),
+        parametrization="predict_noise", noise=jnp.asarray(noise),
+        clean=jnp.zeros_like(jnp.asarray(noise)),
+    )
+    np.testing.assert_allclose(float(parts[0]), l_simple, rtol=1e-5)
+    np.testing.assert_allclose(float(parts[1]), l_u_t, rtol=1e-5)
+    np.testing.assert_allclose(float(parts[2]), l_ual, rtol=1e-5)
+    np.testing.assert_allclose(float(parts[3]), unweighted, rtol=1e-5)
+    total = total_deediff_loss(parts, use_unweighted_loss=True)
+    np.testing.assert_allclose(
+        float(total), l_simple + l_u_t + l_ual + unweighted, rtol=1e-5
+    )
+
+
+def _toy_batch(rng, b=8):
+    return {
+        "image": jnp.asarray(rng.randn(b, 8, 8, 3), jnp.float32),
+        "label": jnp.zeros((b,), jnp.int32),
+    }
+
+
+def test_train_step_reduces_loss():
+    model, params = init_uvit(TINY, jax.random.PRNGKey(0))
+    sched = NoiseSchedule.create(steps=100)
+    tx = make_optimizer(lr=1e-3, weight_decay=0.0, beta1=0.9, beta2=0.999,
+                        max_grad_norm=1.0, num_warmup_steps=0,
+                        num_training_steps=1000)
+    state = create_train_state(params, tx)
+    step = jax.jit(make_train_step(
+        lambda p, x, t, y: model.apply({"params": p}, x, t, y),
+        sched, model_kind="uvit", parametrization="predict_noise",
+    ))
+    rng = np.random.RandomState(0)
+    batch = _toy_batch(rng)
+    losses = []
+    for i in range(30):
+        state, metrics = step(state, batch, jax.random.PRNGKey(42))  # fixed key
+        losses.append(float(metrics["train_loss"]))
+    assert losses[-1] < losses[0] * 0.9, losses[:3] + losses[-3:]
+    assert int(state.step) == 30
+
+
+def test_train_step_deediff_runs_and_freezing_works():
+    import optax
+
+    cfg = UViTConfig(
+        img_size=8, patch_size=2, in_chans=3, embed_dim=32, depth=3, num_heads=4,
+        num_classes=-1, normalize_timesteps=True,
+        classifier_type="mlp_probe_per_layer",
+    )
+    model, params = init_early_exit_uvit(cfg, jax.random.PRNGKey(0))
+    sched = NoiseSchedule.create(steps=100)
+    inner = make_optimizer(lr=1e-3, weight_decay=0.0, beta1=0.9, beta2=0.999,
+                           max_grad_norm=1.0, num_warmup_steps=0,
+                           num_training_steps=100)
+
+    def label_fn(p):
+        return {
+            k: jax.tree_util.tree_map(
+                lambda _: "frozen" if k == "uvit" else "trainable", v
+            )
+            for k, v in p.items()
+        }
+
+    tx = optax.multi_transform(
+        {"trainable": inner, "frozen": optax.set_to_zero()}, label_fn
+    )
+    state = create_train_state(params, tx)
+    step = jax.jit(make_train_step(
+        lambda p, x, t, y: model.apply({"params": p}, x, t, y),
+        sched, model_kind="deediff_uvit", parametrization="predict_noise",
+    ))
+    rng = np.random.RandomState(0)
+    before_backbone = jax.tree_util.tree_leaves(state.params["uvit"])[0].copy()
+    before_probe = state.params["probes"]["classifier"]["kernel"].copy()
+    state, metrics = step(state, _toy_batch(rng), jax.random.PRNGKey(0))
+    for k in ["train_loss", "regular_train_loss", "classifier_train_loss",
+              "weighted_train_loss", "unweighted_loss"]:
+        assert np.isfinite(float(metrics[k])), k
+    after_backbone = jax.tree_util.tree_leaves(state.params["uvit"])[0]
+    np.testing.assert_array_equal(np.asarray(before_backbone), np.asarray(after_backbone))
+    assert not np.allclose(np.asarray(before_probe),
+                           np.asarray(state.params["probes"]["classifier"]["kernel"]))
+
+
+def test_train_step_sharded_over_mesh():
+    """Data-parallel train step over the virtual 8-device mesh."""
+    assert jax.device_count() == 8
+    mesh = create_mesh()
+    model, params = init_uvit(TINY, jax.random.PRNGKey(0))
+    params = jax.device_put(params, shard_params(params, mesh))
+    sched = NoiseSchedule.create(steps=100)
+    tx = make_optimizer(lr=1e-4, weight_decay=0.0, beta1=0.9, beta2=0.999,
+                        max_grad_norm=1.0, num_warmup_steps=0,
+                        num_training_steps=100)
+    state = create_train_state(params, tx)
+    step = jax.jit(make_train_step(
+        lambda p, x, t, y: model.apply({"params": p}, x, t, y),
+        sched, model_kind="uvit", parametrization="predict_noise",
+    ), donate_argnums=(0,))
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": jax.device_put(
+            rng.randn(16, 8, 8, 3).astype(np.float32), batch_sharding(mesh)
+        ),
+        "label": jax.device_put(
+            np.zeros((16,), np.int32), batch_sharding(mesh, ndim=1)
+        ),
+    }
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["train_loss"]))
+    # params stay replicated/sharded per the rules; step counter advanced
+    assert int(state.step) == 1
+
+
+def test_tp_mesh_train_step():
+    """2x4 data x model mesh: tensor-parallel kernels shard over 'model'."""
+    mesh = create_mesh(shape=(4, 2))
+    model, params = init_uvit(TINY, jax.random.PRNGKey(0))
+    shardings = shard_params(params, mesh)
+    # qkv kernel should actually shard over the model axis
+    qkv_spec = shardings["in_blocks_0"]["attn"]["qkv"]["kernel"].spec
+    assert qkv_spec == jax.sharding.PartitionSpec(None, "model")
+    params = jax.device_put(params, shardings)
+    sched = NoiseSchedule.create(steps=100)
+    tx = make_optimizer(lr=1e-4, weight_decay=0.0, beta1=0.9, beta2=0.999,
+                        max_grad_norm=1.0, num_warmup_steps=0,
+                        num_training_steps=100)
+    state = create_train_state(params, tx)
+    step = jax.jit(make_train_step(
+        lambda p, x, t, y: model.apply({"params": p}, x, t, y),
+        sched, model_kind="uvit", parametrization="predict_noise",
+    ))
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": jax.device_put(
+            rng.randn(8, 8, 8, 3).astype(np.float32), batch_sharding(mesh)
+        ),
+        "label": jax.device_put(np.zeros((8,), np.int32), batch_sharding(mesh, 1)),
+    }
+    state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["train_loss"]))
