@@ -12,8 +12,13 @@ def setup_compilation_cache():
     """Persistent XLA compilation cache — critical on remote-compile TPU
     backends where a cold compile of a deep 1000-step scan takes minutes;
     warm runs then start in seconds."""
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        backend = "unknown"
     cache_dir = os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR", str(Path.home() / ".cache" / "jax_duodiff")
+        "JAX_COMPILATION_CACHE_DIR",
+        str(Path.home() / ".cache" / f"jax_duodiff_{backend}"),
     )
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)

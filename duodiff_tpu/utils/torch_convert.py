@@ -235,3 +235,100 @@ def convert_torch_checkpoint(path, template: Any) -> Any:
         return c.astype(t.dtype)
 
     return jax.tree_util.tree_map(cast, converted, template)
+
+
+# ---------------------------------------------------------------------------
+# Frozen KL autoencoder (reference models/utils/autoencoder.py:203-516)
+# ---------------------------------------------------------------------------
+
+
+def _conv(sd, prefix) -> dict:
+    out = {"kernel": _conv_oihw_to_hwio(sd[f"{prefix}.weight"])}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = sd[f"{prefix}.bias"]
+    return out
+
+
+def _gn(sd, prefix) -> dict:
+    return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+
+def _resnet_block(sd, prefix) -> dict:
+    out = {
+        "norm1": _gn(sd, f"{prefix}.norm1"),
+        "conv1": _conv(sd, f"{prefix}.conv1"),
+        "norm2": _gn(sd, f"{prefix}.norm2"),
+        "conv2": _conv(sd, f"{prefix}.conv2"),
+    }
+    if f"{prefix}.nin_shortcut.weight" in sd:
+        out["nin_shortcut"] = _conv(sd, f"{prefix}.nin_shortcut")
+    return out
+
+
+def _attn_block(sd, prefix) -> dict:
+    return {
+        "norm": _gn(sd, f"{prefix}.norm"),
+        "q": _conv(sd, f"{prefix}.q"),
+        "k": _conv(sd, f"{prefix}.k"),
+        "v": _conv(sd, f"{prefix}.v"),
+        "proj_out": _conv(sd, f"{prefix}.proj_out"),
+    }
+
+
+def _coder(sd, side: str, is_encoder: bool) -> dict:
+    """encoder.down.{i}.block.{j} / decoder.up.{i}.block.{j} -> flat names."""
+    out = {
+        "conv_in": _conv(sd, f"{side}.conv_in"),
+        "mid_block_1": _resnet_block(sd, f"{side}.mid.block_1"),
+        "mid_attn_1": _attn_block(sd, f"{side}.mid.attn_1"),
+        "mid_block_2": _resnet_block(sd, f"{side}.mid.block_2"),
+        "norm_out": _gn(sd, f"{side}.norm_out"),
+        "conv_out": _conv(sd, f"{side}.conv_out"),
+    }
+    group = "down" if is_encoder else "up"
+    i = 0
+    while f"{side}.{group}.{i}.block.0.norm1.weight" in sd:
+        j = 0
+        while f"{side}.{group}.{i}.block.{j}.norm1.weight" in sd:
+            out[f"{group}_{i}_block_{j}"] = _resnet_block(
+                sd, f"{side}.{group}.{i}.block.{j}"
+            )
+            j += 1
+        if f"{side}.{group}.{i}.downsample.conv.weight" in sd:
+            out[f"{group}_{i}_downsample"] = {
+                "conv": _conv(sd, f"{side}.{group}.{i}.downsample.conv")
+            }
+        if f"{side}.{group}.{i}.upsample.conv.weight" in sd:
+            out[f"{group}_{i}_upsample"] = {
+                "conv": _conv(sd, f"{side}.{group}.{i}.upsample.conv")
+            }
+        i += 1
+    return out
+
+
+def convert_autoencoder_checkpoint(path, template: Any) -> Any:
+    """Reference FrozenAutoencoderKL .pth -> our param tree."""
+    import jax
+    import jax.numpy as jnp
+
+    sd = load_torch_state_dict(path)
+    converted = {
+        "encoder": _coder(sd, "encoder", is_encoder=True),
+        "decoder": _coder(sd, "decoder", is_encoder=False),
+        "quant_conv": _conv(sd, "quant_conv"),
+        "post_quant_conv": _conv(sd, "post_quant_conv"),
+    }
+    ts = jax.tree_util.tree_structure(template)
+    cs = jax.tree_util.tree_structure(converted)
+    if ts != cs:
+        raise ValueError(
+            f"converted autoencoder does not match model structure:\n{cs}\nvs\n{ts}"
+        )
+
+    def cast(c, t):
+        c = jnp.asarray(c)
+        if c.shape != t.shape:
+            raise ValueError(f"shape mismatch: {c.shape} vs {t.shape}")
+        return c.astype(t.dtype)
+
+    return jax.tree_util.tree_map(cast, converted, template)
