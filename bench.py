@@ -8,9 +8,12 @@ demos/scatter_plots.ipynb (BASELINE.md); the CelebA-64 dense-model operating
 point is 1.92 s/image on an (unstated, assumed A100-class) GPU
 => 0.5208 samples/sec. vs_baseline is our samples/sec/chip divided by that.
 
-The full 1000-step reverse process runs as one jitted on-device lax.scan
-(bf16 U-ViT forward per step); we time the second (cache-warm) invocation.
-Batch size is chosen to saturate the MXU (override with BENCH_BATCH).
+The 1000-step reverse process runs as chunked on-device lax.scans (one
+compiled 100-step scan with a dynamic timestep vector, invoked 10x — bounded
+compile time on remote-compile TPU backends, bit-identical results) with the
+bf16 U-ViT forward using the Pallas VMEM-resident attention kernel.
+Overridables: BENCH_BATCH, BENCH_STEPS, BENCH_CHUNK, BENCH_ATTN(xla|pallas),
+BENCH_REPS.
 """
 
 import json
@@ -28,50 +31,55 @@ def main():
     import jax.numpy as jnp
 
     from duodiff_tpu.config import UViTConfig
-    from duodiff_tpu.diffusion import NoiseSchedule, ddpm_sample
+    from duodiff_tpu.diffusion import NoiseSchedule
+    from duodiff_tpu.diffusion.sampling import make_chunked_ddpm_sampler
     from duodiff_tpu.models.uvit import init_uvit
 
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     steps = int(os.environ.get("BENCH_STEPS", "1000"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "100"))
+    attn = os.environ.get(
+        "BENCH_ATTN", "pallas" if jax.default_backend() == "tpu" else "xla"
+    )
 
     cfg = UViTConfig(
         img_size=64, patch_size=4, in_chans=3, embed_dim=512, depth=13,
         num_heads=8, mlp_ratio=4, qkv_bias=False, mlp_time_embed=False,
         num_classes=-1, normalize_timesteps=True,
     )
-    model, params = init_uvit(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
+    model, params = init_uvit(
+        cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16, attn_impl=attn
+    )
     schedule = NoiseSchedule.create(steps=steps)
     shape = (batch, 64, 64, 3)
 
-    def apply_fn(x, t, y):
-        return model.apply({"params": params}, x, t, y)
-
-    @jax.jit
-    def run(key):
-        x, _ = ddpm_sample(
-            apply_fn, key, schedule=schedule, shape=shape,
-            parametrization="predict_noise",
-        )
-        return x
+    sample = make_chunked_ddpm_sampler(
+        lambda x, t, y: model.apply({"params": params}, x, t, y),
+        schedule,
+        parametrization="predict_noise",
+        chunk=chunk,
+    )
 
     print(
-        f"bench: compiling {steps}-step scan, batch {batch}, "
-        f"backend {jax.default_backend()}...",
+        f"bench: {steps}-step DDPM in {chunk}-step chunks, batch {batch}, "
+        f"attn={attn}, backend {jax.default_backend()}...",
         file=sys.stderr,
     )
     t0 = time.time()
-    jax.block_until_ready(run(jax.random.PRNGKey(0)))
+    jax.block_until_ready(sample(jax.random.PRNGKey(0), shape))
     print(f"bench: compile+first run {time.time() - t0:.1f}s", file=sys.stderr)
 
     n_timed = int(os.environ.get("BENCH_REPS", "2"))
     t0 = time.time()
     for i in range(n_timed):
-        x = jax.block_until_ready(run(jax.random.PRNGKey(1 + i)))
+        x = jax.block_until_ready(sample(jax.random.PRNGKey(1 + i), shape))
     elapsed = (time.time() - t0) / n_timed
     assert bool(jnp.all(jnp.isfinite(x))), "non-finite samples"
 
     n_chips = jax.device_count()
     samples_per_sec_per_chip = batch / elapsed / n_chips
+    # normalize to the 1000-step headline when BENCH_STEPS overrides
+    samples_per_sec_per_chip *= steps / 1000.0
     baseline = 1.0 / 1.92  # s/image from BASELINE.md CelebA dense point
 
     print(json.dumps({

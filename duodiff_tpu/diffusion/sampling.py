@@ -35,28 +35,25 @@ def _step_noise(key: jax.Array, t: jax.Array, shape) -> jax.Array:
     return jnp.where(t > 0, z, jnp.zeros_like(z))
 
 
-def _ddpm_segment(
+def ddpm_scan(
     apply_fn: Callable,
     schedule: NoiseSchedule,
     parametrization: str,
     x: jax.Array,
     key: jax.Array,
-    t_start: int,
-    t_end: int,
-    y: Optional[jax.Array],
+    ts: jax.Array,
+    y: Optional[jax.Array] = None,
     variance_mode: str = "beta_tilde",
 ):
-    """Scan the ancestral DDPM update for t = t_start down to t_end (inclusive).
+    """Scan the ancestral DDPM update over a (dynamic) descending timestep
+    vector ``ts``. The scan body — model forward + elementwise posterior
+    update — compiles to one XLA while-loop body resident on device.
 
-    Returns (x, key) after the segment. The whole segment is one lax.scan; the
-    model forward + elementwise posterior update compile to a single XLA
-    while-loop body resident on device.
+    ``ts`` is a traced argument, so one compiled program serves any
+    contiguous segment of a given length (used by the chunked drivers to
+    bound compile time on remote-compile TPU backends).
     """
-    num = t_start - t_end + 1
-    if num <= 0:
-        return x, key
     batch = x.shape[0]
-    ts = jnp.arange(t_start, t_end - 1, -1)
 
     def body(carry, t):
         x, key = carry
@@ -69,6 +66,80 @@ def _ddpm_segment(
 
     (x, key), _ = jax.lax.scan(body, (x, key), ts)
     return x, key
+
+
+def _ddpm_segment(
+    apply_fn: Callable,
+    schedule: NoiseSchedule,
+    parametrization: str,
+    x: jax.Array,
+    key: jax.Array,
+    t_start: int,
+    t_end: int,
+    y: Optional[jax.Array],
+    variance_mode: str = "beta_tilde",
+):
+    """Static-bounds wrapper over :func:`ddpm_scan` for t_start..t_end incl."""
+    num = t_start - t_end + 1
+    if num <= 0:
+        return x, key
+    ts = jnp.arange(t_start, t_end - 1, -1)
+    return ddpm_scan(
+        apply_fn, schedule, parametrization, x, key, ts, y, variance_mode
+    )
+
+
+def make_chunked_ddpm_sampler(
+    apply_fn: Callable,
+    schedule: NoiseSchedule,
+    *,
+    parametrization: str = "predict_noise",
+    variance_mode: str = "beta_tilde",
+    chunk: int = 100,
+):
+    """Build a host-chunked DDPM sampler: ONE jitted ``chunk``-step scan with
+    the timestep vector as a dynamic argument, invoked T/chunk times.
+
+    Rationale: on TPU backends XLA compile time grows with scan trip count
+    (a cold 1000-step U-ViT scan can take tens of minutes / time out on
+    remote-compile setups), while a 100-step scan compiles in ~2 minutes and
+    is bit-identical in results. Host dispatch between chunks costs
+    microseconds against ~seconds of device work per chunk.
+
+    Returns sample(key, shape, y=None, x_init=None) -> x.
+    """
+
+    @jax.jit
+    def run_chunk(x, key, ts, y):
+        return ddpm_scan(
+            apply_fn, schedule, parametrization, x, key, ts, y, variance_mode
+        )
+
+    def sample(key, shape, y=None, x_init=None, t_start=None, t_end=0):
+        import numpy as np
+
+        steps = schedule.steps
+        t_start = steps - 1 if t_start is None else t_start
+        key, init_key = jax.random.split(key)
+        x = x_init if x_init is not None else jax.random.normal(
+            init_key, tuple(shape), dtype=jnp.float32
+        )
+        all_ts = np.arange(t_start, t_end - 1, -1)
+        n_full = len(all_ts) // chunk
+        rem = len(all_ts) - n_full * chunk
+        idx = 0
+        if rem:  # leading (shorter) remainder compiles once at its own length
+            x, key = _ddpm_segment(
+                apply_fn, schedule, parametrization, x, key,
+                int(all_ts[0]), int(all_ts[rem - 1]), y, variance_mode,
+            )
+            idx = rem
+        for i in range(n_full):
+            ts = jnp.asarray(all_ts[idx + i * chunk : idx + (i + 1) * chunk])
+            x, key = run_chunk(x, key, ts, y)
+        return x
+
+    return sample
 
 
 def ddpm_sample(
@@ -319,3 +390,47 @@ def early_exit_sample(
     error_prediction_by_timestep = err_rows[::-1]
     indices_by_timestep = idx_rows[::-1]
     return x, error_prediction_by_timestep, indices_by_timestep
+
+
+def early_exit_select(
+    lambda_threshold: float,
+    model_output,
+    earliest_exit_index: int,
+):
+    """Legacy DeeDiff gating rule (reference ddpm_core.py:7-52), vectorized.
+
+    Reference semantics: with probe values u (depth, B, ...) averaged over
+    non-batch dims and per-layer outputs g (depth, B, H, W, C), pick for each
+    sample the first layer where ``1 - mean(u_i) > lambda``, clamped to
+    ``earliest_exit_index``; if no layer qualifies, fall back to the backbone
+    prediction and report exit layer ``depth`` as a sentinel. The reference
+    gathers with a host-side Python loop over the batch; here it is one
+    take_along_axis.
+
+    Args:
+      model_output: (predicted_noise (B, ...), u (depth, B) or
+        (B, depth, ...), g (depth, B, H, W, C)).
+    Returns:
+      (selected (B, H, W, C), exit_layers (B,) int32 with depth == no exit).
+    """
+    predicted_noise, u, g = model_output
+    u = jnp.asarray(u)
+    if u.ndim > 2:  # (B, depth, ...) layout of the legacy path
+        u = jnp.moveaxis(u.mean(axis=tuple(range(2, u.ndim))), 0, 1)
+    depth = u.shape[0]
+    batch = u.shape[1]
+
+    condition = (1.0 - u) > lambda_threshold  # (depth, B)
+    layer_ids = jnp.arange(depth)[:, None]
+    masked = jnp.where(condition, layer_ids, depth)
+    first_true = jnp.min(masked, axis=0)  # (B,)
+    adjusted = jnp.maximum(first_true, earliest_exit_index)
+    never_met = first_true >= depth
+
+    stacked = jnp.concatenate([g, predicted_noise[None]], axis=0)
+    gather_idx = jnp.where(never_met, depth, adjusted)
+    selected = jnp.take_along_axis(
+        stacked, gather_idx[None, :, None, None, None], axis=0
+    )[0]
+    exit_layers = jnp.where(never_met, depth, adjusted).astype(jnp.int32)
+    return selected, exit_layers

@@ -13,8 +13,6 @@ cast and keeps bf16 sample quality (SURVEY.md §7 "bf16 numerics").
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
@@ -43,32 +41,20 @@ def xla_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
     return out.astype(jnp.float32)
 
 
-@functools.lru_cache(maxsize=1)
-def _pallas_available() -> bool:
-    try:
-        import jax.experimental.pallas  # noqa: F401
-
-        return jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover - import guard
-        return False
-
-
 def multi_head_attention(
     q: jax.Array, k: jax.Array, v: jax.Array, *, impl: str = "auto"
 ) -> jax.Array:
     """Dispatch between the Pallas TPU kernel and the XLA fallback.
 
-    impl: "auto" (Pallas on TPU when shapes allow, else XLA), "xla", "pallas".
+    impl:
+      - "xla" / "auto": plain XLA. "auto" is XLA because it is safe under
+        jax.grad (the Pallas kernel is forward-only; training needs the XLA
+        path's fused backward).
+      - "pallas": the single-pass VMEM-resident kernel — inference/sampling
+        opt-in on TPU (duodiff_tpu/ops/pallas_attention.py).
     """
-    if impl == "xla":
-        return xla_attention(q, k, v)
-    if impl in ("auto", "pallas"):
-        if impl == "pallas" or _pallas_available():
-            try:
-                from duodiff_tpu.ops.pallas_attention import flash_attention
+    if impl == "pallas":
+        from duodiff_tpu.ops.pallas_attention import flash_attention
 
-                return flash_attention(q, k, v)
-            except ImportError:
-                if impl == "pallas":
-                    raise
+        return flash_attention(q, k, v)
     return xla_attention(q, k, v)

@@ -241,7 +241,17 @@ class Trainer:
 
         logs = []
         t_last = time.time()
+        profiler_active = False
         for step in range(self.start_step + 1, args.n_steps + 1):
+            if getattr(args, "profile", False):
+                if step == self.start_step + 3 and not profiler_active:
+                    jax.profiler.start_trace(str(self.log_path / "profile"))
+                    profiler_active = True
+                elif step == self.start_step + 9 and profiler_active:
+                    jax.block_until_ready(self.state.params)
+                    jax.profiler.stop_trace()
+                    profiler_active = False
+                    print(f"profile trace written to {self.log_path / 'profile'}")
             batch = self.dataloader.next_batch()
             device_batch = {
                 "image": jax.device_put(batch["image"], bshard),

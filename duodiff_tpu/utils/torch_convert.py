@@ -146,6 +146,38 @@ def convert_early_exit_uvit(sd: Dict[str, np.ndarray]) -> dict:
     depth = len(heads)
 
     # ---- probes ----
+    # Legacy OldEarlyExitUViT layout (reference models/early_exit.py:83-145):
+    # separate in/mid/out classifier ModuleLists instead of the matrix dict.
+    if "in_blocks_classifiers.0.classifier.0.weight" in sd or \
+       "in_blocks_classifiers.0.q" in sd:
+        names = (
+            [f"in_blocks_classifiers.{i}" for i in range(n_in)]
+            + ["mid_block_classifier"]
+            + [f"out_blocks_classifiers.{i}" for i in range(n_out)]
+        )
+        if f"{names[0]}.q" in sd:  # attention probes
+            probes = [
+                {
+                    "q": sd[f"{n}.q"],
+                    "weight_kv": _linear(sd, f"{n}.weight_kv"),
+                    "cls_fc1": _linear(sd, f"{n}.classification.0"),
+                    "cls_fc2": _linear(sd, f"{n}.classification.2"),
+                }
+                for n in names
+            ]
+        else:  # per-layer MLP probes
+            probes = [
+                {
+                    "classifier": {
+                        "kernel": sd[f"{n}.classifier.0.weight"].T,
+                        "bias": sd[f"{n}.classifier.0.bias"],
+                    }
+                }
+                for n in names
+            ]
+        params["probes"] = _stack(probes)
+        return params
+
     import re
 
     n_plain_mlp = len(

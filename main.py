@@ -81,6 +81,11 @@ def get_args(argv=None):
     parser.add_argument("--mlp_time_embed", action="store_true", default=False)
     parser.add_argument("--num_classes", type=int, default=-1)
 
+    # Profiling (no reference equivalent; SURVEY.md §5)
+    parser.add_argument("--profile", action="store_true", default=False,
+                        help="Capture a jax.profiler device trace of steps "
+                             "3-8 into <log_path>/<exp_name>/profile")
+
     # Dataset
     parser.add_argument("--dataset", type=str, default="cifar10",
                         choices=["cifar10", "celeba", "imagenet64", "imagenet256"])

@@ -173,3 +173,42 @@ def test_ddpm_sample_jits():
 
     x = run(jax.random.PRNGKey(0))
     assert x.shape == SHAPE
+
+
+def test_early_exit_select_legacy_gate():
+    """Legacy lambda-threshold gate (reference ddpm_core.py:7-52):
+    first layer where 1 - u > lambda, clamped to earliest_exit_index,
+    backbone fallback with sentinel depth."""
+    from duodiff_tpu.diffusion.sampling import early_exit_select
+
+    depth, b = 4, 3
+    backbone = jnp.full((b, 2, 2, 3), 99.0)
+    g = jnp.stack([jnp.full((b, 2, 2, 3), float(i)) for i in range(depth)])
+    # sample 0: exits at layer 0 (u=0.1 -> 1-u=0.9 > 0.5) but clamped to 1
+    # sample 1: first qualifying layer is 2
+    # sample 2: never qualifies -> backbone, exit sentinel = depth
+    u = jnp.asarray([
+        [0.1, 0.9, 0.9],
+        [0.1, 0.9, 0.9],
+        [0.1, 0.1, 0.9],
+        [0.1, 0.1, 0.9],
+    ])  # (depth, B)
+    sel, exits = early_exit_select(0.5, (backbone, u, g), earliest_exit_index=1)
+    assert exits.tolist() == [1, 2, depth]
+    assert float(sel[0, 0, 0, 0]) == 1.0
+    assert float(sel[1, 0, 0, 0]) == 2.0
+    assert float(sel[2, 0, 0, 0]) == 99.0
+
+
+def test_chunked_sampler_matches_single_scan():
+    """The chunked driver must be bit-identical to the one-scan sampler
+    (same key-split sequence)."""
+    from duodiff_tpu.diffusion.sampling import make_chunked_ddpm_sampler
+
+    sched = NoiseSchedule.create(steps=20)
+    f = stub_model(0.1)
+    key = jax.random.PRNGKey(3)
+    sample = make_chunked_ddpm_sampler(f, sched, chunk=7)
+    x_chunked = sample(key, SHAPE)
+    x_one, _ = ddpm_sample(f, key, schedule=sched, shape=SHAPE)
+    np.testing.assert_array_equal(np.asarray(x_chunked), np.asarray(x_one))

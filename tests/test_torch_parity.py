@@ -150,3 +150,32 @@ def test_early_exit_forward_parity(tmp_path, classifier_type):
     assert np.abs(bb - ref_bb).max() < 2e-4
     assert np.abs(np.asarray(u) - ref_u).max() < 2e-4
     assert np.abs(g - ref_g).max() < 2e-4
+
+
+def test_old_early_exit_checkpoint_converts(tmp_path):
+    """Legacy OldEarlyExitUViT checkpoints (reference models/early_exit.py:83-190)
+    load through the converter onto the stacked layout."""
+    import torch
+    from models.early_exit import OldEarlyExitUViT as RefOld
+    from models.uvit import UViT as RefUViT
+
+    kwargs = {**CFG, "mlp_time_embed": False}
+    torch.manual_seed(0)
+    ref = RefOld(RefUViT(**kwargs), classifier_type="mlp_probe")
+    path = tmp_path / "old_ee.pth"
+    torch.save(ref.state_dict(), path)
+
+    cfg = UViTConfig(**kwargs, classifier_type="mlp_probe_per_layer")
+    model, params0 = init_early_exit_uvit(cfg, jax.random.PRNGKey(0))
+    params = convert_torch_checkpoint(path, params0)
+    # probe stack order: in..., mid, out... -> row 0 must equal the torch
+    # in_blocks_classifiers.0 weights
+    w0 = ref.in_blocks_classifiers[0].classifier[0].weight.detach().numpy().T
+    np.testing.assert_allclose(
+        np.asarray(params["probes"]["classifier"]["kernel"][0]), w0, rtol=1e-6
+    )
+    wm = ref.mid_block_classifier.classifier[0].weight.detach().numpy().T
+    np.testing.assert_allclose(
+        np.asarray(params["probes"]["classifier"]["kernel"][kwargs["depth"] // 2]),
+        wm, rtol=1e-6,
+    )
