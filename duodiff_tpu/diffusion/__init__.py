@@ -1,9 +1,13 @@
 from duodiff_tpu.diffusion.schedule import NoiseSchedule
 from duodiff_tpu.diffusion.sampling import (
+    ChunkedDDPMSampler,
+    ChunkedEarlyExitSampler,
     ddim_sample,
     ddpm_sample,
     duodiff_sample,
     early_exit_sample,
+    early_exit_select,
+    make_chunked_ddpm_sampler,
 )
 
 __all__ = [
@@ -12,4 +16,8 @@ __all__ = [
     "ddim_sample",
     "duodiff_sample",
     "early_exit_sample",
+    "early_exit_select",
+    "ChunkedDDPMSampler",
+    "ChunkedEarlyExitSampler",
+    "make_chunked_ddpm_sampler",
 ]

@@ -89,6 +89,72 @@ def _ddpm_segment(
     )
 
 
+class ChunkedDDPMSampler:
+    """Host-chunked DDPM sampler: ONE jitted ``chunk``-step scan with the
+    timestep vector as a dynamic argument, invoked T/chunk times.
+
+    Rationale: on TPU backends XLA compile time grows with scan trip count
+    (a cold 1000-step U-ViT scan can take tens of minutes / time out on
+    remote-compile setups), while a 100-step scan compiles in ~2-5 minutes
+    and is bit-identical in results (tested). Host dispatch between chunks
+    costs microseconds against ~seconds of device work per chunk.
+
+    ``run(x, key, t_start, t_end, y)`` advances an explicit carry so callers
+    can compose segments (DuoDiff handoff, intermediate saves) across
+    differently-parameterized samplers.
+    """
+
+    def __init__(
+        self,
+        apply_fn: Callable,
+        schedule: NoiseSchedule,
+        *,
+        parametrization: str = "predict_noise",
+        variance_mode: str = "beta_tilde",
+        chunk: int = 100,
+    ):
+        self.schedule = schedule
+        self.chunk = chunk
+
+        def run_chunk(x, key, ts, y):
+            return ddpm_scan(
+                apply_fn, schedule, parametrization, x, key, ts, y, variance_mode
+            )
+
+        self._run_chunk = jax.jit(run_chunk)
+
+    def init(self, key, shape):
+        key, init_key = jax.random.split(key)
+        x = jax.random.normal(init_key, tuple(shape), dtype=jnp.float32)
+        return x, key
+
+    def run(self, x, key, t_start: int, t_end: int = 0, y=None):
+        """Advance t = t_start down to t_end (inclusive). Returns (x, key)."""
+        import numpy as np
+
+        all_ts = np.arange(t_start, t_end - 1, -1)
+        if len(all_ts) == 0:
+            return x, key
+        n_full = len(all_ts) // self.chunk
+        rem = len(all_ts) - n_full * self.chunk
+        idx = 0
+        if rem:  # leading (shorter) remainder compiles once at its own length
+            x, key = self._run_chunk(
+                x, key, jnp.asarray(all_ts[:rem]), y
+            )
+            idx = rem
+        for i in range(n_full):
+            ts = jnp.asarray(all_ts[idx + i * self.chunk : idx + (i + 1) * self.chunk])
+            x, key = self._run_chunk(x, key, ts, y)
+        return x, key
+
+    def sample(self, key, shape, y=None, t_start=None, t_end: int = 0):
+        t_start = self.schedule.steps - 1 if t_start is None else t_start
+        x, key = self.init(key, shape)
+        x, _ = self.run(x, key, t_start, t_end, y)
+        return x
+
+
 def make_chunked_ddpm_sampler(
     apply_fn: Callable,
     schedule: NoiseSchedule,
@@ -97,49 +163,81 @@ def make_chunked_ddpm_sampler(
     variance_mode: str = "beta_tilde",
     chunk: int = 100,
 ):
-    """Build a host-chunked DDPM sampler: ONE jitted ``chunk``-step scan with
-    the timestep vector as a dynamic argument, invoked T/chunk times.
+    """Convenience: ChunkedDDPMSampler(...).sample as a callable."""
+    sampler = ChunkedDDPMSampler(
+        apply_fn,
+        schedule,
+        parametrization=parametrization,
+        variance_mode=variance_mode,
+        chunk=chunk,
+    )
+    return sampler.sample
 
-    Rationale: on TPU backends XLA compile time grows with scan trip count
-    (a cold 1000-step U-ViT scan can take tens of minutes / time out on
-    remote-compile setups), while a 100-step scan compiles in ~2 minutes and
-    is bit-identical in results. Host dispatch between chunks costs
-    microseconds against ~seconds of device work per chunk.
 
-    Returns sample(key, shape, y=None, x_init=None) -> x.
-    """
+def ee_scan(
+    apply_fn: Callable,
+    schedule: NoiseSchedule,
+    threshold: float,
+    x: jax.Array,
+    key: jax.Array,
+    ts: jax.Array,
+    y: Optional[jax.Array] = None,
+):
+    """Early-exit scan body over a dynamic timestep vector (chunkable twin
+    of :func:`early_exit_sample`'s loop). Returns (x, key, err_rows, idx_rows)
+    with rows ordered along ``ts``."""
+    batch = x.shape[0]
 
-    @jax.jit
-    def run_chunk(x, key, ts, y):
-        return ddpm_scan(
-            apply_fn, schedule, parametrization, x, key, ts, y, variance_mode
-        )
+    def body(carry, t):
+        x, key = carry
+        key, zkey = jax.random.split(key)
+        t_batch = jnp.full((batch,), t, dtype=jnp.float32)
+        backbone_out, u, g = apply_fn(x, t_batch, y)
+        outputs = jnp.concatenate([g, backbone_out[None]], axis=0)
+        probes = jnp.concatenate([u, jnp.zeros((1, batch), u.dtype)], axis=0)
+        indices = jnp.argmax((probes <= threshold).astype(jnp.int32), axis=0)
+        sel = jnp.take_along_axis(
+            outputs, indices[None, :, None, None, None], axis=0
+        )[0]
+        z = _step_noise(zkey, t, x.shape)
+        x = schedule.step_predict_noise(sel, x, t, z)
+        return (x, key), (jnp.mean(probes[:-1], axis=1), indices)
 
-    def sample(key, shape, y=None, x_init=None, t_start=None, t_end=0):
+    (x, key), (err_rows, idx_rows) = jax.lax.scan(body, (x, key), ts)
+    return x, key, err_rows, idx_rows
+
+
+class ChunkedEarlyExitSampler:
+    """Chunked twin of :func:`early_exit_sample` (same rationale as
+    ChunkedDDPMSampler). Produces the same exit diagnostics: per-timestep
+    mean probe error (T, depth) and exit indices (T, B), indexed by t."""
+
+    def __init__(self, apply_fn, schedule, threshold: float, chunk: int = 100):
+        self.schedule = schedule
+        self.chunk = chunk
+
+        def run_chunk(x, key, ts, y):
+            return ee_scan(apply_fn, schedule, threshold, x, key, ts, y)
+
+        self._run_chunk = jax.jit(run_chunk)
+
+    def sample(self, key, shape, y=None):
         import numpy as np
 
-        steps = schedule.steps
-        t_start = steps - 1 if t_start is None else t_start
+        steps = self.schedule.steps
         key, init_key = jax.random.split(key)
-        x = x_init if x_init is not None else jax.random.normal(
-            init_key, tuple(shape), dtype=jnp.float32
-        )
-        all_ts = np.arange(t_start, t_end - 1, -1)
-        n_full = len(all_ts) // chunk
-        rem = len(all_ts) - n_full * chunk
-        idx = 0
-        if rem:  # leading (shorter) remainder compiles once at its own length
-            x, key = _ddpm_segment(
-                apply_fn, schedule, parametrization, x, key,
-                int(all_ts[0]), int(all_ts[rem - 1]), y, variance_mode,
-            )
-            idx = rem
-        for i in range(n_full):
-            ts = jnp.asarray(all_ts[idx + i * chunk : idx + (i + 1) * chunk])
-            x, key = run_chunk(x, key, ts, y)
-        return x
-
-    return sample
+        x = jax.random.normal(init_key, tuple(shape), dtype=jnp.float32)
+        all_ts = np.arange(steps - 1, -1, -1)
+        errs, idxs = [], []
+        for i in range(0, len(all_ts), self.chunk):
+            ts = jnp.asarray(all_ts[i : i + self.chunk])
+            x, key, err_rows, idx_rows = self._run_chunk(x, key, ts, y)
+            errs.append(np.asarray(err_rows))
+            idxs.append(np.asarray(idx_rows))
+        err_by_iter = np.concatenate(errs, axis=0)
+        idx_by_iter = np.concatenate(idxs, axis=0)
+        # rows are ordered t = T-1 .. 0; reference logs indexed by t ascending
+        return x, err_by_iter[::-1].copy(), idx_by_iter[::-1].copy()
 
 
 def ddpm_sample(
@@ -364,32 +462,12 @@ def early_exit_sample(
     x = x_init if x_init is not None else jax.random.normal(
         init_key, tuple(shape), dtype=jnp.float32
     )
-    batch = x.shape[0]
     ts = jnp.arange(steps - 1, -1, -1)
-
-    def body(carry, t):
-        x, key = carry
-        key, zkey = jax.random.split(key)
-        t_batch = jnp.full((batch,), t, dtype=jnp.float32)
-        backbone_out, u, g = apply_fn(x, t_batch, y)
-        # stack heads + backbone: (depth+1, B, ...) / probe rows + zeros row
-        outputs = jnp.concatenate([g, backbone_out[None]], axis=0)
-        probes = jnp.concatenate([u, jnp.zeros((1, batch), u.dtype)], axis=0)
-        indices = jnp.argmax((probes <= threshold).astype(jnp.int32), axis=0)  # (B,)
-        sel = jnp.take_along_axis(
-            outputs, indices[None, :, None, None, None], axis=0
-        )[0]
-        z = _step_noise(zkey, t, x.shape)
-        x = schedule.step_predict_noise(sel, x, t, z)
-        # logging rows (reference eesampler.py:70-72)
-        err_row = jnp.mean(probes[:-1], axis=1)  # (depth,)
-        return (x, key), (err_row, indices)
-
-    (x, key), (err_rows, idx_rows) = jax.lax.scan(body, (x, key), ts)
+    x, key, err_rows, idx_rows = ee_scan(
+        apply_fn, schedule, threshold, x, key, ts, y
+    )
     # scan emits rows for t = T-1 .. 0; reference logs indexed by t ascending.
-    error_prediction_by_timestep = err_rows[::-1]
-    indices_by_timestep = idx_rows[::-1]
-    return x, error_prediction_by_timestep, indices_by_timestep
+    return x, err_rows[::-1], idx_rows[::-1]
 
 
 def early_exit_select(

@@ -303,40 +303,41 @@ class Trainer:
         ddpm_core.py default)."""
         args = self.args
         if self._sample_fn is None:
+            from duodiff_tpu.diffusion import ChunkedDDPMSampler
+
             model = self.model
             is_ee = args.model == "deediff_uvit"
-            shape = (
-                args.n_samples,
-                args.sample_height,
-                args.sample_width,
-                self.model_config.in_chans,
-            )
 
-            def apply_fn(params, x, t, y):
-                out = model.apply({"params": params}, x, t, y)
+            # The sampler threads ``y`` opaquely to apply_fn, so we bundle
+            # (labels, params) through it — params must be a traced argument
+            # of the jitted chunk, NOT a closure capture (a capture would be
+            # baked in at first trace and later log steps would sample from
+            # stale weights).
+            def apply_fn(x, t, bundle):
+                labels, params = bundle
+                out = model.apply({"params": params}, x, t, labels)
                 return out[0] if is_ee else out
 
-            def sample(params, key, y):
-                x, _ = ddpm_sample(
-                    lambda x, t, yy: apply_fn(params, x, t, yy),
-                    key,
-                    schedule=self.schedule,
-                    shape=shape,
-                    parametrization="predict_noise",
-                    y=y,
-                    variance_mode="beta",
-                )
-                return x
+            self._sample_fn = ChunkedDDPMSampler(
+                apply_fn,
+                self.schedule,
+                parametrization="predict_noise",
+                variance_mode="beta",
+            )
 
-            self._sample_fn = jax.jit(sample)
-
+        shape = (
+            args.n_samples,
+            args.sample_height,
+            args.sample_width,
+            self.model_config.in_chans,
+        )
         key = jax.random.PRNGKey(args.sample_seed)
         y = None
         if self.has_labels and self.model_config.num_classes > 0:
             y = jax.random.randint(
                 key, (args.n_samples,), 0, self.model_config.num_classes
             )
-        x = self._sample_fn(self.state.params, key, y)
+        x = self._sample_fn.sample(key, shape, y=(y, self.state.params))
         samples = np.asarray((x + 1.0) / 2.0)
         self.logger.log_image(step, "Samples", make_grid(samples))
 

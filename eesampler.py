@@ -39,7 +39,7 @@ def main(argv=None):
 
     import jax
 
-    from duodiff_tpu.diffusion import NoiseSchedule, early_exit_sample
+    from duodiff_tpu.diffusion import ChunkedEarlyExitSampler, NoiseSchedule
     from duodiff_tpu.utils.image import save_samples
     from duodiff_tpu.utils.model_loading import load_model_from_config
 
@@ -74,17 +74,15 @@ def main(argv=None):
     def apply_fn(x, t, yy):
         return model.apply({"params": params}, x, t, yy)
 
-    @jax.jit
-    def run(key, y):
-        return early_exit_sample(
-            apply_fn, key, schedule=schedule, shape=shape,
-            threshold=args.threshold, y=y,
-        )
+    sampler = ChunkedEarlyExitSampler(
+        apply_fn, schedule, threshold=args.threshold
+    )
 
     print(f"Early-exit sampling {args.batch_size} images "
           f"(threshold={args.threshold})...")
     tic = time.time()
-    x, err_by_t, idx_by_t = jax.block_until_ready(run(key, y))
+    x, err_by_t, idx_by_t = sampler.sample(key, shape, y=y)
+    x = jax.block_until_ready(x)
     elapsed = time.time() - tic
 
     if decode_fn is not None:

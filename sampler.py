@@ -55,7 +55,7 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    from duodiff_tpu.diffusion import NoiseSchedule, ddim_sample, ddpm_sample, duodiff_sample
+    from duodiff_tpu.diffusion import ChunkedDDPMSampler, NoiseSchedule, ddim_sample
     from duodiff_tpu.utils.image import save_samples
     from duodiff_tpu.utils.model_loading import load_model_from_config
 
@@ -105,34 +105,65 @@ def main(argv=None):
         return late_model.apply({"params": late_params}, x, t, yy)
 
     timesteps_save = tuple(args.timesteps_save)
+    steps = schedule.steps
 
-    @jax.jit
-    def run(key, y):
-        if args.use_ddim:
-            x, inter = ddim_sample(
-                apply_early, key, schedule=schedule, shape=shape,
-                ddim_steps=args.ddim_steps, eta=args.ddim_eta, y=y,
-                timesteps_save=timesteps_save,
-                late_apply_fn=apply_late if late else None,
-                t_switch=args.t_switch if late else None,
+    def run_ddim(key, y):
+        x, inter = jax.jit(lambda k, yy: ddim_sample(
+            apply_early, k, schedule=schedule, shape=shape,
+            ddim_steps=args.ddim_steps, eta=args.ddim_eta, y=yy,
+            timesteps_save=timesteps_save,
+            late_apply_fn=apply_late if late else None,
+            t_switch=args.t_switch if late else None,
+        ))(key, y)
+        return x, list(inter)
+
+    def run_ddpm(key, y):
+        """DDPM / DuoDiff via chunked scans (bounded compile time; one
+        compiled chunk-step scan reused across segments). Segments split at
+        the DuoDiff handoff t = steps - t_switch (reference sampler.py:135)
+        and at each intermediate-save point (sampler.py:138)."""
+        early_sampler = ChunkedDDPMSampler(
+            apply_early, schedule, parametrization=args.parametrization,
+        )
+        late_sampler = (
+            ChunkedDDPMSampler(
+                apply_late, schedule, parametrization=args.parametrization,
             )
-        elif late is not None and args.t_switch is not None:
-            x = duodiff_sample(
-                apply_early, apply_late, key, schedule=schedule, shape=shape,
-                t_switch=args.t_switch, parametrization=args.parametrization, y=y,
-            )
-            inter = []
-        else:
-            x, inter = ddpm_sample(
-                apply_early, key, schedule=schedule, shape=shape,
-                parametrization=args.parametrization, y=y,
-                timesteps_save=timesteps_save,
-            )
+            if late is not None and args.t_switch is not None
+            else None
+        )
+        handoff = steps - args.t_switch if late_sampler is not None else None
+
+        # boundaries: after the update at t we may save (elapsed = steps - t)
+        save_ts = sorted(
+            {steps - s for s in timesteps_save if 0 <= steps - s <= steps - 1},
+            reverse=True,
+        )
+        boundaries = sorted(set(save_ts + ([handoff] if handoff else [])),
+                            reverse=True)
+
+        x, key = early_sampler.init(key, shape)
+        sampler = early_sampler
+        t_hi = steps - 1
+        inter = []
+        for b in boundaries:
+            x, key = sampler.run(x, key, t_hi, b, y)
+            if b in save_ts:
+                inter.append(x)
+            if handoff is not None and b == handoff:
+                sampler = late_sampler
+            t_hi = b - 1
+        if t_hi >= 0:
+            x, key = sampler.run(x, key, t_hi, 0, y)
         return x, inter
 
     print(f"Sampling {args.batch_size} images on {jax.devices()[0].platform}...")
     tic = time.time()
-    x, intermediates = jax.block_until_ready(run(key, y))
+    if args.use_ddim:
+        x, intermediates = run_ddim(key, y)
+    else:
+        x, intermediates = run_ddpm(key, y)
+    x = jax.block_until_ready(x)
     elapsed = time.time() - tic
 
     def finish(z):
