@@ -27,9 +27,11 @@ from duodiff_tpu.data.sampler import ResumableSeedableSampler
 IMG_EXTENSIONS = {".jpg", ".jpeg", ".png", ".bmp", ".webp"}
 
 
-def _normalize(img01: np.ndarray, normalize: bool) -> np.ndarray:
-    """[0,1] float image -> [-1,1] when normalize (mean=std=0.5)."""
-    return (img01 - 0.5) / 0.5 if normalize else img01
+def _scale_offset(normalize: bool):
+    """uint8 -> float transform constants: x/255 then (x-.5)/.5 when
+    normalizing — fused into one multiply-add (the loader's native batch
+    assembler or its numpy fallback applies them)."""
+    return (2.0 / 255.0, -1.0) if normalize else (1.0 / 255.0, 0.0)
 
 
 class Cifar10Dataset:
@@ -57,16 +59,17 @@ class Cifar10Dataset:
             datas.append(d[b"data"])
             labels.extend(d[b"labels"])
         raw = np.concatenate(datas, axis=0)  # (N, 3072) uint8, CHW order
-        self.images = raw.reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)  # NHWC
+        self.images = np.ascontiguousarray(
+            raw.reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+        )  # NHWC uint8
         self.labels = np.asarray(labels, dtype=np.int32)
-        self.normalize = normalize
+        self.scale, self.offset = _scale_offset(normalize)
 
     def __len__(self):
         return len(self.images)
 
     def __getitem__(self, i):
-        img = self.images[i].astype(np.float32) / 255.0
-        return _normalize(img, self.normalize), int(self.labels[i])
+        return self.images[i], int(self.labels[i])
 
 
 class CelebADataset:
@@ -82,7 +85,7 @@ class CelebADataset:
         )
         if not self.files:
             raise FileNotFoundError(f"no images in {root}")
-        self.normalize = normalize
+        self.scale, self.offset = _scale_offset(normalize)
         self.size = size
 
     def __len__(self):
@@ -96,8 +99,7 @@ class CelebADataset:
         left, top = (w - cw) // 2, (h - ch) // 2
         img = img.crop((left, top, left + cw, top + ch))
         img = img.resize((self.size, self.size), Image.BILINEAR)
-        arr = np.asarray(img, dtype=np.float32) / 255.0
-        return _normalize(arr, self.normalize), 0
+        return np.asarray(img, dtype=np.uint8), 0
 
 
 class ImageFolderDataset:
@@ -122,7 +124,7 @@ class ImageFolderDataset:
                     self.samples.append((p, self.class_to_idx[c]))
         if not self.samples:
             raise FileNotFoundError(f"no images under {root}")
-        self.normalize = normalize
+        self.scale, self.offset = _scale_offset(normalize)
         self.resize_to = resize_to
 
     def __len__(self):
@@ -133,8 +135,7 @@ class ImageFolderDataset:
         img = Image.open(path).convert("RGB")
         if self.resize_to is not None:
             img = img.resize((self.resize_to, self.resize_to), Image.BILINEAR)
-        arr = np.asarray(img, dtype=np.float32) / 255.0
-        return _normalize(arr, self.normalize), label
+        return np.asarray(img, dtype=np.uint8), label
 
 
 def get_cifar10_dataloader(

@@ -19,6 +19,22 @@ import numpy as np
 
 from duodiff_tpu.data.sampler import ResumableSeedableSampler
 
+_ASSEMBLER = None
+_ASSEMBLER_TRIED = False
+
+
+def _native_assembler():
+    global _ASSEMBLER, _ASSEMBLER_TRIED
+    if not _ASSEMBLER_TRIED:
+        _ASSEMBLER_TRIED = True
+        try:
+            from duodiff_tpu.data._native import get_assembler
+
+            _ASSEMBLER = get_assembler()
+        except Exception:
+            _ASSEMBLER = None
+    return _ASSEMBLER
+
 
 class DataLoader:
     def __init__(
@@ -40,9 +56,21 @@ class DataLoader:
         if self._pool is None:
             self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
         items = list(self._pool.map(self.dataset.__getitem__, indices))
-        images = np.stack([it[0] for it in items]).astype(np.float32)
         labels = np.asarray([it[1] for it in items], dtype=np.int32)
-        return {"image": images, "label": labels}
+        images_u8 = [np.ascontiguousarray(it[0]) for it in items]
+        scale = float(getattr(self.dataset, "scale", 1.0 / 255.0))
+        offset = float(getattr(self.dataset, "offset", 0.0))
+        out = np.empty((len(images_u8),) + images_u8[0].shape, np.float32)
+        assembler = _native_assembler()
+        if assembler is not None:
+            # fused uint8 -> scale/offset -> contiguous NHWC float32 batch in
+            # one native pass (duodiff_tpu/data/_native)
+            assembler(images_u8, scale, offset, out,
+                      n_threads=min(self.num_workers, 8))
+        else:
+            np.multiply(np.stack(images_u8), scale, out=out, casting="unsafe")
+            out += offset
+        return {"image": out, "label": labels}
 
     def next_batch(self) -> dict:
         """Synchronously fetch the next batch (advances the sampler state)."""

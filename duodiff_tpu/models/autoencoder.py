@@ -224,12 +224,27 @@ def init_autoencoder(config: Optional[AutoencoderConfig] = None, key=None,
 
 
 def load_autoencoder(pretrained_path, scale_factor: float = 0.18215,
-                     dtype=jnp.bfloat16):
-    """Build the reference-config autoencoder and load converted torch
-    weights (reference get_autoencoder, models/utils/autoencoder.py:503-516)."""
-    from duodiff_tpu.utils.torch_convert import convert_autoencoder_checkpoint
+                     dtype=jnp.bfloat16,
+                     config: Optional[AutoencoderConfig] = None):
+    """Build the autoencoder (reference config by default — get_autoencoder,
+    models/utils/autoencoder.py:503-516) and load converted torch weights.
+    Orbax checkpoint dirs are also accepted."""
+    from pathlib import Path
 
-    config = AutoencoderConfig(scale_factor=scale_factor)
+    config = config or AutoencoderConfig(scale_factor=scale_factor)
     model, params = init_autoencoder(config, dtype=dtype, image_size=32)
-    params = convert_autoencoder_checkpoint(pretrained_path, params)
+    if Path(pretrained_path).is_dir():
+        import orbax.checkpoint as ocp
+
+        raw = ocp.Checkpointer(ocp.PyTreeCheckpointHandler()).restore(
+            Path(pretrained_path).resolve()
+        )
+        raw = raw.get("params", raw)
+        params = jax.tree_util.tree_map(
+            lambda a, t: jnp.asarray(a, t.dtype), raw, params
+        )
+    else:
+        from duodiff_tpu.utils.torch_convert import convert_autoencoder_checkpoint
+
+        params = convert_autoencoder_checkpoint(pretrained_path, params)
     return model, params

@@ -117,15 +117,25 @@ class _QKVProj(nn.Module):
         head_dim = d // self.num_heads
         kernel = self.param("kernel", trunc_normal_init, (d, 3 * d))
         w = kernel.astype(self.dtype).reshape(d, 3, self.num_heads, head_dim)
-        out = jnp.einsum(
-            "bld,dkhe->kbhle", x.astype(self.dtype), w
-        )  # (3, B, H, L, Dh)
-        if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros, (3 * d,))
-            out = out + bias.astype(self.dtype).reshape(
-                3, 1, self.num_heads, 1, head_dim
-            )
-        return out
+        bias = (
+            self.param("bias", nn.initializers.zeros, (3 * d,))
+            .astype(self.dtype)
+            .reshape(3, self.num_heads, 1, head_dim)
+            if self.use_bias
+            else None
+        )
+        x = x.astype(self.dtype)
+        # three separate einsums so q/k/v land in their own buffers — slicing
+        # one stacked (3,B,H,L,Dh) output forced XLA to materialize a copy of
+        # each slice for the attention kernel's custom-call operands
+        # (~1.3 GB/step at CelebA-64 batch 128)
+        outs = []
+        for i in range(3):
+            o = jnp.einsum("bld,dhe->bhle", x, w[:, i])  # (B, H, L, Dh)
+            if bias is not None:
+                o = o + bias[i]
+            outs.append(o)
+        return tuple(outs)
 
 
 class _OutProj(nn.Module):
@@ -162,13 +172,12 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        qkv = _QKVProj(
+        q, k, v = _QKVProj(
             num_heads=self.num_heads,
             use_bias=self.qkv_bias,
             dtype=self.dtype,
             name="qkv",
-        )(x)  # (3, B, H, L, Dh)
-        q, k, v = qkv[0], qkv[1], qkv[2]
+        )(x)  # 3 x (B, H, L, Dh)
         out = multi_head_attention(q, k, v, impl=self.attn_impl)
         out = _OutProj(
             num_heads=self.num_heads, dtype=self.dtype, name="proj"

@@ -175,9 +175,15 @@ class Trainer:
         self.encode_fn = None
         ae_path = getattr(self.args, "autoencoder_checkpoint_path", None)
         if ae_path:
+            from duodiff_tpu.config import AutoencoderConfig
             from duodiff_tpu.models.autoencoder import load_autoencoder
 
-            ae_model, ae_params = load_autoencoder(ae_path, dtype=self.compute_dtype)
+            # YAML autoencoder-block overrides (ch, ch_mult, ...) arrive on
+            # args via merge_args_with_config (reference main.py:207-208)
+            ae_cfg = AutoencoderConfig.from_dict(vars(self.args))
+            ae_model, ae_params = load_autoencoder(
+                ae_path, dtype=self.compute_dtype, config=ae_cfg
+            )
             ae_params = jax.device_put(ae_params, replicate(self.mesh))
 
             def encode(key, images):
@@ -185,7 +191,7 @@ class Trainer:
                     {"params": ae_params}, images, key, method=ae_model.encode
                 )
 
-            self.encode_fn = encode
+            self.encode_fn = jax.jit(encode)
 
     def _maybe_resume(self):
         args = self.args

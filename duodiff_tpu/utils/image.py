@@ -11,6 +11,7 @@ from PIL import Image
 
 
 def to_uint8(img01: np.ndarray) -> np.ndarray:
+    img01 = np.nan_to_num(img01, nan=0.0, posinf=1.0, neginf=0.0)
     return (np.clip(img01, 0.0, 1.0) * 255.0).round().astype(np.uint8)
 
 

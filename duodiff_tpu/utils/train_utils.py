@@ -65,3 +65,22 @@ def _maybe_str(v):
         return v
     except TypeError:
         return str(v)
+
+
+def seed_everything(seed: int):
+    """Seed the host-side RNGs (python, numpy) and return a jax PRNG key.
+
+    The reference reseeds four global RNGs (utils/train_utils.py:8-12,
+    re-applied every step at trainer.py:262). In this framework device
+    randomness flows through explicit jax.random keys instead — this helper
+    covers host-side randomness (e.g. ad-hoc numpy use) and hands back the
+    root key for the explicit stream.
+    """
+    import random
+
+    import jax
+    import numpy as np
+
+    random.seed(seed)
+    np.random.seed(seed)
+    return jax.random.PRNGKey(seed)

@@ -17,7 +17,9 @@ import numpy as np
 def get_args(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--seed", type=int, default=0)
-    parser.add_argument("--threshold", type=float, required=True)
+    parser.add_argument("--threshold", type=float, default=None,
+                        help="Dynamic exit threshold (required unless "
+                             "--static_schedule is given)")
     parser.add_argument("--checkpoint_path", type=str, default=None)
     parser.add_argument("--batch_size", type=int, required=True)
     parser.add_argument("--output_folder", type=str, required=True)
@@ -25,6 +27,14 @@ def get_args(argv=None):
     parser.add_argument("--class_id", type=int, default=None)
     parser.add_argument("--random_init", action="store_true")
     parser.add_argument("--num_timesteps", type=int, default=1000)
+    parser.add_argument(
+        "--static_schedule", type=str, default=None,
+        help="Timestep-bucketed static exits, e.g. '999-700:3,699-300:8,"
+             "299-0:13' — runs truncated backbones per bucket (REAL compute "
+             "savings; the dynamic rule only selects among fully-computed "
+             "heads). Derive buckets from a dynamic run's "
+             "indices_by_timestep.npy with "
+             "duodiff_tpu.diffusion.static_exit.derive_exit_schedule.")
     return parser.parse_args(argv)
 
 
@@ -45,6 +55,8 @@ def main(argv=None):
 
     if not args.random_init and args.checkpoint_path is None:
         raise SystemExit("--checkpoint_path is required (or pass --random_init)")
+    if args.threshold is None and args.static_schedule is None:
+        raise SystemExit("--threshold is required (or pass --static_schedule)")
 
     model, params, cfg, ae_cfg = load_model_from_config(
         args.config_path,
@@ -57,7 +69,9 @@ def main(argv=None):
     if ae_cfg is not None:
         from duodiff_tpu.models.autoencoder import load_autoencoder
 
-        ae_model, ae_params = load_autoencoder(ae_cfg.autoencoder_checkpoint_path)
+        ae_model, ae_params = load_autoencoder(
+            ae_cfg.autoencoder_checkpoint_path, config=ae_cfg
+        )
         decode_fn = jax.jit(
             lambda z: ae_model.apply({"params": ae_params}, z, method=ae_model.decode)
         )
@@ -71,19 +85,41 @@ def main(argv=None):
         key, ykey = jax.random.split(key)
         y = jax.random.randint(ykey, (args.batch_size,), 1, 1001)
 
-    def apply_fn(x, t, yy):
-        return model.apply({"params": params}, x, t, yy)
+    if args.static_schedule:
+        from duodiff_tpu.diffusion.static_exit import (
+            parse_exit_schedule,
+            static_exit_sample,
+        )
 
-    sampler = ChunkedEarlyExitSampler(
-        apply_fn, schedule, threshold=args.threshold
-    )
+        buckets = parse_exit_schedule(args.static_schedule)
+        print(f"Static-exit sampling {args.batch_size} images "
+              f"(buckets={buckets})...")
+        tic = time.time()
+        x = static_exit_sample(
+            cfg, params, key, schedule=schedule, shape=shape,
+            buckets=buckets, y=y,
+        )
+        x = jax.block_until_ready(x)
+        elapsed = time.time() - tic
+        # diagnostics implied by the schedule
+        idx_by_t = np.zeros((schedule.steps, args.batch_size), np.int32)
+        for t_hi, t_lo, layer in buckets:
+            idx_by_t[t_lo : t_hi + 1] = layer
+        err_by_t = np.full((schedule.steps, cfg.depth), np.nan, np.float32)
+    else:
+        def apply_fn(x, t, yy):
+            return model.apply({"params": params}, x, t, yy)
 
-    print(f"Early-exit sampling {args.batch_size} images "
-          f"(threshold={args.threshold})...")
-    tic = time.time()
-    x, err_by_t, idx_by_t = sampler.sample(key, shape, y=y)
-    x = jax.block_until_ready(x)
-    elapsed = time.time() - tic
+        sampler = ChunkedEarlyExitSampler(
+            apply_fn, schedule, threshold=args.threshold
+        )
+
+        print(f"Early-exit sampling {args.batch_size} images "
+              f"(threshold={args.threshold})...")
+        tic = time.time()
+        x, err_by_t, idx_by_t = sampler.sample(key, shape, y=y)
+        x = jax.block_until_ready(x)
+        elapsed = time.time() - tic
 
     if decode_fn is not None:
         x = decode_fn(x)

@@ -81,7 +81,9 @@ def main(argv=None):
     if ae_cfg is not None:
         from duodiff_tpu.models.autoencoder import load_autoencoder
 
-        ae_model, ae_params = load_autoencoder(ae_cfg.autoencoder_checkpoint_path)
+        ae_model, ae_params = load_autoencoder(
+            ae_cfg.autoencoder_checkpoint_path, config=ae_cfg
+        )
         decode_fn = jax.jit(
             lambda z: ae_model.apply({"params": ae_params}, z, method=ae_model.decode)
         )

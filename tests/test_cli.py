@@ -177,3 +177,19 @@ def test_main_cli_train_deediff_frozen(tmp_path, tiny_train_config, cifar_data):
         "--num_warmup_steps", "1",
     ])
     assert logs and "classifier_train_loss" in logs[-1]
+
+
+def test_eesampler_cli_static_schedule(tmp_path, tiny_config):
+    out = tmp_path / "out_ee_static"
+    eesampler_cli.main([
+        "--config_path", str(tiny_config),
+        "--batch_size", "2",
+        "--static_schedule", "7-4:1,3-0:3",
+        "--output_folder", str(out),
+        "--random_init",
+        "--num_timesteps", "8",
+    ])
+    assert (out / "0.png").exists()
+    idx = np.load(out / "indices_by_timestep.npy")
+    assert idx.shape == (8, 2)
+    assert set(np.unique(idx)) == {1, 3}
