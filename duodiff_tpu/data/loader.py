@@ -76,19 +76,24 @@ class DataLoader:
         """Synchronously fetch the next batch (advances the sampler state)."""
         return self._fetch_batch(self.sampler.next_indices(self.batch_size))
 
-    def __iter__(self) -> Iterator[dict]:
-        """Prefetching iterator. The producer advances the sampler state
-        eagerly; when exact-state checkpointing matters, use next_batch()
-        from the trainer instead (the trainer does)."""
+    def prefetching_iterator(self) -> Iterator[dict]:
+        """Background-producer iterator that overlaps host decode with device
+        compute. Checkpoint-exact: each queued batch carries the sampler
+        state *after* it was drawn, and get_state() reports the state of the
+        last batch actually consumed — so a resume replays exactly the
+        batches the training loop never saw, even though the producer runs
+        ahead (the reference's torch loader has the same
+        producer-runs-ahead issue and solves nothing; SURVEY.md §5)."""
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
         def producer():
             while not stop.is_set():
                 batch = self.next_batch()
+                state = self.sampler.get_state()
                 while not stop.is_set():
                     try:
-                        q.put(batch, timeout=0.5)
+                        q.put((batch, state), timeout=0.5)
                         break
                     except queue.Full:
                         continue
@@ -97,12 +102,19 @@ class DataLoader:
         thread.start()
         try:
             while True:
-                yield q.get()
+                batch, state = q.get()
+                self._consumed_state = state
+                yield batch
         finally:
             stop.set()
 
+    def __iter__(self) -> Iterator[dict]:
+        return self.prefetching_iterator()
+
     def get_state(self) -> dict:
-        return self.sampler.get_state()
+        consumed = getattr(self, "_consumed_state", None)
+        return consumed if consumed is not None else self.sampler.get_state()
 
     def set_state(self, state: dict) -> None:
         self.sampler.set_state(state)
+        self._consumed_state = None

@@ -248,6 +248,9 @@ class Trainer:
         logs = []
         t_last = time.time()
         profiler_active = False
+        # background prefetch overlaps host decode with the device step;
+        # get_state() stays checkpoint-exact (last *consumed* batch)
+        batch_iterator = self.dataloader.prefetching_iterator()
         for step in range(self.start_step + 1, args.n_steps + 1):
             if getattr(args, "profile", False):
                 if step == self.start_step + 3 and not profiler_active:
@@ -258,7 +261,7 @@ class Trainer:
                     jax.profiler.stop_trace()
                     profiler_active = False
                     print(f"profile trace written to {self.log_path / 'profile'}")
-            batch = self.dataloader.next_batch()
+            batch = next(batch_iterator)
             device_batch = {
                 "image": jax.device_put(batch["image"], bshard),
                 "label": jax.device_put(batch["label"], lshard),

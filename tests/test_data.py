@@ -160,3 +160,21 @@ def test_native_assembler_matches_numpy():
     assembler(imgs, 2.0 / 255.0, -1.0, out, n_threads=3)
     want = np.stack(imgs).astype(np.float32) * (2.0 / 255.0) - 1.0
     np.testing.assert_allclose(out, want, rtol=1e-6)
+
+
+def test_prefetching_iterator_state_is_checkpoint_exact(cifar_dir):
+    """get_state() must reflect the last CONSUMED batch even while the
+    producer runs ahead, so resume replays exactly the unseen batches."""
+    import time
+
+    dl = get_cifar10_dataloader(8, seed=0, data_dir=cifar_dir, num_workers=2)
+    it = dl.prefetching_iterator()
+    consumed = [next(it), next(it)]
+    time.sleep(0.3)  # let the producer run ahead
+    state = dl.get_state()
+
+    dl2 = get_cifar10_dataloader(8, seed=55, data_dir=cifar_dir)
+    dl2.set_state(state)
+    resumed = dl2.next_batch()
+    want = next(it)  # the 3rd consumed batch of the original stream
+    np.testing.assert_array_equal(resumed["image"], want["image"])
