@@ -110,16 +110,24 @@ class _QKVProj(nn.Module):
     num_heads: int
     use_bias: bool
     dtype: jnp.dtype
+    features: int = 0  # embed dim; only needed when called with raw=True
 
     @nn.compact
-    def __call__(self, x):
-        b, l, d = x.shape
+    def __call__(self, x, raw: bool = False):
+        d = x.shape[-1] if x is not None else self.features
         head_dim = d // self.num_heads
         kernel = self.param("kernel", trunc_normal_init, (d, 3 * d))
+        raw_bias = (
+            self.param("bias", nn.initializers.zeros, (3 * d,))
+            if self.use_bias
+            else None
+        )
+        if raw:  # fused-kernel path: hand the packed params to pallas_block
+            return kernel, raw_bias
+        b, l, _ = x.shape
         w = kernel.astype(self.dtype).reshape(d, 3, self.num_heads, head_dim)
         bias = (
-            self.param("bias", nn.initializers.zeros, (3 * d,))
-            .astype(self.dtype)
+            raw_bias.astype(self.dtype)
             .reshape(3, self.num_heads, 1, head_dim)
             if self.use_bias
             else None
@@ -144,15 +152,20 @@ class _OutProj(nn.Module):
 
     num_heads: int
     dtype: jnp.dtype
+    features: int = 0  # embed dim; only needed when called with raw=True
 
     @nn.compact
-    def __call__(self, a):
-        b, h, l, head_dim = a.shape
-        d = h * head_dim
+    def __call__(self, a, raw: bool = False):
+        d = (
+            a.shape[1] * a.shape[3] if a is not None else self.features
+        )
         kernel = self.param("kernel", trunc_normal_init, (d, d))
-        w = kernel.astype(self.dtype).reshape(h, head_dim, d)
-        out = jnp.einsum("bhle,hed->bld", a.astype(self.dtype), w)
         bias = self.param("bias", nn.initializers.zeros, (d,))
+        if raw:  # fused-kernel path
+            return kernel, bias
+        h = self.num_heads
+        w = kernel.astype(self.dtype).reshape(h, d // h, d)
+        out = jnp.einsum("bhle,hed->bld", a.astype(self.dtype), w)
         return out + bias.astype(self.dtype)
 
 
@@ -169,20 +182,28 @@ class Attention(nn.Module):
     qkv_bias: bool = False
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    features: int = 0  # embed dim; only needed when called with raw=True
 
     @nn.compact
-    def __call__(self, x):
-        q, k, v = _QKVProj(
+    def __call__(self, x, raw: bool = False):
+        qkv = _QKVProj(
             num_heads=self.num_heads,
             use_bias=self.qkv_bias,
             dtype=self.dtype,
+            features=self.features,
             name="qkv",
-        )(x)  # 3 x (B, H, L, Dh)
+        )
+        proj = _OutProj(
+            num_heads=self.num_heads,
+            dtype=self.dtype,
+            features=self.features,
+            name="proj",
+        )
+        if raw:  # fused-kernel path: packed (qkv, proj) params, no compute
+            return qkv(None, raw=True), proj(None, raw=True)
+        q, k, v = qkv(x)  # 3 x (B, H, L, Dh)
         out = multi_head_attention(q, k, v, impl=self.attn_impl)
-        out = _OutProj(
-            num_heads=self.num_heads, dtype=self.dtype, name="proj"
-        )(out.astype(self.dtype))
-        return out
+        return proj(out.astype(self.dtype))
 
 
 class Block(nn.Module):
@@ -212,13 +233,31 @@ class Block(nn.Module):
                 kernel_init=trunc_normal_init,
                 name="skip_linear",
             )(jnp.concatenate([x, skip], axis=-1))
-        x = x + Attention(
+        attn = Attention(
             num_heads=self.num_heads,
             qkv_bias=self.qkv_bias,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            features=d,
             name="attn",
-        )(_layer_norm(x, name="norm1", out_dtype=self.dtype)).astype(x.dtype)
+        )
+        if self.attn_impl == "fused":
+            # Whole pre-norm attention sublayer as ONE Pallas kernel
+            # (duodiff_tpu/ops/pallas_block.py); the param tree is identical
+            # to the unfused path (the submodules declare, raw=True returns).
+            from duodiff_tpu.ops.pallas_block import fused_attn_sublayer
+
+            ln_scale, ln_bias = _LNParams(name="norm1")(d)
+            (wqkv, bqkv), (wp, bp) = attn(None, raw=True)
+            x = fused_attn_sublayer(
+                x.astype(self.dtype), ln_scale, ln_bias, wqkv, bqkv, wp, bp,
+                num_heads=self.num_heads,
+                interpret=jax.default_backend() != "tpu",
+            )
+        else:
+            x = x + attn(
+                _layer_norm(x, name="norm1", out_dtype=self.dtype)
+            ).astype(x.dtype)
         x = x + Mlp(
             hidden_features=int(d * self.mlp_ratio),
             out_features=d,
@@ -226,6 +265,18 @@ class Block(nn.Module):
             name="mlp",
         )(_layer_norm(x, name="norm2", out_dtype=self.dtype)).astype(x.dtype)
         return x
+
+
+class _LNParams(nn.Module):
+    """Declares LayerNorm's scale/bias with flax's exact names and inits,
+    for handing to the fused sublayer kernel (param tree stays identical to
+    nn.LayerNorm whichever impl runs)."""
+
+    @nn.compact
+    def __call__(self, d):
+        scale = self.param("scale", nn.initializers.ones, (d,))
+        bias = self.param("bias", nn.initializers.zeros, (d,))
+        return scale, bias
 
 
 def _layer_norm(x, name, out_dtype=None):

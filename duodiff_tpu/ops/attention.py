@@ -47,14 +47,16 @@ def multi_head_attention(
     """Dispatch between the Pallas TPU kernel and the XLA fallback.
 
     impl:
-      - "xla" / "auto": plain XLA. "auto" is XLA because it is safe under
-        jax.grad (the Pallas kernel is forward-only; training needs the XLA
-        path's fused backward).
-      - "pallas": the single-pass VMEM-resident kernel — inference/sampling
-        opt-in on TPU (duodiff_tpu/ops/pallas_attention.py).
+      - "xla" / "auto": plain XLA (fuses well, runs on any backend).
+      - "pallas": the single-pass VMEM-resident kernel with a Pallas
+        recompute-softmax backward — grad-safe, so usable for training and
+        sampling on TPU (duodiff_tpu/ops/pallas_attention.py). Runs in
+        interpret mode off-TPU.
     """
     if impl == "pallas":
-        from duodiff_tpu.ops.pallas_attention import flash_attention
+        from duodiff_tpu.ops.pallas_attention import flash_attention_trainable
 
-        return flash_attention(q, k, v)
+        return flash_attention_trainable(
+            q, k, v, jax.default_backend() != "tpu"
+        )
     return xla_attention(q, k, v)

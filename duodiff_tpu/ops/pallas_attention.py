@@ -63,6 +63,97 @@ def _group_size(bh: int, l: int, dh: int, budget_bytes: int = 10 * 2**20) -> int
     return best
 
 
+def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                *, scale: float):
+    """Recompute-softmax attention backward for one (batch,head) group.
+
+    Never stores the (L, L) probabilities to HBM: the forward saves only
+    q/k/v and this kernel rebuilds softmax in fp32 VMEM (the XLA backward
+    keeps a fp32 (B, H, L, L) tensor alive between forward and backward —
+    ~270MB per block at CelebA-64 batch 128).
+    """
+    q = q_ref[:]
+    k = k_ref[:]
+    v = v_ref[:]
+    do = do_ref[:].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    p = jax.nn.softmax(s.astype(jnp.float32) * scale, axis=-1)  # (G, Lq, Lk)
+    pb = p.astype(q.dtype)
+    dob = do.astype(q.dtype)
+    # dv[g, lk, d] = sum_lq p[g, lq, lk] * do[g, lq, d]
+    dv = jax.lax.dot_general(
+        pb, dob, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    # dp[g, lq, lk] = sum_d do[g, lq, d] * v[g, lk, d]
+    dp = jax.lax.dot_general(
+        dob, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    ds = (ds * scale).astype(q.dtype)
+    # dq[g, lq, d] = sum_lk ds[g, lq, lk] * k[g, lk, d]
+    dq = jax.lax.dot_general(
+        ds, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    # dk[g, lk, d] = sum_lq ds[g, lq, lk] * q[g, lq, d]
+    dk = jax.lax.dot_general(
+        ds, q, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+    dq_ref[:] = dq.astype(dq_ref.dtype)
+    dk_ref[:] = dk.astype(dk_ref.dtype)
+    dv_ref[:] = dv.astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _flash_attention_bwd_impl(q, k, v, do, interpret: bool = False):
+    b, h, l, dh = q.shape
+    scale = float(dh) ** -0.5
+    bh = b * h
+    # the bwd working set holds 4 fp32 (L, L) score-sized arrays
+    g = _group_size(bh, l, dh, budget_bytes=5 * 2**20)
+
+    def flat(x):
+        return x.reshape(bh, l, dh)
+
+    spec = pl.BlockSpec((g, l, dh), lambda i: (i, 0, 0))
+    shape = jax.ShapeDtypeStruct((bh, l, dh), q.dtype)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale),
+        out_shape=(shape, shape, shape),
+        grid=(bh // g,),
+        in_specs=[spec] * 4,
+        out_specs=(spec, spec, spec),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * bh * l * l * dh,
+            bytes_accessed=7 * bh * l * dh * q.dtype.itemsize,
+            transcendentals=bh * l * l,
+        ),
+        interpret=interpret,
+    )(flat(q), flat(k), flat(v), flat(do))
+    unflat = lambda x: x.reshape(b, h, l, dh)
+    return unflat(dq), unflat(dk), unflat(dv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_attention_trainable(q, k, v, interpret: bool = False):
+    """flash_attention with a Pallas recompute-softmax backward, safe under
+    jax.grad (used by attn_impl='pallas' on the training path)."""
+    return flash_attention(q, k, v, interpret=interpret)
+
+
+def _fa_fwd(q, k, v, interpret):
+    return flash_attention(q, k, v, interpret=interpret), (q, k, v)
+
+
+def _fa_bwd(interpret, res, do):
+    q, k, v = res
+    return _flash_attention_bwd_impl(q, k, v, do, interpret=interpret)
+
+
+flash_attention_trainable.defvjp(_fa_fwd, _fa_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     interpret: bool = False) -> jax.Array:

@@ -1,0 +1,208 @@
+"""Fused attention-sublayer Pallas kernel: x + proj(SDPA(qkv(LN(x)))).
+
+Motivation (round-1 profiling, NOTES.md): with the projections expressed as
+XLA einsums ('bld,dhe->bhle'), XLA lowers them as convolutions whose rank-4
+outputs carry a {2,0,1} layout, then inserts ~52 33.7MB relayout copies per
+sampling step to reconcile with the {2,1,0} residual stream, plus ~39 copies
+canonicalizing the attention custom call's operands — together ~20-25% of a
+CelebA-64 batch-128 step. Fusing the whole pre-norm attention sublayer
+(reference models/uvit.py:203-207: ``x = x + attn(norm1(x))``) into ONE
+Pallas kernel removes every intermediate HBM tensor: the kernel reads the
+(B, L, D) residual stream in default layout and writes it back in default
+layout, with LayerNorm statistics, per-head projections, fp32 softmax, the
+output projection, and the residual add all VMEM-resident.
+
+Grid layout: ``(B // G, H)`` with the head axis minor. TPU grids execute
+sequentially, so a VMEM scratch accumulator carries the per-head output
+projections for a batch group; LayerNorm runs once per group (at h == 0) into
+a second scratch reused by all heads. Weights are delivered per head via
+BlockSpecs over prepacked (H, D, Dh) / (H, Dh, D) arrays, so every matmul in
+the kernel has K ∈ {D, Dh, L} with no in-kernel transposes or lane-unaligned
+slicing (Dh = 64 is half a lane tile; slicing a packed (L, 3D) projection at
+64-element offsets would force Mosaic relayouts).
+
+Numerics match duodiff_tpu/models/layers.py's unfused path: LN statistics and
+softmax in fp32, matmul inputs in the activation dtype with fp32 MXU
+accumulation, and the residual + bias + per-head partials accumulated in fp32
+(the unfused path accumulates the residual in bf16, so the fused path is
+slightly *more* precise).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _kernel(*refs, num_heads: int, scale: float, eps: float, has_qkv_bias: bool):
+    if has_qkv_bias:
+        (x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
+         o_ref, xn_ref, acc_ref) = refs
+    else:
+        (x_ref, g_ref, b_ref, wqkv_ref, wp_ref, bp_ref,
+         o_ref, xn_ref, acc_ref) = refs
+        bqkv_ref = None
+
+    h = pl.program_id(1)
+
+    @pl.when(h == 0)
+    def _layernorm_and_residual_init():
+        xv = x_ref[:].astype(jnp.float32)  # (G, L, D)
+        mean = jnp.mean(xv, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xv - mean), axis=-1, keepdims=True)
+        xn = (xv - mean) * jax.lax.rsqrt(var + eps)
+        xn = xn * g_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
+        xn_ref[:] = xn.astype(xn_ref.dtype)
+        # residual + output-projection bias, accumulated once in fp32
+        acc_ref[:] = xv + bp_ref[0].astype(jnp.float32)
+
+    g, l, d = x_ref.shape
+    # Unrolled per-sample 2D matmuls: Mosaic cannot shape-cast (G*L, Dh) <->
+    # (G, L, Dh) when L isn't sublane-aligned (e.g. 257), and its batched
+    # dot_general only supports a leading batch dim, so each group member
+    # runs standalone (G is small; the unroll just lengthens the program).
+    for i in range(g):
+        xn = xn_ref[i]  # (L, D)
+
+        def head_proj(j, xn=xn):
+            o = jnp.dot(xn, wqkv_ref[j, 0], preferred_element_type=jnp.float32)
+            if has_qkv_bias:
+                o = o + bqkv_ref[j, 0].astype(jnp.float32)
+            return o.astype(xn_ref.dtype)
+
+        q, k, v = head_proj(0), head_proj(1), head_proj(2)  # (L, Dh)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (L, L)
+        p = jax.nn.softmax(s.astype(jnp.float32) * scale, axis=-1)
+        o = jnp.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )  # (L, Dh)
+        partial = jnp.dot(
+            o.astype(xn_ref.dtype), wp_ref[0], preferred_element_type=jnp.float32
+        )  # (L, D)
+        acc_ref[i] += partial
+
+    @pl.when(h == num_heads - 1)
+    def _write_out():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _group_size(b: int, l: int, d: int, dh: int, itemsize: int,
+                budget_bytes: int = 10 * 2**20) -> int:
+    """Largest divisor of b whose VMEM working set fits the budget."""
+    l_sub = _round_up(l, 8)
+    l_lane = _round_up(l, 128)
+    dh_lane = _round_up(dh, 128)
+    best = 1
+    for g in range(1, b + 1):
+        if b % g:
+            continue
+        x_io = 4 * g * l_sub * d * itemsize       # in + out, double-buffered
+        xn = g * l_sub * d * itemsize
+        acc = g * l_sub * d * 4
+        qkv = 3 * g * l_sub * dh_lane * itemsize
+        sp = 2 * g * l_sub * l_lane * 4           # scores + probs, fp32
+        partial = g * l_sub * d * 4
+        if x_io + xn + acc + qkv + sp + partial <= budget_bytes:
+            best = g
+    return best
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "eps", "interpret")
+)
+def fused_attn_sublayer(
+    x: jax.Array,
+    ln_scale: jax.Array,
+    ln_bias: jax.Array,
+    qkv_kernel: jax.Array,
+    qkv_bias: jax.Array | None,
+    proj_kernel: jax.Array,
+    proj_bias: jax.Array,
+    *,
+    num_heads: int,
+    eps: float = 1e-5,
+    interpret: bool = False,
+) -> jax.Array:
+    """Compute ``x + proj(attention(qkv(layernorm(x))))`` in one kernel.
+
+    Args:
+      x: (B, L, D) residual stream, any float dtype (activations run in it).
+      ln_scale, ln_bias: (D,) LayerNorm affine parameters.
+      qkv_kernel: (D, 3D) packed projection, reference column order
+        "(K H Dh)" (reference models/uvit.py:150,159).
+      qkv_bias: (3D,) packed bias or None.
+      proj_kernel: (D, D); proj_bias: (D,).
+    Returns:
+      (B, L, D) in x's dtype.
+    """
+    b, l, d = x.shape
+    h = num_heads
+    dh = d // h
+    assert h * dh == d, (d, h)
+    scale = float(dh) ** -0.5
+    dtype = x.dtype
+
+    # Prepack weights per head: (3, H, D, Dh) / (H, Dh, D). Tiny relative to
+    # activations (a few MB); XLA fuses the transposes into the cast.
+    wqkv = (
+        qkv_kernel.astype(dtype).reshape(d, 3, h, dh).transpose(1, 2, 0, 3)
+    )
+    wp = proj_kernel.astype(dtype).reshape(h, dh, d)
+    bp = proj_bias.astype(jnp.float32).reshape(1, d)
+    g2 = ln_scale.reshape(1, d)
+    b2 = ln_bias.reshape(1, d)
+
+    grp = _group_size(b, l, d, dh, jnp.dtype(dtype).itemsize)
+
+    row = pl.BlockSpec((grp, l, d), lambda i, j: (i, 0, 0))
+    full_vec = pl.BlockSpec((1, d), lambda i, j: (0, 0))
+    in_specs = [
+        row,                                                # x
+        full_vec, full_vec,                                 # ln scale/bias
+        pl.BlockSpec((3, 1, d, dh), lambda i, j: (0, j, 0, 0)),  # wqkv
+    ]
+    args = [x, g2, b2, wqkv]
+    if qkv_bias is not None:
+        bq = qkv_bias.astype(jnp.float32).reshape(3, h, dh)
+        in_specs.append(pl.BlockSpec((3, 1, dh), lambda i, j: (0, j, 0)))
+        args.append(bq)
+    in_specs += [
+        pl.BlockSpec((1, dh, d), lambda i, j: (j, 0, 0)),   # wproj
+        full_vec,                                           # proj bias
+    ]
+    args += [wp, bp]
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel,
+            num_heads=h,
+            scale=scale,
+            eps=eps,
+            has_qkv_bias=qkv_bias is not None,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, l, d), dtype),
+        grid=(b // grp, h),
+        in_specs=in_specs,
+        out_specs=row,
+        scratch_shapes=[
+            pltpu.VMEM((grp, l, d), dtype),        # LayerNorm output
+            pltpu.VMEM((grp, l, d), jnp.float32),  # residual/proj accumulator
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * l * d * (4 * d + 2 * l),
+            bytes_accessed=2 * b * l * d * jnp.dtype(dtype).itemsize,
+            transcendentals=b * h * l * l,
+        ),
+        interpret=interpret,
+    )(*args)
+    return out

@@ -57,6 +57,7 @@ class Checkpointer:
         step: int,
         params: Any,
         opt_state: Any = None,
+        ema_params: Any = None,
         sampler_state: Optional[dict] = None,
         args: Optional[dict] = None,
         new_checkpoint: bool = False,
@@ -66,6 +67,8 @@ class Checkpointer:
         state = {"step": np.asarray(step), "params": params}
         if opt_state is not None:
             state["opt_state"] = opt_state
+        if ema_params is not None:
+            state["ema_params"] = ema_params
         if sampler_state is not None:
             state["sampler_state"] = dict(sampler_state)
         self._ckptr.save(path.resolve(), state, force=True)

@@ -30,12 +30,27 @@ class TrainState(struct.PyTreeNode):
     params: Any
     opt_state: Any
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    # Opt-in EMA of the params (the reference lacks EMA, but U-ViT upstream
+    # trains with it and it matters for FID; enable with --ema_decay).
+    ema_params: Any = None
+    ema_decay: float = struct.field(pytree_node=False, default=0.0)
 
     def apply_gradients(self, grads):
         updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
         new_params = optax.apply_updates(self.params, updates)
+        new_ema = self.ema_params
+        if new_ema is not None:
+            d = self.ema_decay
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+                new_ema,
+                new_params,
+            )
         return self.replace(
-            step=self.step + 1, params=new_params, opt_state=new_opt_state
+            step=self.step + 1,
+            params=new_params,
+            opt_state=new_opt_state,
+            ema_params=new_ema,
         )
 
 
@@ -63,12 +78,18 @@ def make_optimizer(
     )
 
 
-def create_train_state(params, tx: optax.GradientTransformation) -> TrainState:
+def create_train_state(
+    params, tx: optax.GradientTransformation, ema_decay: float = 0.0
+) -> TrainState:
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         opt_state=tx.init(params),
         tx=tx,
+        ema_params=jax.tree_util.tree_map(jnp.copy, params)
+        if ema_decay > 0.0
+        else None,
+        ema_decay=ema_decay,
     )
 
 

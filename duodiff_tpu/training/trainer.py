@@ -103,13 +103,21 @@ class Trainer:
     def _init_model(self):
         args = self.args
         key = jax.random.PRNGKey(args.seed)
+        # The Pallas attention kernel has a recompute-softmax custom VJP, so
+        # training uses it on TPU (the XLA backward keeps fp32 (B,H,L,L)
+        # softmax tensors alive between forward and backward).
+        attn_impl = getattr(args, "attn_impl", None) or (
+            "pallas" if jax.default_backend() == "tpu" else "auto"
+        )
         if args.model == "uvit":
             self.model, params = init_uvit(
-                self.model_config, key, dtype=self.compute_dtype
+                self.model_config, key, dtype=self.compute_dtype,
+                attn_impl=attn_impl,
             )
         elif args.model == "deediff_uvit":
             self.model, params = init_early_exit_uvit(
-                self.model_config, key, dtype=self.compute_dtype
+                self.model_config, key, dtype=self.compute_dtype,
+                attn_impl=attn_impl,
             )
             if getattr(args, "load_backbone", None):
                 print(f"Loading backbone from {args.load_backbone}")
@@ -156,7 +164,11 @@ class Trainer:
                 {"trainable": tx, "frozen": optax.set_to_zero()}, label_fn
             )
         self.tx = tx
-        self.state = self._place_state(create_train_state(self.params, tx))
+        self.state = self._place_state(
+            create_train_state(
+                self.params, tx, ema_decay=getattr(args, "ema_decay", 0.0) or 0.0
+            )
+        )
 
     def _place_state(self, state):
         """Commit every train-state leaf to the mesh: params per the partition
@@ -167,6 +179,9 @@ class Trainer:
             step=jax.device_put(state.step, rep),
             params=jax.device_put(state.params, self.param_shardings),
             opt_state=jax.device_put(state.opt_state, rep),
+            ema_params=jax.device_put(state.ema_params, self.param_shardings)
+            if state.ema_params is not None
+            else None,
         )
 
     def _init_autoencoder(self):
@@ -207,12 +222,15 @@ class Trainer:
             "opt_state": self.state.opt_state,
             "sampler_state": self.dataloader.get_state(),
         }
+        if self.state.ema_params is not None:
+            template["ema_params"] = self.state.ema_params
         restored = self.checkpointer.restore(ckpt_path, template)
         self.state = self._place_state(
             self.state.replace(
                 step=jnp.asarray(int(restored["step"]), jnp.int32),
                 params=restored["params"],
                 opt_state=restored["opt_state"],
+                ema_params=restored.get("ema_params", self.state.ema_params),
             )
         )
         self.dataloader.set_state(restored["sampler_state"])
@@ -346,7 +364,12 @@ class Trainer:
             y = jax.random.randint(
                 key, (args.n_samples,), 0, self.model_config.num_classes
             )
-        x = self._sample_fn.sample(key, shape, y=(y, self.state.params))
+        sample_params = (
+            self.state.ema_params
+            if self.state.ema_params is not None
+            else self.state.params
+        )
+        x = self._sample_fn.sample(key, shape, y=(y, sample_params))
         samples = np.asarray((x + 1.0) / 2.0)
         self.logger.log_image(step, "Samples", make_grid(samples))
 
@@ -355,6 +378,7 @@ class Trainer:
             step=step,
             params=self.state.params,
             opt_state=self.state.opt_state,
+            ema_params=self.state.ema_params,
             sampler_state=self.dataloader.get_state(),
             args=vars(self.args),
             new_checkpoint=new_checkpoint,

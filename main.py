@@ -20,6 +20,10 @@ def get_args(argv=None):
                         help="bf16 compute (native on TPU; no grad scaler needed)")
     parser.add_argument("--amp_dtype", type=str, default="bfloat16",
                         help="AMP data type")
+    parser.add_argument("--attn_impl", type=str, default=None,
+                        choices=["auto", "xla", "pallas", "fused"],
+                        help="Attention implementation (default: pallas "
+                             "custom-VJP kernel on TPU, XLA elsewhere)")
     parser.add_argument("--max_grad_norm", type=float, default=1.0,
                         help="Max gradient norm")
 
@@ -51,6 +55,10 @@ def get_args(argv=None):
     parser.add_argument("--resume", action="store_true", default=False)
 
     # Optimizer
+    parser.add_argument("--ema_decay", type=float, default=0.0,
+                        help="Track an EMA of the params (e.g. 0.9999) and "
+                             "sample/log with it; 0 disables (reference has "
+                             "no EMA, but U-ViT upstream uses it for FID)")
     parser.add_argument("--optimizer", type=str, default="adamw",
                         choices=["adamw"])
     parser.add_argument("--lr", type=float, default=0.0002)

@@ -161,6 +161,46 @@ def test_main_cli_train_and_resume(tmp_path, tiny_train_config, cifar_data):
     assert logs2[0]["step"] > 4  # continued from the checkpoint, not step 1
 
 
+def test_main_cli_train_ema_and_resume(tmp_path, tiny_train_config, cifar_data):
+    """--ema_decay tracks EMA params, checkpoints them, and restores them on
+    resume (they must differ from the live params after training)."""
+    import orbax.checkpoint as ocp
+
+    logdir = tmp_path / "logs_ema"
+    common = [
+        "--config_path", str(tiny_train_config),
+        "--n_steps", "4",
+        "--batch_size", "4",
+        "--num_timesteps", "50",
+        "--dataset", "cifar10",
+        "--data_path", str(cifar_data),
+        "--log_path", str(logdir),
+        "--exp_name", "e1",
+        "--save_every_n_steps", "2",
+        "--num_warmup_steps", "1",
+        "--ema_decay", "0.5",
+    ]
+    main_cli.main(common)
+    ckpt = logdir / "e1" / "cifar10_uvit_last"
+    raw = ocp.Checkpointer(ocp.PyTreeCheckpointHandler()).restore(ckpt.resolve())
+    assert "ema_params" in raw
+    import jax
+
+    diffs = [
+        float(np.max(np.abs(np.asarray(a, np.float64) - np.asarray(b, np.float64))))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(raw["ema_params"]),
+            jax.tree_util.tree_leaves(raw["params"]),
+        )
+    ]
+    assert max(diffs) > 0, "EMA identical to live params after 4 steps"
+
+    resume_args = list(common)
+    resume_args[resume_args.index("--n_steps") + 1] = "6"
+    logs2 = main_cli.main(resume_args + ["--resume"])
+    assert logs2 and logs2[0]["step"] > 4
+
+
 def test_main_cli_train_deediff_frozen(tmp_path, tiny_train_config, cifar_data):
     logdir = tmp_path / "logs2"
     logs = main_cli.main([

@@ -74,6 +74,21 @@ def test_inception_param_count(inception):
     assert 21.5e6 < n < 22.5e6, n / 1e6
 
 
+def test_real_stats_npz_roundtrip(tmp_path):
+    """mu/sigma cached to .npz (pytorch-fid convention) reproduce the FID of
+    a full two-sided computation exactly."""
+    rng = np.random.RandomState(0)
+    real = rng.randn(300, 16)
+    fake = rng.randn(300, 16) + 1.0
+    mu_r, s_r = compute_statistics(real)
+    np.savez(tmp_path / "stats.npz", mu=mu_r, sigma=s_r)
+    loaded = np.load(tmp_path / "stats.npz")
+    mu_f, s_f = compute_statistics(fake)
+    got = frechet_distance(loaded["mu"], loaded["sigma"], mu_f, s_f)
+    want = fid_from_features(real, fake)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
 def test_read_samples_skips_grid(tmp_path):
     from PIL import Image
 

@@ -52,6 +52,106 @@ def test_pallas_attention_bf16_inputs(qkv):
     np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-2)
 
 
+@pytest.mark.parametrize("qkv_bias", [False, True])
+@pytest.mark.parametrize("skip", [False, True])
+def test_fused_block_matches_xla_block(qkv_bias, skip):
+    """attn_impl='fused' (LN+QKV+SDPA+proj+residual in one Pallas kernel,
+    interpret mode on CPU) must match the unfused path with an identical
+    parameter tree."""
+    from duodiff_tpu.models.layers import Block
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 17, 128), jnp.float32)
+    sk = jax.random.normal(jax.random.PRNGKey(2), (2, 17, 128), jnp.float32)
+    args = (x, sk) if skip else (x,)
+
+    def run(impl):
+        blk = Block(
+            num_heads=4, mlp_ratio=4, qkv_bias=qkv_bias, skip=skip,
+            dtype=jnp.float32, attn_impl=impl,
+        )
+        params = blk.init(jax.random.PRNGKey(0), *args)["params"]
+        return params, blk.apply({"params": params}, *args)
+
+    p_ref, y_ref = run("xla")
+    p_fused, y_fused = run("fused")
+    assert jax.tree_util.tree_structure(p_ref) == jax.tree_util.tree_structure(
+        p_fused
+    )
+    assert all(
+        a.shape == b.shape
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p_ref), jax.tree_util.tree_leaves(p_fused)
+        )
+    )
+    np.testing.assert_allclose(
+        np.asarray(y_fused), np.asarray(y_ref), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_fused_block_bf16():
+    from duodiff_tpu.models.layers import Block
+
+    x32 = jax.random.normal(jax.random.PRNGKey(1), (2, 17, 128), jnp.float32)
+
+    def run(impl, dtype):
+        blk = Block(num_heads=4, dtype=dtype, attn_impl=impl)
+        params = blk.init(jax.random.PRNGKey(0), x32)["params"]
+        return blk.apply({"params": params}, x32.astype(dtype))
+
+    y_ref = np.asarray(run("xla", jnp.float32))
+    y_fused = np.asarray(run("fused", jnp.bfloat16), dtype=np.float32)
+    np.testing.assert_allclose(y_fused, y_ref, rtol=5e-2, atol=5e-2)
+
+
+def test_pallas_attention_custom_vjp_matches_xla_grads(qkv):
+    """The recompute-softmax Pallas backward must match XLA's gradients."""
+    from duodiff_tpu.ops.pallas_attention import flash_attention_trainable
+
+    q, k, v = (jnp.asarray(a) for a in qkv)
+    cot = jax.random.normal(jax.random.PRNGKey(3), q.shape, jnp.float32)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(xla_attention(q, k, v) * cot)
+
+    def loss_pallas(q, k, v):
+        return jnp.sum(
+            flash_attention_trainable(q, k, v, True).astype(jnp.float32) * cot
+        )
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_pal = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_pal, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+        )
+
+
+def test_block_pallas_grad_runs():
+    """attn_impl='pallas' is grad-safe end to end through a Block."""
+    from duodiff_tpu.models.layers import Block
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 17, 128), jnp.float32)
+
+    def run(impl):
+        blk = Block(num_heads=4, dtype=jnp.float32, attn_impl=impl)
+        params = blk.init(jax.random.PRNGKey(0), x)["params"]
+
+        def loss(p):
+            return jnp.sum(blk.apply({"params": p}, x) ** 2)
+
+        return loss(params), jax.grad(loss)(params)
+
+    l_ref, g_ref = run("xla")
+    l_pal, g_pal = run("pallas")
+    np.testing.assert_allclose(float(l_pal), float(l_ref), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_pal), jax.tree_util.tree_leaves(g_ref)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+        )
+
+
 def test_dispatch_xla_default(qkv):
     q, k, v = (jnp.asarray(a) for a in qkv)
     out_auto = multi_head_attention(q, k, v, impl="auto")

@@ -125,6 +125,51 @@ def test_train_step_reduces_loss():
     assert int(state.step) == 30
 
 
+def test_train_step_ema_tracks_params():
+    """Opt-in EMA: ema = decay*ema + (1-decay)*params after each step, and
+    stays a distinct pytree from the live params."""
+    model, params = init_uvit(TINY, jax.random.PRNGKey(0))
+    sched = NoiseSchedule.create(steps=100)
+    tx = make_optimizer(lr=1e-3, weight_decay=0.0, beta1=0.9, beta2=0.999,
+                        max_grad_norm=1.0, num_warmup_steps=0,
+                        num_training_steps=1000)
+    decay = 0.5
+    state = create_train_state(params, tx, ema_decay=decay)
+    assert state.ema_params is not None
+    step = jax.jit(make_train_step(
+        lambda p, x, t, y: model.apply({"params": p}, x, t, y),
+        sched, model_kind="uvit", parametrization="predict_noise",
+    ))
+    batch = _toy_batch(np.random.RandomState(0))
+
+    expected_ema = jax.tree_util.tree_map(jnp.copy, params)
+    for i in range(3):
+        prev = state
+        state, _ = step(state, batch, jax.random.PRNGKey(i))
+        expected_ema = jax.tree_util.tree_map(
+            lambda e, p: decay * e + (1 - decay) * p, expected_ema, state.params
+        )
+    for got, want in zip(
+        jax.tree_util.tree_leaves(state.ema_params),
+        jax.tree_util.tree_leaves(expected_ema),
+    ):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-6)
+    # EMA lags the live params
+    diffs = [
+        float(jnp.max(jnp.abs(a - b)))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state.ema_params),
+            jax.tree_util.tree_leaves(state.params),
+        )
+    ]
+    assert max(diffs) > 0
+
+    # disabled by default
+    state0 = create_train_state(params, tx)
+    assert state0.ema_params is None
+
+
 def test_train_step_deediff_runs_and_freezing_works():
     import optax
 

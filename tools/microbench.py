@@ -1,0 +1,118 @@
+"""Microbenchmarks for the hot kernels on the real TPU chip.
+
+Times (a) the full flagship U-ViT forward under each attention impl, (b) the
+standalone Pallas attention kernel, (c) the fused attention-sublayer kernel,
+and (d) the equivalent unfused XLA sublayer chain — so regressions can be
+attributed to the kernel itself vs the surrounding XLA graph (layout copies,
+prepacking, fusion breaks).
+
+Usage: python tools/microbench.py [fwd|kernels|all]
+"""
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def timeit(fn, *args, reps=20, warmup=2):
+    import jax
+
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def bench_forward():
+    import jax
+    import jax.numpy as jnp
+
+    from duodiff_tpu.config import UViTConfig
+    from duodiff_tpu.models.uvit import init_uvit
+    from duodiff_tpu.utils.profiling import flops_per_uvit_forward
+
+    cfg = UViTConfig(
+        img_size=64, patch_size=4, in_chans=3, embed_dim=512, depth=13,
+        num_heads=8, mlp_ratio=4, qkv_bias=False, mlp_time_embed=False,
+        num_classes=-1, normalize_timesteps=True,
+    )
+    b = 128
+    x = jnp.zeros((b, 64, 64, 3), jnp.bfloat16)
+    t = jnp.full((b,), 500.0, jnp.float32)
+    flops = flops_per_uvit_forward(cfg, b)
+    for impl in ("pallas", "fused", "xla"):
+        model, params = init_uvit(
+            cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16, attn_impl=impl
+        )
+        fwd = jax.jit(lambda p, x, t: model.apply({"params": p}, x, t))
+        dt = timeit(fwd, params, x, t)
+        print(f"forward[{impl:6s}]: {dt*1e3:8.2f} ms  "
+              f"({flops/dt/1e12:6.1f} TF/s effective)")
+
+
+def bench_kernels():
+    import jax
+    import jax.numpy as jnp
+
+    from duodiff_tpu.models.layers import Block
+    from duodiff_tpu.ops.pallas_attention import flash_attention
+    from duodiff_tpu.ops.pallas_block import fused_attn_sublayer
+
+    b, h, l, dh = 128, 8, 257, 64
+    d = h * dh
+    key = jax.random.PRNGKey(0)
+    q, k, v = (
+        jax.random.normal(jax.random.PRNGKey(i), (b, h, l, dh), jnp.bfloat16)
+        for i in range(3)
+    )
+    dt = timeit(flash_attention, q, k, v)
+    sdpa_flops = 2 * 2 * b * h * l * l * dh
+    print(f"flash_attention:      {dt*1e3:8.2f} ms ({sdpa_flops/dt/1e12:6.1f} TF/s)")
+
+    x = jax.random.normal(key, (b, l, d), jnp.bfloat16)
+    ln_s = jnp.ones((d,), jnp.float32)
+    ln_b = jnp.zeros((d,), jnp.float32)
+    wqkv = jax.random.normal(key, (d, 3 * d), jnp.float32) * 0.02
+    wp = jax.random.normal(key, (d, d), jnp.float32) * 0.02
+    bp = jnp.zeros((d,), jnp.float32)
+    fused = jax.jit(
+        lambda x: fused_attn_sublayer(
+            x, ln_s, ln_b, wqkv, None, wp, bp, num_heads=h
+        )
+    )
+    dt = timeit(fused, x)
+    sub_flops = 2 * b * l * d * 4 * d + sdpa_flops
+    print(f"fused_attn_sublayer:  {dt*1e3:8.2f} ms ({sub_flops/dt/1e12:6.1f} TF/s)")
+
+    # unfused equivalent: one Block's attention half via XLA/pallas mix
+    for impl in ("pallas", "xla"):
+        blk = Block(num_heads=h, mlp_ratio=4, dtype=jnp.bfloat16, attn_impl=impl)
+        params = blk.init(jax.random.PRNGKey(0), x)["params"]
+        app = jax.jit(lambda p, x: blk.apply({"params": p}, x))
+        dt = timeit(app, params, x)
+        blk_flops = sub_flops + 2 * 2 * b * l * d * 4 * d
+        print(f"full Block[{impl:6s}]:   {dt*1e3:8.2f} ms "
+              f"({blk_flops/dt/1e12:6.1f} TF/s)")
+    blk = Block(num_heads=h, mlp_ratio=4, dtype=jnp.bfloat16, attn_impl="fused")
+    params = blk.init(jax.random.PRNGKey(0), x)["params"]
+    app = jax.jit(lambda p, x: blk.apply({"params": p}, x))
+    dt = timeit(app, params, x)
+    blk_flops = sub_flops + 2 * 2 * b * l * d * 4 * d
+    print(f"full Block[fused ]:   {dt*1e3:8.2f} ms ({blk_flops/dt/1e12:6.1f} TF/s)")
+
+
+if __name__ == "__main__":
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    from duodiff_tpu.utils.runtime import setup_compilation_cache
+
+    setup_compilation_cache()
+    if which in ("fwd", "all"):
+        bench_forward()
+    if which in ("kernels", "all"):
+        bench_kernels()

@@ -1,0 +1,107 @@
+"""Capture a device trace of the sampling hot loop and print a per-op-category
+time breakdown (the tooling behind NOTES.md's step-time tables).
+
+Runs one compiled 100-step sampling chunk under jax.profiler.trace, then
+parses the xplane protobuf with tensorboard_plugin_profile and aggregates
+device time by HLO category (fusion / custom-call / copy / convolution / ...),
+printing the top ops within each.
+
+Usage: python tools/trace_step.py [--attn fused|pallas|xla] [--batch 128]
+       [--steps 20] [--out /tmp/duodiff_trace]
+"""
+
+import argparse
+import glob
+import json
+import sys
+from collections import defaultdict
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def capture(args):
+    import jax
+    import jax.numpy as jnp
+
+    from duodiff_tpu.config import UViTConfig
+    from duodiff_tpu.diffusion import NoiseSchedule
+    from duodiff_tpu.diffusion.sampling import make_chunked_ddpm_sampler
+    from duodiff_tpu.models.uvit import init_uvit
+
+    cfg = UViTConfig(
+        img_size=64, patch_size=4, in_chans=3, embed_dim=512, depth=13,
+        num_heads=8, mlp_ratio=4, qkv_bias=False, mlp_time_embed=False,
+        num_classes=-1, normalize_timesteps=True,
+    )
+    model, params = init_uvit(
+        cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16, attn_impl=args.attn
+    )
+    schedule = NoiseSchedule.create(steps=1000)
+    sample = make_chunked_ddpm_sampler(
+        lambda x, t, y: model.apply({"params": params}, x, t, y),
+        schedule, parametrization="predict_noise", chunk=args.steps,
+    )
+    shape = (args.batch, 64, 64, 3)
+    t_start = args.steps - 1  # one chunk's worth of steps
+    # warm up / compile outside the trace
+    jax.block_until_ready(
+        sample(jax.random.PRNGKey(0), shape, t_start=t_start)
+    )
+    with jax.profiler.trace(args.out):
+        jax.block_until_ready(
+            sample(jax.random.PRNGKey(1), shape, t_start=t_start)
+        )
+    print(f"trace written to {args.out}", file=sys.stderr)
+
+
+def summarize(out_dir, n_steps):
+    """Aggregate device time by op category from the captured xplane."""
+    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+
+    xplanes = glob.glob(f"{out_dir}/**/*.xplane.pb", recursive=True)
+    assert xplanes, f"no xplane.pb under {out_dir}"
+    xplane = max(xplanes, key=lambda p: Path(p).stat().st_mtime)
+    data, _ = rtd.xspace_to_tool_data([xplane], "framework_op_stats^", {})
+    rows = json.loads(data) if isinstance(data, (str, bytes)) else data
+    # gviz JSON: first table is device ops
+    table = rows[0] if isinstance(rows, list) else rows
+    cols = [c["label"] for c in table["cols"]]
+    i_cat = cols.index("Type")
+    i_name = cols.index("Operation")
+    i_time = cols.index("Avg. self-time (us)")
+    i_occ = cols.index("#Occurrences")
+
+    by_cat = defaultdict(float)
+    by_op = defaultdict(float)
+    for r in table["rows"]:
+        c = [v["v"] for v in r["c"]]
+        total_us = float(c[i_time]) * int(c[i_occ])
+        by_cat[c[i_cat]] += total_us
+        by_op[(c[i_cat], c[i_name])] += total_us
+
+    total = sum(by_cat.values())
+    print(f"\ndevice total: {total/1e3:.2f} ms over {n_steps} steps "
+          f"({total/1e3/n_steps:.2f} ms/step)")
+    for cat, us in sorted(by_cat.items(), key=lambda kv: -kv[1]):
+        print(f"  {cat:<28s} {us/1e3:9.2f} ms  ({100*us/total:5.1f}%)  "
+              f"[{us/1e3/n_steps:6.3f} ms/step]")
+    print("\ntop 15 ops:")
+    for (cat, name), us in sorted(by_op.items(), key=lambda kv: -kv[1])[:15]:
+        print(f"  {us/1e3:9.2f} ms  {cat:<20s} {name[:90]}")
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--attn", default="fused")
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--out", default="/tmp/duodiff_trace")
+    p.add_argument("--summarize_only", action="store_true")
+    args = p.parse_args()
+    if not args.summarize_only:
+        from duodiff_tpu.utils.runtime import setup_compilation_cache
+
+        setup_compilation_cache()
+        capture(args)
+    summarize(args.out, args.steps)
