@@ -39,8 +39,11 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", "1000"))
     chunk = int(os.environ.get("BENCH_CHUNK", "100"))
     attn = os.environ.get(
-        "BENCH_ATTN", "pallas" if jax.default_backend() == "tpu" else "xla"
+        "BENCH_ATTN", "fused" if jax.default_backend() == "tpu" else "xla"
     )
+    # tanh-approx GELU: below bf16 rounding, saves the VPU-bound erf
+    # polynomial (~0.7 ms/block; duodiff_tpu.models.layers.Mlp docstring)
+    gelu_approx = os.environ.get("BENCH_GELU", "tanh") == "tanh"
 
     cfg = UViTConfig(
         img_size=64, patch_size=4, in_chans=3, embed_dim=512, depth=13,
@@ -48,7 +51,8 @@ def main():
         num_classes=-1, normalize_timesteps=True,
     )
     model, params = init_uvit(
-        cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16, attn_impl=attn
+        cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16, attn_impl=attn,
+        gelu_approx=gelu_approx,
     )
     schedule = NoiseSchedule.create(steps=steps)
     shape = (batch, 64, 64, 3)

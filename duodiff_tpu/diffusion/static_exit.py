@@ -45,6 +45,7 @@ def truncated_ee_apply(
     exit_layer: int,
     dtype=jnp.bfloat16,
     attn_impl: str = "auto",
+    gelu_approx: bool = False,
 ) -> Callable:
     """Build apply(x, t, y) that runs an EarlyExitUViT checkpoint truncated
     at ``exit_layer``: blocks 0..exit_layer-1 + output head ``exit_layer``
@@ -56,7 +57,10 @@ def truncated_ee_apply(
     depth = config.depth
     exit_layer = int(exit_layer)
     assert 0 <= exit_layer <= depth
-    uvit = UViT(config=config, dtype=dtype, attn_impl=attn_impl)
+    uvit = UViT(
+        config=config, dtype=dtype, attn_impl=attn_impl,
+        gelu_approx=gelu_approx,
+    )
 
     if exit_layer == depth:
         def apply_full(x, t, y):
@@ -161,6 +165,7 @@ def static_exit_sample(
     y=None,
     dtype=jnp.bfloat16,
     attn_impl: str = "auto",
+    gelu_approx: bool = False,
     chunk: int = 100,
 ):
     """Sample with per-bucket truncated backbones (one chunked scan per
@@ -173,7 +178,9 @@ def static_exit_sample(
     for _, _, layer in buckets:
         if layer not in samplers:
             samplers[layer] = ChunkedDDPMSampler(
-                truncated_ee_apply(config, params, layer, dtype, attn_impl),
+                truncated_ee_apply(
+                    config, params, layer, dtype, attn_impl, gelu_approx
+                ),
                 schedule,
                 parametrization="predict_noise",
                 chunk=chunk,

@@ -175,6 +175,7 @@ class EarlyExitUViT(nn.Module):
     config: UViTConfig
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    gelu_approx: bool = False
 
     @nn.compact
     def __call__(
@@ -190,7 +191,8 @@ class EarlyExitUViT(nn.Module):
         t_idx = jnp.clip(timesteps.astype(jnp.int32), 0, 999)
 
         uvit = UViT(
-            config=cfg, dtype=self.dtype, attn_impl=self.attn_impl, name="uvit"
+            config=cfg, dtype=self.dtype, attn_impl=self.attn_impl,
+            gelu_approx=self.gelu_approx, name="uvit"
         )
         tokens = uvit.embed_tokens(x, timesteps, y)
 
@@ -261,10 +263,14 @@ class EarlyExitUViT(nn.Module):
 
 
 def init_early_exit_uvit(
-    config: UViTConfig, key: jax.Array, dtype=jnp.float32, attn_impl: str = "auto"
+    config: UViTConfig, key: jax.Array, dtype=jnp.float32,
+    attn_impl: str = "auto", gelu_approx: bool = False,
 ):
     """Create an EarlyExitUViT and initialize parameters."""
-    model = EarlyExitUViT(config=config, dtype=dtype, attn_impl=attn_impl)
+    model = EarlyExitUViT(
+        config=config, dtype=dtype, attn_impl=attn_impl,
+        gelu_approx=gelu_approx,
+    )
     x = jnp.zeros((1, config.img_size, config.img_size, config.in_chans), jnp.float32)
     t = jnp.zeros((1,), jnp.float32)
     y = jnp.zeros((1,), jnp.int32) if config.num_classes > 0 else None

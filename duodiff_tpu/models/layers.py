@@ -72,22 +72,36 @@ def unpatchify(x: jax.Array, channels: int = 3) -> jax.Array:
 
 
 class Mlp(nn.Module):
-    """Two-layer GELU MLP (reference models/uvit.py:69-92; drop=0 everywhere)."""
+    """Two-layer GELU MLP (reference models/uvit.py:69-92; drop=0 everywhere).
+
+    ``gelu_approx`` swaps the exact-erf GELU (torch nn.GELU default) for the
+    tanh approximation — a sampling-path perf knob: on TPU the erf polynomial
+    is VPU-bound and costs ~0.7ms per block at CelebA-64 batch 128, while the
+    tanh form is free (hidden in the matmul pipeline); the difference is
+    below bf16 rounding. Default False for reference parity.
+    """
 
     hidden_features: int
     out_features: int
     dtype: jnp.dtype = jnp.float32
+    gelu_approx: bool = False
+    in_features: int = 0  # only needed when called with raw=True
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, raw: bool = False):
+        if raw:  # fused-kernel path: declare identical params, no compute
+            k1, b1 = _DenseParams(self.in_features, self.hidden_features,
+                                  name="fc1")()
+            k2, b2 = _DenseParams(self.hidden_features, self.out_features,
+                                  name="fc2")()
+            return (k1, b1), (k2, b2)
         x = nn.Dense(
             self.hidden_features,
             dtype=self.dtype,
             kernel_init=trunc_normal_init,
             name="fc1",
         )(x)
-        # torch nn.GELU default is the exact erf formulation.
-        x = nn.gelu(x, approximate=False)
+        x = nn.gelu(x, approximate=self.gelu_approx)
         x = nn.Dense(
             self.out_features,
             dtype=self.dtype,
@@ -95,6 +109,22 @@ class Mlp(nn.Module):
             name="fc2",
         )(x)
         return x
+
+
+class _DenseParams(nn.Module):
+    """Declares nn.Dense's kernel/bias (same names, shapes, inits) for
+    handing raw params to the fused sublayer kernels."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", trunc_normal_init, (self.in_features, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
 
 
 class _QKVProj(nn.Module):
@@ -221,6 +251,7 @@ class Block(nn.Module):
     skip: bool = False
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    gelu_approx: bool = False
 
     @nn.compact
     def __call__(self, x, skip: Optional[jax.Array] = None):
@@ -241,29 +272,45 @@ class Block(nn.Module):
             features=d,
             name="attn",
         )
+        mlp = Mlp(
+            hidden_features=int(d * self.mlp_ratio),
+            out_features=d,
+            dtype=self.dtype,
+            gelu_approx=self.gelu_approx,
+            in_features=d,
+            name="mlp",
+        )
         if self.attn_impl == "fused":
-            # Whole pre-norm attention sublayer as ONE Pallas kernel
+            # Both pre-norm sublayers as single Pallas kernels
             # (duodiff_tpu/ops/pallas_block.py); the param tree is identical
             # to the unfused path (the submodules declare, raw=True returns).
-            from duodiff_tpu.ops.pallas_block import fused_attn_sublayer
+            from duodiff_tpu.ops.pallas_block import (
+                fused_attn_sublayer,
+                fused_mlp_sublayer,
+            )
 
+            interpret = jax.default_backend() != "tpu"
             ln_scale, ln_bias = _LNParams(name="norm1")(d)
             (wqkv, bqkv), (wp, bp) = attn(None, raw=True)
             x = fused_attn_sublayer(
                 x.astype(self.dtype), ln_scale, ln_bias, wqkv, bqkv, wp, bp,
                 num_heads=self.num_heads,
-                interpret=jax.default_backend() != "tpu",
+                interpret=interpret,
             )
-        else:
-            x = x + attn(
-                _layer_norm(x, name="norm1", out_dtype=self.dtype)
-            ).astype(x.dtype)
-        x = x + Mlp(
-            hidden_features=int(d * self.mlp_ratio),
-            out_features=d,
-            dtype=self.dtype,
-            name="mlp",
-        )(_layer_norm(x, name="norm2", out_dtype=self.dtype)).astype(x.dtype)
+            ln2_scale, ln2_bias = _LNParams(name="norm2")(d)
+            (w1, b1), (w2, b2) = mlp(None, raw=True)
+            x = fused_mlp_sublayer(
+                x, ln2_scale, ln2_bias, w1, b1, w2, b2,
+                gelu_approx=self.gelu_approx,
+                interpret=interpret,
+            )
+            return x
+        x = x + attn(
+            _layer_norm(x, name="norm1", out_dtype=self.dtype)
+        ).astype(x.dtype)
+        x = x + mlp(
+            _layer_norm(x, name="norm2", out_dtype=self.dtype)
+        ).astype(x.dtype)
         return x
 
 

@@ -47,6 +47,7 @@ class UViT(nn.Module):
     config: UViTConfig
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    gelu_approx: bool = False
 
     def setup(self):
         cfg = self.config
@@ -72,6 +73,7 @@ class UViT(nn.Module):
             qkv_bias=cfg.qkv_bias,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            gelu_approx=self.gelu_approx,
         )
         self.in_blocks = [Block(**common) for _ in range(cfg.depth // 2)]
         self.mid_block = Block(**common)
@@ -136,13 +138,17 @@ class UViT(nn.Module):
 
 
 def init_uvit(
-    config: UViTConfig, key: jax.Array, dtype=jnp.float32, attn_impl: str = "auto"
+    config: UViTConfig, key: jax.Array, dtype=jnp.float32,
+    attn_impl: str = "auto", gelu_approx: bool = False,
 ):
     """Create a UViT module and initialize its parameters.
 
     Returns (module, params) where params is a fp32 pytree.
     """
-    model = UViT(config=config, dtype=dtype, attn_impl=attn_impl)
+    model = UViT(
+        config=config, dtype=dtype, attn_impl=attn_impl,
+        gelu_approx=gelu_approx,
+    )
     x = jnp.zeros((1, config.img_size, config.img_size, config.in_chans), jnp.float32)
     t = jnp.zeros((1,), jnp.float32)
     y = jnp.zeros((1,), jnp.int32) if config.num_classes > 0 else None

@@ -96,6 +96,79 @@ def _kernel(*refs, num_heads: int, scale: float, eps: float, has_qkv_bias: bool)
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
+def _kernel_v2(*refs, num_heads: int, scale: float, eps: float,
+               has_qkv_bias: bool):
+    """Batch-only grid variant: per sample, ONE full-width (L, D) x (D, 3D)
+    QKV matmul (full MXU tiles vs the (b, h)-grid version's N=64 per-head
+    projections), then a static unrolled head loop over 64-column lane
+    slices of the packed result. Weights have constant block indices, so
+    Pallas DMAs them once instead of once per (batch, head) program."""
+    if has_qkv_bias:
+        (x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
+         o_ref) = refs
+    else:
+        (x_ref, g_ref, b_ref, wqkv_ref, wp_ref, bp_ref, o_ref) = refs
+        bqkv_ref = None
+
+    g, l, d = x_ref.shape
+    dh = d // num_heads
+    for i in range(g):
+        xv = x_ref[i].astype(jnp.float32)  # (L, D)
+        mean = jnp.mean(xv, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xv - mean), axis=-1, keepdims=True)
+        xn = (xv - mean) * jax.lax.rsqrt(var + eps)
+        xn = xn * g_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
+        xn = xn.astype(x_ref.dtype)
+
+        qkv = jnp.dot(xn, wqkv_ref[:], preferred_element_type=jnp.float32)
+        if has_qkv_bias:
+            qkv = qkv + bqkv_ref[0].astype(jnp.float32)
+        # fold the softmax scale into q here (one (L, D) multiply) instead of
+        # scaling the fp32 (L, L) score matrix (saves a full VPU pass over
+        # the largest tensor in the kernel)
+        qs = (
+            jax.lax.slice(qkv, (0, 0), (l, d)) * scale
+        ).astype(x_ref.dtype)
+        qkv = qkv.astype(x_ref.dtype)  # (L, 3D), packed (K H Dh)
+
+        heads = []
+        for h in range(num_heads):
+            q = jax.lax.slice(qs, (0, h * dh), (l, (h + 1) * dh))
+            k = jax.lax.slice(qkv, (0, d + h * dh), (l, d + (h + 1) * dh))
+            v = jax.lax.slice(qkv, (0, 2 * d + h * dh), (l, 2 * d + (h + 1) * dh))
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (L, L)
+            p = jax.nn.softmax(s, axis=-1)
+            o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+            heads.append(o.astype(x_ref.dtype))
+        # one full-width K=D output projection instead of num_heads K=Dh
+        # partial matmuls (K=64 runs the MXU at half rate)
+        merged = jnp.concatenate(heads, axis=1)  # (L, D)
+        proj = jnp.dot(merged, wp_ref[:], preferred_element_type=jnp.float32)
+        o_ref[i] = (xv + proj + bp_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _group_size_v2(b: int, l: int, d: int, itemsize: int,
+                   budget_bytes: int = 10 * 2**20) -> int:
+    """Largest divisor of b fitting the v2 working set (weights excluded —
+    constant-index blocks are fetched once)."""
+    l_sub = _round_up(l, 8)
+    l_lane = _round_up(l, 128)
+    best = 1
+    for g in range(1, b + 1):
+        if b % g:
+            continue
+        x_io = 4 * g * l_sub * d * itemsize
+        qkv = g * l_sub * 3 * d * max(itemsize, 4)  # fp32 before cast
+        acc = g * l_sub * d * 4
+        sp = 2 * l_sub * l_lane * 4  # per-head transient
+        if x_io + qkv + acc + sp <= budget_bytes:
+            best = g
+    return best
+
+
 def _group_size(b: int, l: int, d: int, dh: int, itemsize: int,
                 budget_bytes: int = 10 * 2**20) -> int:
     """Largest divisor of b whose VMEM working set fits the budget."""
@@ -117,8 +190,102 @@ def _group_size(b: int, l: int, d: int, dh: int, itemsize: int,
     return best
 
 
+def _mlp_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+                *, eps: float, gelu_approx: bool):
+    """x + fc2(gelu(fc1(LN(x)))) for a batch group, fully VMEM-resident."""
+    g, l, d = x_ref.shape
+    for i in range(g):
+        xv = x_ref[i].astype(jnp.float32)  # (L, D)
+        mean = jnp.mean(xv, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xv - mean), axis=-1, keepdims=True)
+        xn = (xv - mean) * jax.lax.rsqrt(var + eps)
+        xn = xn * g_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
+        h = jnp.dot(
+            xn.astype(x_ref.dtype), w1_ref[:], preferred_element_type=jnp.float32
+        ) + b1_ref[0].astype(jnp.float32)
+        h = jax.nn.gelu(h, approximate=gelu_approx).astype(x_ref.dtype)
+        out = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
+        o_ref[i] = (xv + out + b2_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _group_size_mlp(b: int, l: int, d: int, hidden: int, itemsize: int,
+                    budget_bytes: int = 9 * 2**20) -> int:
+    l_sub = _round_up(l, 8)
+    weights = 2 * d * hidden * itemsize  # constant-index blocks, single copy
+    best = 1
+    for g in range(1, b + 1):
+        if b % g:
+            continue
+        x_io = 4 * g * l_sub * d * itemsize
+        hid = l_sub * hidden * (4 + itemsize)  # fp32 pre-gelu + cast
+        acc = l_sub * d * 4
+        if weights + x_io + hid + acc <= budget_bytes:
+            best = g
+    return best
+
+
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "eps", "interpret")
+    jax.jit, static_argnames=("eps", "gelu_approx", "interpret")
+)
+def fused_mlp_sublayer(
+    x: jax.Array,
+    ln_scale: jax.Array,
+    ln_bias: jax.Array,
+    fc1_kernel: jax.Array,
+    fc1_bias: jax.Array,
+    fc2_kernel: jax.Array,
+    fc2_bias: jax.Array,
+    *,
+    eps: float = 1e-5,
+    gelu_approx: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """Compute ``x + fc2(gelu(fc1(layernorm(x))))`` in one kernel.
+
+    The hidden (L, mlp_ratio*D) activation never touches HBM (the XLA version
+    writes + re-reads it between the two matmuls), and LayerNorm statistics
+    stay fp32 in VMEM.
+    """
+    b, l, d = x.shape
+    hidden = fc1_kernel.shape[1]
+    dtype = x.dtype
+    itemsize = jnp.dtype(dtype).itemsize
+
+    grp = _group_size_mlp(b, l, d, hidden, itemsize)
+    row = pl.BlockSpec((grp, l, d), lambda i: (i, 0, 0))
+    vec_d = pl.BlockSpec((1, d), lambda i: (0, 0))
+    vec_h = pl.BlockSpec((1, hidden), lambda i: (0, 0))
+    return pl.pallas_call(
+        functools.partial(_mlp_kernel, eps=eps, gelu_approx=gelu_approx),
+        out_shape=jax.ShapeDtypeStruct((b, l, d), dtype),
+        grid=(b // grp,),
+        in_specs=[
+            row, vec_d, vec_d,
+            pl.BlockSpec((d, hidden), lambda i: (0, 0)),
+            vec_h,
+            pl.BlockSpec((hidden, d), lambda i: (0, 0)),
+            vec_d,
+        ],
+        out_specs=row,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * l * d * hidden,
+            bytes_accessed=2 * b * l * d * itemsize,
+            transcendentals=b * l * hidden,
+        ),
+        interpret=interpret,
+    )(
+        x,
+        ln_scale.reshape(1, d),
+        ln_bias.reshape(1, d),
+        fc1_kernel.astype(dtype),
+        fc1_bias.astype(jnp.float32).reshape(1, hidden),
+        fc2_kernel.astype(dtype),
+        fc2_bias.astype(jnp.float32).reshape(1, d),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "eps", "interpret", "variant")
 )
 def fused_attn_sublayer(
     x: jax.Array,
@@ -132,6 +299,7 @@ def fused_attn_sublayer(
     num_heads: int,
     eps: float = 1e-5,
     interpret: bool = False,
+    variant: str = "v2",
 ) -> jax.Array:
     """Compute ``x + proj(attention(qkv(layernorm(x))))`` in one kernel.
 
@@ -142,6 +310,8 @@ def fused_attn_sublayer(
         "(K H Dh)" (reference models/uvit.py:150,159).
       qkv_bias: (3D,) packed bias or None.
       proj_kernel: (D, D); proj_bias: (D,).
+      variant: "v2" (batch grid, full-width QKV matmul, unrolled head loop)
+        or "v1" ((batch, head) grid with per-head weight blocks).
     Returns:
       (B, L, D) in x's dtype.
     """
@@ -151,18 +321,59 @@ def fused_attn_sublayer(
     assert h * dh == d, (d, h)
     scale = float(dh) ** -0.5
     dtype = x.dtype
+    itemsize = jnp.dtype(dtype).itemsize
 
-    # Prepack weights per head: (3, H, D, Dh) / (H, Dh, D). Tiny relative to
-    # activations (a few MB); XLA fuses the transposes into the cast.
+    bp = proj_bias.astype(jnp.float32).reshape(1, d)
+    g2 = ln_scale.reshape(1, d)
+    b2 = ln_bias.reshape(1, d)
+    cost = pl.CostEstimate(
+        flops=2 * b * l * d * (4 * d + 2 * l),
+        bytes_accessed=2 * b * l * d * itemsize,
+        transcendentals=b * h * l * l,
+    )
+
+    if variant == "v2":
+        wqkv = qkv_kernel.astype(dtype)             # (D, 3D), packed (K H Dh)
+        wp = proj_kernel.astype(dtype)              # (D, D), rows (H Dh)
+        grp = _group_size_v2(b, l, d, itemsize)
+        row = pl.BlockSpec((grp, l, d), lambda i: (i, 0, 0))
+        vec = pl.BlockSpec((1, d), lambda i: (0, 0))
+        in_specs = [
+            row, vec, vec,
+            pl.BlockSpec((d, 3 * d), lambda i: (0, 0)),  # wqkv
+        ]
+        args = [x, g2, b2, wqkv]
+        if qkv_bias is not None:
+            in_specs.append(pl.BlockSpec((1, 3 * d), lambda i: (0, 0)))
+            args.append(qkv_bias.astype(jnp.float32).reshape(1, 3 * d))
+        in_specs += [
+            pl.BlockSpec((d, d), lambda i: (0, 0)),  # wproj
+            vec,
+        ]
+        args += [wp, bp]
+        return pl.pallas_call(
+            functools.partial(
+                _kernel_v2,
+                num_heads=h,
+                scale=scale,
+                eps=eps,
+                has_qkv_bias=qkv_bias is not None,
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, l, d), dtype),
+            grid=(b // grp,),
+            in_specs=in_specs,
+            out_specs=row,
+            cost_estimate=cost,
+            interpret=interpret,
+        )(*args)
+
+    # v1: (batch, head) grid with per-head weight blocks
     wqkv = (
         qkv_kernel.astype(dtype).reshape(d, 3, h, dh).transpose(1, 2, 0, 3)
     )
     wp = proj_kernel.astype(dtype).reshape(h, dh, d)
-    bp = proj_bias.astype(jnp.float32).reshape(1, d)
-    g2 = ln_scale.reshape(1, d)
-    b2 = ln_bias.reshape(1, d)
 
-    grp = _group_size(b, l, d, dh, jnp.dtype(dtype).itemsize)
+    grp = _group_size(b, l, d, dh, itemsize)
 
     row = pl.BlockSpec((grp, l, d), lambda i, j: (i, 0, 0))
     full_vec = pl.BlockSpec((1, d), lambda i, j: (0, 0))
@@ -198,11 +409,7 @@ def fused_attn_sublayer(
             pltpu.VMEM((grp, l, d), dtype),        # LayerNorm output
             pltpu.VMEM((grp, l, d), jnp.float32),  # residual/proj accumulator
         ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b * l * d * (4 * d + 2 * l),
-            bytes_accessed=2 * b * l * d * jnp.dtype(dtype).itemsize,
-            transcendentals=b * h * l * l,
-        ),
+        cost_estimate=cost,
         interpret=interpret,
     )(*args)
     return out

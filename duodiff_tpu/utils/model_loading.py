@@ -20,11 +20,16 @@ def load_model_from_config(
     early_exit: bool = False,
     dtype=jnp.bfloat16,
     seed: int = 0,
+    attn_impl: Optional[str] = None,
+    gelu_approx: bool = False,
 ) -> Tuple[object, dict, UViTConfig, Optional[AutoencoderConfig]]:
     """Build a (UViT | EarlyExitUViT) from a reference-format YAML and
     optionally load weights from an Orbax dir or torch .pth.
 
     checkpoint_path=None keeps random init (useful for smoke/perf runs).
+    attn_impl=None picks the fused Pallas sublayer kernel on TPU and plain
+    XLA elsewhere; gelu_approx swaps the exact-erf GELU for the tanh form
+    (below bf16 rounding; see duodiff_tpu.models.layers.Mlp).
     """
     raw = load_config(config_path)
     cfg = UViTConfig.from_dict(raw["model_params"])
@@ -33,8 +38,13 @@ def load_model_from_config(
         if "autoencoder" in raw
         else None
     )
+    if attn_impl is None:
+        attn_impl = "fused" if jax.default_backend() == "tpu" else "auto"
     init = init_early_exit_uvit if early_exit else init_uvit
-    model, params = init(cfg, jax.random.PRNGKey(seed), dtype=dtype)
+    model, params = init(
+        cfg, jax.random.PRNGKey(seed), dtype=dtype,
+        attn_impl=attn_impl, gelu_approx=gelu_approx,
+    )
     if checkpoint_path:
         from duodiff_tpu.training.trainer import load_params_flexible
 

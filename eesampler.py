@@ -27,6 +27,10 @@ def get_args(argv=None):
     parser.add_argument("--class_id", type=int, default=None)
     parser.add_argument("--random_init", action="store_true")
     parser.add_argument("--num_timesteps", type=int, default=1000)
+    parser.add_argument("--attn_impl", type=str, default=None,
+                        choices=["auto", "xla", "pallas", "fused"])
+    parser.add_argument("--gelu_approx", action="store_true",
+                        help="tanh-approx GELU (below bf16 rounding)")
     parser.add_argument(
         "--static_schedule", type=str, default=None,
         help="Timestep-bucketed static exits, e.g. '999-700:3,699-300:8,"
@@ -63,6 +67,8 @@ def main(argv=None):
         None if args.random_init else args.checkpoint_path,
         early_exit=True,
         seed=args.seed,
+        attn_impl=args.attn_impl,
+        gelu_approx=args.gelu_approx,
     )
 
     decode_fn = None
@@ -98,6 +104,9 @@ def main(argv=None):
         x = static_exit_sample(
             cfg, params, key, schedule=schedule, shape=shape,
             buckets=buckets, y=y,
+            attn_impl=args.attn_impl
+            or ("fused" if jax.default_backend() == "tpu" else "auto"),
+            gelu_approx=args.gelu_approx,
         )
         x = jax.block_until_ready(x)
         elapsed = time.time() - tic

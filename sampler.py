@@ -40,6 +40,13 @@ def get_args(argv=None):
     parser.add_argument("--random_init", action="store_true",
                         help="Skip checkpoint loading (random weights)")
     parser.add_argument("--num_timesteps", type=int, default=1000)
+    parser.add_argument("--attn_impl", type=str, default=None,
+                        choices=["auto", "xla", "pallas", "fused"],
+                        help="Attention path (default: fused Pallas sublayer "
+                             "kernel on TPU, XLA elsewhere)")
+    parser.add_argument("--gelu_approx", action="store_true",
+                        help="tanh-approx GELU (below bf16 rounding, ~20%% "
+                             "faster steps on TPU)")
     return parser.parse_args(argv)
 
 
@@ -66,6 +73,8 @@ def main(argv=None):
         args.config_path,
         None if args.random_init else args.checkpoint_path,
         seed=args.seed,
+        attn_impl=args.attn_impl,
+        gelu_approx=args.gelu_approx,
     )
 
     late = None
@@ -74,6 +83,8 @@ def main(argv=None):
             args.config_path_late or args.config_path,
             None if args.random_init else args.checkpoint_path_late,
             seed=args.seed + 1,
+            attn_impl=args.attn_impl,
+            gelu_approx=args.gelu_approx,
         )
         late = (late_model, late_params)
 

@@ -52,6 +52,43 @@ def test_pallas_attention_bf16_inputs(qkv):
     np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-2)
 
 
+@pytest.mark.parametrize("variant", ["v1", "v2"])
+@pytest.mark.parametrize("qkv_bias", [False, True])
+def test_fused_sublayer_variants_match(variant, qkv_bias):
+    """Both fused-kernel grid layouts ((b,h) accumulate vs batch-only with
+    an unrolled head loop) must match the XLA math."""
+    from duodiff_tpu.models.layers import Attention
+    from duodiff_tpu.ops.pallas_block import fused_attn_sublayer
+
+    d, h, l, b = 128, 4, 17, 3
+    keys = jax.random.split(jax.random.PRNGKey(0), 8)
+    x = jax.random.normal(keys[0], (b, l, d), jnp.float32)
+    ln_s = 1.0 + 0.1 * jax.random.normal(keys[1], (d,))
+    ln_b = 0.1 * jax.random.normal(keys[2], (d,))
+    wqkv = 0.05 * jax.random.normal(keys[3], (d, 3 * d))
+    bqkv = 0.05 * jax.random.normal(keys[4], (3 * d,)) if qkv_bias else None
+    wp = 0.05 * jax.random.normal(keys[5], (d, d))
+    bp = 0.05 * jax.random.normal(keys[6], (d,))
+
+    got = fused_attn_sublayer(
+        x, ln_s, ln_b, wqkv, bqkv, wp, bp,
+        num_heads=h, interpret=True, variant=variant,
+    )
+
+    # reference: LN (fp32) -> Attention(xla) -> residual
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    xn = (x - mean) * jax.lax.rsqrt(var + 1e-5) * ln_s + ln_b
+    attn = Attention(num_heads=h, qkv_bias=qkv_bias, dtype=jnp.float32,
+                     attn_impl="xla")
+    params = {"qkv": {"kernel": wqkv}, "proj": {"kernel": wp, "bias": bp}}
+    if qkv_bias:
+        params["qkv"]["bias"] = bqkv
+    want = x + attn.apply({"params": params}, xn)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.parametrize("qkv_bias", [False, True])
 @pytest.mark.parametrize("skip", [False, True])
 def test_fused_block_matches_xla_block(qkv_bias, skip):

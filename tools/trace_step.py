@@ -35,7 +35,8 @@ def capture(args):
         num_classes=-1, normalize_timesteps=True,
     )
     model, params = init_uvit(
-        cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16, attn_impl=args.attn
+        cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16, attn_impl=args.attn,
+        gelu_approx=args.gelu == "tanh",
     )
     schedule = NoiseSchedule.create(steps=1000)
     sample = make_chunked_ddpm_sampler(
@@ -56,44 +57,60 @@ def capture(args):
 
 
 def summarize(out_dir, n_steps):
-    """Aggregate device time by op category from the captured xplane."""
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+    """Aggregate device time by HLO category from the captured xplane.
+
+    Parses the raw xplane protobuf (tensorflow.tsl xplane_pb2 — the
+    tensorboard_plugin_profile native bridge is version-mismatched in this
+    image) and sums event durations on the TPU device plane.
+    """
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     xplanes = glob.glob(f"{out_dir}/**/*.xplane.pb", recursive=True)
     assert xplanes, f"no xplane.pb under {out_dir}"
     xplane = max(xplanes, key=lambda p: Path(p).stat().st_mtime)
-    data, _ = rtd.xspace_to_tool_data([xplane], "framework_op_stats^", {})
-    rows = json.loads(data) if isinstance(data, (str, bytes)) else data
-    # gviz JSON: first table is device ops
-    table = rows[0] if isinstance(rows, list) else rows
-    cols = [c["label"] for c in table["cols"]]
-    i_cat = cols.index("Type")
-    i_name = cols.index("Operation")
-    i_time = cols.index("Avg. self-time (us)")
-    i_occ = cols.index("#Occurrences")
+    space = xplane_pb2.XSpace()
+    space.ParseFromString(Path(xplane).read_bytes())
 
-    by_cat = defaultdict(float)
-    by_op = defaultdict(float)
-    for r in table["rows"]:
-        c = [v["v"] for v in r["c"]]
-        total_us = float(c[i_time]) * int(c[i_occ])
-        by_cat[c[i_cat]] += total_us
-        by_op[(c[i_cat], c[i_name])] += total_us
-
-    total = sum(by_cat.values())
-    print(f"\ndevice total: {total/1e3:.2f} ms over {n_steps} steps "
-          f"({total/1e3/n_steps:.2f} ms/step)")
-    for cat, us in sorted(by_cat.items(), key=lambda kv: -kv[1]):
-        print(f"  {cat:<28s} {us/1e3:9.2f} ms  ({100*us/total:5.1f}%)  "
-              f"[{us/1e3/n_steps:6.3f} ms/step]")
-    print("\ntop 15 ops:")
-    for (cat, name), us in sorted(by_op.items(), key=lambda kv: -kv[1])[:15]:
-        print(f"  {us/1e3:9.2f} ms  {cat:<20s} {name[:90]}")
+    for plane in space.planes:
+        if not ("TPU" in plane.name or "/device:" in plane.name):
+            continue
+        ev_meta = plane.event_metadata
+        stat_meta = plane.stat_metadata
+        by_cat = defaultdict(float)
+        by_op = defaultdict(float)
+        for line in plane.lines:
+            if "step" in line.name.lower():
+                continue  # step-markers double-count op time
+            for ev in line.events:
+                md = ev_meta[ev.metadata_id]
+                dur_us = ev.duration_ps / 1e6
+                cat = ""
+                for st in list(ev.stats) + list(md.stats):
+                    name = stat_meta[st.metadata_id].name
+                    if name == "hlo_category":
+                        cat = st.str_value or stat_meta[st.ref_value].name
+                        break
+                if not cat:
+                    cat = "(uncategorized)"
+                by_cat[cat] += dur_us
+                by_op[(cat, md.name)] += dur_us
+        total = sum(by_cat.values())
+        if total == 0:
+            continue
+        print(f"\nplane {plane.name}: {total/1e3:.2f} ms over {n_steps} steps "
+              f"({total/1e3/n_steps:.2f} ms/step)")
+        for cat, us in sorted(by_cat.items(), key=lambda kv: -kv[1]):
+            print(f"  {cat:<28s} {us/1e3:9.2f} ms  ({100*us/total:5.1f}%)  "
+                  f"[{us/1e3/n_steps:6.3f} ms/step]")
+        print("\ntop 15 ops:")
+        for (cat, name), us in sorted(by_op.items(), key=lambda kv: -kv[1])[:15]:
+            print(f"  {us/1e3:9.2f} ms  {cat:<20s} {name[:90]}")
 
 
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--attn", default="fused")
+    p.add_argument("--gelu", default="tanh", choices=["tanh", "exact"])
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--out", default="/tmp/duodiff_trace")
