@@ -1,5 +1,6 @@
 from duodiff_tpu.parallel.mesh import (
     create_mesh,
+    create_hybrid_mesh,
     batch_sharding,
     param_sharding_rules,
     shard_params,
@@ -8,6 +9,7 @@ from duodiff_tpu.parallel.mesh import (
 
 __all__ = [
     "create_mesh",
+    "create_hybrid_mesh",
     "batch_sharding",
     "param_sharding_rules",
     "shard_params",

@@ -46,9 +46,39 @@ def create_mesh(
     return Mesh(dev_array, axis_names)
 
 
+def create_hybrid_mesh(
+    axis_names: Sequence[str] = ("dcn", "data", "model"),
+    model_parallel: int = 1,
+    devices=None,
+) -> Mesh:
+    """Multi-host mesh: the slowest axis ("dcn") spans processes/slices, the
+    inner axes span each host's local devices over ICI — so data-parallel
+    gradient psums decompose into a fast ICI reduce + a small DCN
+    all-reduce, and tensor-parallel collectives never leave a host.
+
+    Call ``jax.distributed.initialize()`` first; with one process this
+    degenerates to a (1, local, model_parallel) mesh.
+    """
+    devices = devices if devices is not None else jax.devices()
+    n_proc = jax.process_count()
+    n = len(devices)
+    assert n % n_proc == 0, (n, n_proc)
+    local = n // n_proc
+    assert local % model_parallel == 0, (local, model_parallel)
+    # jax.devices() orders by process index, so a simple reshape puts each
+    # process's devices contiguous on the inner axes (DCN outermost).
+    dev_array = np.asarray(devices).reshape(
+        n_proc, local // model_parallel, model_parallel
+    )
+    return Mesh(dev_array, axis_names)
+
+
 def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
-    """Shard the leading (batch) dimension over the "data" axis."""
-    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+    """Shard the leading (batch) dimension over every non-"model" mesh axis
+    (("dcn", "data") on a hybrid mesh, "data" on a single-host mesh)."""
+    axes = tuple(a for a in mesh.axis_names if a != "model")
+    batch_axes = axes if len(axes) > 1 else axes[0]
+    return NamedSharding(mesh, P(batch_axes, *([None] * (ndim - 1))))
 
 
 def replicate(mesh: Mesh) -> NamedSharding:
