@@ -254,9 +254,15 @@ def convert_inception_weights(path, template):
 def load_inception(weights_path):
     """Build the extractor and load converted pt_inception/torchvision
     weights. Raises with a clear message when the weights file is absent
-    (this image has no network egress to download them)."""
+    (this image has no network egress to download them).
+
+    ``weights_path="random-init"`` skips loading (random features) — only
+    for smoke-testing FID plumbing; the resulting numbers are meaningless.
+    """
     from pathlib import Path
 
+    if weights_path == "random-init":
+        return init_inception()
     if not Path(weights_path).exists():
         raise FileNotFoundError(
             f"Inception weights not found at {weights_path}. FID needs the "

@@ -107,6 +107,60 @@ def bench_kernels():
     print(f"full Block[fused ]:   {dt*1e3:8.2f} ms ({blk_flops/dt/1e12:6.1f} TF/s)")
 
 
+def bench_train():
+    """Full CelebA-64 train step (fwd+loss+grad+AdamW) per attention impl.
+    2026-08-16 v5e results: pallas(custom VJP) 117.9 ms/step vs xla 171.7."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from duodiff_tpu.config import UViTConfig
+    from duodiff_tpu.diffusion import NoiseSchedule
+    from duodiff_tpu.models.uvit import init_uvit
+    from duodiff_tpu.training.train_state import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    cfg = UViTConfig(
+        img_size=64, patch_size=4, in_chans=3, embed_dim=512, depth=13,
+        num_heads=8, mlp_ratio=4, qkv_bias=False, mlp_time_embed=False,
+        num_classes=-1, normalize_timesteps=True,
+    )
+    sched = NoiseSchedule.create(steps=1000)
+    tx = make_optimizer(lr=2e-4, weight_decay=0.03, beta1=0.99, beta2=0.999,
+                        max_grad_norm=1.0, num_warmup_steps=1500,
+                        num_training_steps=500000)
+    batch = {
+        "image": jnp.asarray(
+            np.random.RandomState(0).randn(128, 64, 64, 3), jnp.float32
+        ),
+        "label": jnp.zeros((128,), jnp.int32),
+    }
+    for impl in ("pallas", "xla"):
+        model, params = init_uvit(
+            cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16, attn_impl=impl
+        )
+        state = create_train_state(params, tx)
+        step = jax.jit(make_train_step(
+            lambda p, x, t, y: model.apply({"params": p}, x, t, y),
+            sched, model_kind="uvit", parametrization="predict_noise",
+        ), donate_argnums=(0,))
+        key = jax.random.PRNGKey(1)
+        for _ in range(3):
+            state, m = step(state, batch, key)
+        jax.block_until_ready(m["train_loss"])
+        t0 = time.perf_counter()
+        n = 20
+        for _ in range(n):
+            state, m = step(state, batch, key)
+        jax.block_until_ready(m["train_loss"])
+        dt = (time.perf_counter() - t0) / n
+        print(f"train_step[{impl:6s}]: {dt*1e3:7.1f} ms/step "
+              f"({1/dt:.2f} steps/s, loss {float(m['train_loss']):.4f})")
+
+
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     from duodiff_tpu.utils.runtime import setup_compilation_cache
@@ -116,3 +170,5 @@ if __name__ == "__main__":
         bench_forward()
     if which in ("kernels", "all"):
         bench_kernels()
+    if which in ("train", "all"):
+        bench_train()
