@@ -285,24 +285,22 @@ class Block(nn.Module):
             # (duodiff_tpu/ops/pallas_block.py); the param tree is identical
             # to the unfused path (the submodules declare, raw=True returns).
             from duodiff_tpu.ops.pallas_block import (
-                fused_attn_sublayer,
-                fused_mlp_sublayer,
+                fused_attn_sublayer_trainable,
+                fused_mlp_sublayer_trainable,
             )
 
             interpret = jax.default_backend() != "tpu"
             ln_scale, ln_bias = _LNParams(name="norm1")(d)
             (wqkv, bqkv), (wp, bp) = attn(None, raw=True)
-            x = fused_attn_sublayer(
+            x = fused_attn_sublayer_trainable(
                 x.astype(self.dtype), ln_scale, ln_bias, wqkv, bqkv, wp, bp,
-                num_heads=self.num_heads,
-                interpret=interpret,
+                self.num_heads, 1e-5, interpret,
             )
             ln2_scale, ln2_bias = _LNParams(name="norm2")(d)
             (w1, b1), (w2, b2) = mlp(None, raw=True)
-            x = fused_mlp_sublayer(
+            x = fused_mlp_sublayer_trainable(
                 x, ln2_scale, ln2_bias, w1, b1, w2, b2,
-                gelu_approx=self.gelu_approx,
-                interpret=interpret,
+                1e-5, self.gelu_approx, interpret,
             )
             return x
         x = x + attn(

@@ -190,6 +190,163 @@ def _group_size(b: int, l: int, d: int, dh: int, itemsize: int,
     return best
 
 
+def _ln_fwd(xv: jax.Array, gamma, beta, eps: float):
+    """LayerNorm forward pieces in fp32: returns (x_hat, rstd, xn)."""
+    mean = jnp.mean(xv, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xv - mean), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    x_hat = (xv - mean) * rstd
+    return x_hat, rstd, x_hat * gamma + beta
+
+
+def _ln_bwd_dx(dxn, x_hat, rstd, gamma):
+    """dL/dx for LayerNorm given dL/dxn (all fp32, per row over last dim)."""
+    dxh = dxn * gamma
+    m1 = jnp.mean(dxh, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxh * x_hat, axis=-1, keepdims=True)
+    return rstd * (dxh - m1 - x_hat * m2)
+
+
+def _attn_bwd_kernel(*refs, num_heads: int, scale: float, eps: float,
+                     has_qkv_bias: bool):
+    """Backward of the fused attention sublayer for one batch group.
+
+    Recomputes LN, QKV, and the fp32 softmax in VMEM (no saved activations
+    beyond x itself), emits dx per batch block, and accumulates the weight
+    gradients in fp32 VMEM across the sequential grid — they are written to
+    constant-index output blocks, zero-initialized at program 0.
+    """
+    if has_qkv_bias:
+        (x_ref, dy_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wp_ref,
+         dx_ref, dg_ref, db_ref, dwqkv_ref, dbqkv_ref, dwp_ref, dbp_ref) = refs
+    else:
+        (x_ref, dy_ref, g_ref, b_ref, wqkv_ref, wp_ref,
+         dx_ref, dg_ref, db_ref, dwqkv_ref, dwp_ref, dbp_ref) = refs
+        bqkv_ref = dbqkv_ref = None
+
+    @pl.when(pl.program_id(0) == 0)
+    def _zero_accumulators():
+        dg_ref[:] = jnp.zeros_like(dg_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+        dwqkv_ref[:] = jnp.zeros_like(dwqkv_ref)
+        if has_qkv_bias:
+            dbqkv_ref[:] = jnp.zeros_like(dbqkv_ref)
+        dwp_ref[:] = jnp.zeros_like(dwp_ref)
+        dbp_ref[:] = jnp.zeros_like(dbp_ref)
+
+    g, l, d = x_ref.shape
+    dh = d // num_heads
+    gamma = g_ref[0].astype(jnp.float32)
+    beta = b_ref[0].astype(jnp.float32)
+    bdt = x_ref.dtype
+
+    for i in range(g):
+        xv = x_ref[i].astype(jnp.float32)
+        x_hat, rstd, xn_f = _ln_fwd(xv, gamma, beta, eps)
+        xn = xn_f.astype(bdt)
+        qkv = jnp.dot(xn, wqkv_ref[:], preferred_element_type=jnp.float32)
+        if has_qkv_bias:
+            qkv = qkv + bqkv_ref[0].astype(jnp.float32)
+        qkv = qkv.astype(bdt)
+
+        dy = dy_ref[i].astype(jnp.float32)
+        dyb = dy.astype(bdt)
+        dbp_ref[:] += jnp.sum(dy, axis=0, keepdims=True)
+        # dmerged = dy @ Wp^T  (contract the output dim)
+        dm = jax.lax.dot_general(
+            dyb, wp_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (L, D)
+        dm_b = dm.astype(bdt)
+
+        dqs, dks, dvs, os_ = [], [], [], []
+        for h in range(num_heads):
+            q = jax.lax.slice(qkv, (0, h * dh), (l, (h + 1) * dh))
+            k = jax.lax.slice(qkv, (0, d + h * dh), (l, d + (h + 1) * dh))
+            v = jax.lax.slice(
+                qkv, (0, 2 * d + h * dh), (l, 2 * d + (h + 1) * dh)
+            )
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            p = jax.nn.softmax(s * scale, axis=-1)  # (Lq, Lk) fp32
+            pb = p.astype(bdt)
+            do = jax.lax.slice(dm_b, (0, h * dh), (l, (h + 1) * dh))
+            os_.append(
+                jnp.dot(pb, v, preferred_element_type=jnp.float32).astype(bdt)
+            )
+            # dv = p^T @ do (contract Lq)
+            dvs.append(jax.lax.dot_general(
+                pb, do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(bdt))
+            # dp = do @ v^T (contract Dh)
+            dp = jax.lax.dot_general(
+                do, v, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
+                  ).astype(bdt)
+            dqs.append(jnp.dot(ds, k, preferred_element_type=jnp.float32
+                               ).astype(bdt))
+            # dk = ds^T @ q (contract Lq)
+            dks.append(jax.lax.dot_general(
+                ds, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(bdt))
+
+        merged = jnp.concatenate(os_, axis=1)          # (L, D)
+        dqkv = jnp.concatenate(dqs + dks + dvs, axis=1)  # (L, 3D), (K H Dh)
+
+        # weight grads (contract L)
+        dwp_ref[:] += jax.lax.dot_general(
+            merged, dyb, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dwqkv_ref[:] += jax.lax.dot_general(
+            xn, dqkv, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dqkv_f = dqkv.astype(jnp.float32)
+        if has_qkv_bias:
+            dbqkv_ref[:] += jnp.sum(dqkv_f, axis=0, keepdims=True)
+
+        # dxn = dqkv @ Wqkv^T (contract 3D)
+        dxn = jax.lax.dot_general(
+            dqkv, wqkv_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dg_ref[:] += jnp.sum(dxn * x_hat, axis=0, keepdims=True)
+        db_ref[:] += jnp.sum(dxn, axis=0, keepdims=True)
+        dx_ref[i] = (dy + _ln_bwd_dx(dxn, x_hat, rstd, gamma)).astype(
+            dx_ref.dtype
+        )
+
+
+def _erf_poly(x: jax.Array) -> jax.Array:
+    """fp32 erf via Abramowitz-Stegun 7.1.26 (|err| < 1.5e-7 — far below
+    bf16 resolution). Mosaic has no TC lowering for erf/erfc, so the exact
+    GELU inside kernels uses this polynomial."""
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    )
+    p = 0.3275911
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.sign(x) * y
+
+
+def _gelu(h: jax.Array, approx: bool) -> jax.Array:
+    """GELU inside a kernel (jax.nn.gelu's exact form lowers through
+    erf/erfc, which Mosaic cannot lower)."""
+    if approx:
+        return jax.nn.gelu(h, approximate=True)
+    return 0.5 * h * (1.0 + _erf_poly(h * (2.0 ** -0.5)))
+
+
 def _mlp_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
                 *, eps: float, gelu_approx: bool):
     """x + fc2(gelu(fc1(LN(x)))) for a batch group, fully VMEM-resident."""
@@ -203,7 +360,7 @@ def _mlp_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
         h = jnp.dot(
             xn.astype(x_ref.dtype), w1_ref[:], preferred_element_type=jnp.float32
         ) + b1_ref[0].astype(jnp.float32)
-        h = jax.nn.gelu(h, approximate=gelu_approx).astype(x_ref.dtype)
+        h = _gelu(h, gelu_approx).astype(x_ref.dtype)
         out = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
         o_ref[i] = (xv + out + b2_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
 
@@ -222,6 +379,166 @@ def _group_size_mlp(b: int, l: int, d: int, hidden: int, itemsize: int,
         if weights + x_io + hid + acc <= budget_bytes:
             best = g
     return best
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "eps", "interpret")
+)
+def _attn_sublayer_bwd_impl(
+    x, dy, ln_scale, ln_bias, qkv_kernel, qkv_bias, proj_kernel,
+    *, num_heads: int, eps: float, interpret: bool,
+):
+    b, l, d = x.shape
+    h = num_heads
+    dh = d // h
+    scale = float(dh) ** -0.5
+    dtype = x.dtype
+    itemsize = jnp.dtype(dtype).itemsize
+    has_bias = qkv_bias is not None
+
+    # working set ~2x the forward's; weight-grad accumulators add ~4MB fp32
+    grp = _group_size_v2(b, l, d, itemsize, budget_bytes=5 * 2**20)
+    row = pl.BlockSpec((grp, l, d), lambda i: (i, 0, 0))
+    vec = pl.BlockSpec((1, d), lambda i: (0, 0))
+    const_dd = pl.BlockSpec((d, d), lambda i: (0, 0))
+    const_d3d = pl.BlockSpec((d, 3 * d), lambda i: (0, 0))
+    vec3 = pl.BlockSpec((1, 3 * d), lambda i: (0, 0))
+
+    in_specs = [row, row, vec, vec, const_d3d]
+    args = [x, dy, ln_scale.reshape(1, d), ln_bias.reshape(1, d),
+            qkv_kernel.astype(dtype)]
+    if has_bias:
+        in_specs.append(vec3)
+        args.append(qkv_bias.astype(jnp.float32).reshape(1, 3 * d))
+    in_specs.append(const_dd)
+    args.append(proj_kernel.astype(dtype))
+
+    f32 = jnp.float32
+    out_shape = [
+        jax.ShapeDtypeStruct((b, l, d), dtype),       # dx
+        jax.ShapeDtypeStruct((1, d), f32),            # d ln_scale
+        jax.ShapeDtypeStruct((1, d), f32),            # d ln_bias
+        jax.ShapeDtypeStruct((d, 3 * d), f32),        # d qkv_kernel
+    ]
+    out_specs = [row, vec, vec, const_d3d]
+    if has_bias:
+        out_shape.append(jax.ShapeDtypeStruct((1, 3 * d), f32))
+        out_specs.append(vec3)
+    out_shape += [
+        jax.ShapeDtypeStruct((d, d), f32),            # d proj_kernel
+        jax.ShapeDtypeStruct((1, d), f32),            # d proj_bias
+    ]
+    out_specs += [const_dd, vec]
+
+    outs = pl.pallas_call(
+        functools.partial(
+            _attn_bwd_kernel,
+            num_heads=h,
+            scale=scale,
+            eps=eps,
+            has_qkv_bias=has_bias,
+        ),
+        out_shape=tuple(out_shape),
+        grid=(b // grp,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * l * d * (4 * d + 2 * l),
+            bytes_accessed=3 * b * l * d * itemsize,
+            transcendentals=b * h * l * l,
+        ),
+        interpret=interpret,
+    )(*args)
+    if has_bias:
+        dx, dg, db, dwqkv, dbqkv, dwp, dbp = outs
+        dbqkv = dbqkv.reshape(3 * d)
+    else:
+        dx, dg, db, dwqkv, dwp, dbp = outs
+        dbqkv = None
+    return dx, dg.reshape(d), db.reshape(d), dwqkv, dbqkv, dwp, dbp.reshape(d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def fused_attn_sublayer_trainable(
+    x, ln_scale, ln_bias, qkv_kernel, qkv_bias, proj_kernel, proj_bias,
+    num_heads, eps=1e-5, interpret=False, variant="v2",
+):
+    """fused_attn_sublayer with a hand-written Pallas backward (recomputes
+    LN/QKV/softmax in VMEM; weight grads accumulated across the sequential
+    grid) — safe under jax.grad, so training can run the fused kernel."""
+    return fused_attn_sublayer(
+        x, ln_scale, ln_bias, qkv_kernel, qkv_bias, proj_kernel, proj_bias,
+        num_heads=num_heads, eps=eps, interpret=interpret, variant=variant,
+    )
+
+
+def _fas_fwd(x, ln_scale, ln_bias, qkv_kernel, qkv_bias, proj_kernel,
+             proj_bias, num_heads, eps, interpret, variant):
+    y = fused_attn_sublayer(
+        x, ln_scale, ln_bias, qkv_kernel, qkv_bias, proj_kernel, proj_bias,
+        num_heads=num_heads, eps=eps, interpret=interpret, variant=variant,
+    )
+    return y, (x, ln_scale, ln_bias, qkv_kernel, qkv_bias, proj_kernel)
+
+
+def _fas_bwd(num_heads, eps, interpret, variant, res, dy):
+    x, ln_scale, ln_bias, qkv_kernel, qkv_bias, proj_kernel = res
+    dx, dg, db, dwqkv, dbqkv, dwp, dbp = _attn_sublayer_bwd_impl(
+        x, dy.astype(x.dtype), ln_scale, ln_bias, qkv_kernel, qkv_bias,
+        proj_kernel, num_heads=num_heads, eps=eps, interpret=interpret,
+    )
+    return (dx, dg, db, dwqkv, dbqkv, dwp, dbp)
+
+
+fused_attn_sublayer_trainable.defvjp(_fas_fwd, _fas_bwd)
+
+
+def _mlp_reference(x, ln_scale, ln_bias, w1, b1, w2, b2, *, eps, gelu_approx):
+    """Pure-XLA replica of _mlp_kernel's numerics, used as the recompute
+    backward of fused_mlp_sublayer (one extra fc1-fwd matmul instead of
+    saving the (B, L, 4D) hidden activation to HBM)."""
+    xv = x.astype(jnp.float32)
+    _, _, xn_f = _ln_fwd(xv, ln_scale.astype(jnp.float32),
+                         ln_bias.astype(jnp.float32), eps)
+    h = jnp.dot(
+        xn_f.astype(x.dtype), w1.astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    ) + b1.astype(jnp.float32)
+    h = jax.nn.gelu(h, approximate=gelu_approx).astype(x.dtype)
+    out = jnp.dot(h, w2.astype(x.dtype), preferred_element_type=jnp.float32)
+    return (xv + out + b2.astype(jnp.float32)).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def fused_mlp_sublayer_trainable(
+    x, ln_scale, ln_bias, w1, b1, w2, b2,
+    eps=1e-5, gelu_approx=False, interpret=False,
+):
+    """fused_mlp_sublayer with a recompute (XLA) backward."""
+    return fused_mlp_sublayer(
+        x, ln_scale, ln_bias, w1, b1, w2, b2,
+        eps=eps, gelu_approx=gelu_approx, interpret=interpret,
+    )
+
+
+def _fms_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, gelu_approx,
+             interpret):
+    y = fused_mlp_sublayer(
+        x, ln_scale, ln_bias, w1, b1, w2, b2,
+        eps=eps, gelu_approx=gelu_approx, interpret=interpret,
+    )
+    return y, (x, ln_scale, ln_bias, w1, b1, w2, b2)
+
+
+def _fms_bwd(eps, gelu_approx, interpret, res, dy):
+    _, vjp = jax.vjp(
+        functools.partial(_mlp_reference, eps=eps, gelu_approx=gelu_approx),
+        *res,
+    )
+    return vjp(dy.astype(res[0].dtype))
+
+
+fused_mlp_sublayer_trainable.defvjp(_fms_fwd, _fms_bwd)
 
 
 @functools.partial(

@@ -103,9 +103,13 @@ class Trainer:
     def _init_model(self):
         args = self.args
         key = jax.random.PRNGKey(args.seed)
-        # The Pallas attention kernel has a recompute-softmax custom VJP, so
-        # training uses it on TPU (the XLA backward keeps fp32 (B,H,L,L)
-        # softmax tensors alive between forward and backward).
+        # Training default: the Pallas attention kernel with its
+        # recompute-softmax custom VJP — measured 117.7 ms/step vs XLA's
+        # 171.7 at CelebA-64 batch 128 (tools/microbench.py train). The
+        # fully fused sublayer kernels also train (hand-written attention
+        # backward + recompute MLP backward) but measure 121.8 ms/step:
+        # their backward recompute slightly outweighs the forward savings,
+        # so "fused" stays the sampling default only.
         attn_impl = getattr(args, "attn_impl", None) or (
             "pallas" if jax.default_backend() == "tpu" else "auto"
         )

@@ -163,6 +163,37 @@ def test_pallas_attention_custom_vjp_matches_xla_grads(qkv):
         )
 
 
+@pytest.mark.parametrize("qkv_bias", [False, True])
+def test_fused_block_grads_match_xla(qkv_bias):
+    """attn_impl='fused' under jax.grad: the hand-written Pallas attention
+    backward + the recompute MLP backward must match XLA's gradients for
+    params AND inputs."""
+    from duodiff_tpu.models.layers import Block
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 17, 128), jnp.float32)
+    cot = jax.random.normal(jax.random.PRNGKey(2), (3, 17, 128), jnp.float32)
+
+    def run(impl):
+        blk = Block(num_heads=4, qkv_bias=qkv_bias, dtype=jnp.float32,
+                    attn_impl=impl)
+        params = blk.init(jax.random.PRNGKey(0), x)["params"]
+
+        def loss(p, xx):
+            return jnp.sum(blk.apply({"params": p}, xx) * cot)
+
+        return jax.grad(loss, argnums=(0, 1))(params, x)
+
+    gp_ref, gx_ref = run("xla")
+    gp_f, gx_f = run("fused")
+    for a, b in zip(
+        jax.tree_util.tree_leaves(gp_f), jax.tree_util.tree_leaves(gp_ref)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_block_pallas_grad_runs():
     """attn_impl='pallas' is grad-safe end to end through a Block."""
     from duodiff_tpu.models.layers import Block

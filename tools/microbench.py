@@ -109,7 +109,8 @@ def bench_kernels():
 
 def bench_train():
     """Full CelebA-64 train step (fwd+loss+grad+AdamW) per attention impl.
-    2026-08-16 v5e results: pallas(custom VJP) 117.9 ms/step vs xla 171.7."""
+    2026-08-16 v5e results: pallas(custom VJP) 117.7 ms/step, fused
+    sublayer kernels w/ custom VJPs 121.8, xla 171.7."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -138,7 +139,7 @@ def bench_train():
         ),
         "label": jnp.zeros((128,), jnp.int32),
     }
-    for impl in ("pallas", "xla"):
+    for impl in ("fused", "pallas", "xla"):
         model, params = init_uvit(
             cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16, attn_impl=impl
         )
