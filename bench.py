@@ -27,7 +27,15 @@ def main():
 
     setup_compilation_cache()
 
+    # rbg is ~1% faster than threefry for the per-step noise draws and still
+    # fully deterministic (a different fixed stream); override with
+    # BENCH_RNG=threefry or JAX_DEFAULT_PRNG_IMPL.
     import jax
+
+    if "JAX_DEFAULT_PRNG_IMPL" not in os.environ:
+        jax.config.update(
+            "jax_default_prng_impl", os.environ.get("BENCH_RNG", "rbg")
+        )
     import jax.numpy as jnp
 
     from duodiff_tpu.config import UViTConfig

@@ -284,6 +284,10 @@ class Block(nn.Module):
             # Both pre-norm sublayers as single Pallas kernels
             # (duodiff_tpu/ops/pallas_block.py); the param tree is identical
             # to the unfused path (the submodules declare, raw=True returns).
+            # Two kernels per block, not the merged fused_block: measured
+            # 5.11 vs 5.05 samples/sec at CelebA-64 batch 128 — the block
+            # in/out round trips are already hidden behind async DMA, and
+            # shorter programs pipeline better.
             from duodiff_tpu.ops.pallas_block import (
                 fused_attn_sublayer_trainable,
                 fused_mlp_sublayer_trainable,
@@ -298,11 +302,10 @@ class Block(nn.Module):
             )
             ln2_scale, ln2_bias = _LNParams(name="norm2")(d)
             (w1, b1), (w2, b2) = mlp(None, raw=True)
-            x = fused_mlp_sublayer_trainable(
+            return fused_mlp_sublayer_trainable(
                 x, ln2_scale, ln2_bias, w1, b1, w2, b2,
                 1e-5, self.gelu_approx, interpret,
             )
-            return x
         x = x + attn(
             _layer_norm(x, name="norm1", out_dtype=self.dtype)
         ).astype(x.dtype)

@@ -365,6 +365,218 @@ def _mlp_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
         o_ref[i] = (xv + out + b2_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
 
 
+def _block_kernel(*refs, num_heads: int, scale: float, eps: float,
+                  has_qkv_bias: bool, gelu_approx: bool):
+    """Whole transformer block (both pre-norm sublayers) in ONE kernel:
+    y = u + fc2(gelu(fc1(LN2(u)))), u = x + proj(SDPA(qkv(LN1(x)))).
+    Saves one full residual-stream HBM round trip per block vs running the
+    two sublayer kernels back to back."""
+    if has_qkv_bias:
+        (x_ref, g1_ref, b1_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
+         g2_ref, b2_ref, w1_ref, fb1_ref, w2_ref, fb2_ref, o_ref) = refs
+    else:
+        (x_ref, g1_ref, b1_ref, wqkv_ref, wp_ref, bp_ref,
+         g2_ref, b2_ref, w1_ref, fb1_ref, w2_ref, fb2_ref, o_ref) = refs
+        bqkv_ref = None
+
+    g, l, d = x_ref.shape
+    dh = d // num_heads
+    bdt = x_ref.dtype
+    for i in range(g):
+        # ---- attention sublayer ----
+        xv = x_ref[i].astype(jnp.float32)
+        _, _, xn_f = _ln_fwd(xv, g1_ref[0].astype(jnp.float32),
+                             b1_ref[0].astype(jnp.float32), eps)
+        xn = xn_f.astype(bdt)
+        qkv = jnp.dot(xn, wqkv_ref[:], preferred_element_type=jnp.float32)
+        if has_qkv_bias:
+            qkv = qkv + bqkv_ref[0].astype(jnp.float32)
+        qs = (jax.lax.slice(qkv, (0, 0), (l, d)) * scale).astype(bdt)
+        qkv = qkv.astype(bdt)
+        heads = []
+        for h in range(num_heads):
+            q = jax.lax.slice(qs, (0, h * dh), (l, (h + 1) * dh))
+            k = jax.lax.slice(qkv, (0, d + h * dh), (l, d + (h + 1) * dh))
+            v = jax.lax.slice(
+                qkv, (0, 2 * d + h * dh), (l, 2 * d + (h + 1) * dh)
+            )
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            p = jax.nn.softmax(s, axis=-1)
+            heads.append(
+                jnp.dot(p.astype(bdt), v,
+                        preferred_element_type=jnp.float32).astype(bdt)
+            )
+        merged = jnp.concatenate(heads, axis=1)
+        proj = jnp.dot(merged, wp_ref[:], preferred_element_type=jnp.float32)
+        u = xv + proj + bp_ref[0].astype(jnp.float32)  # (L, D) fp32
+
+        # ---- MLP sublayer ----
+        _, _, un_f = _ln_fwd(u, g2_ref[0].astype(jnp.float32),
+                             b2_ref[0].astype(jnp.float32), eps)
+        hmid = jnp.dot(
+            un_f.astype(bdt), w1_ref[:], preferred_element_type=jnp.float32
+        ) + fb1_ref[0].astype(jnp.float32)
+        hmid = _gelu(hmid, gelu_approx).astype(bdt)
+        out = jnp.dot(hmid, w2_ref[:], preferred_element_type=jnp.float32)
+        o_ref[i] = (u + out + fb2_ref[0].astype(jnp.float32)).astype(
+            o_ref.dtype
+        )
+
+
+def _group_size_block(b: int, l: int, d: int, hidden: int, itemsize: int,
+                      budget_bytes: int = 9 * 2**20) -> int:
+    l_sub = _round_up(l, 8)
+    l_lane = _round_up(l, 128)
+    weights = (4 * d * d + 2 * d * hidden) * itemsize
+    best = 1
+    for g in range(1, b + 1):
+        if b % g:
+            continue
+        x_io = 4 * g * l_sub * d * itemsize
+        qkv = g * l_sub * 3 * d * (4 + itemsize)
+        u = g * l_sub * d * 4
+        sp = 2 * l_sub * l_lane * 4
+        hid = l_sub * hidden * (4 + itemsize)
+        if weights + x_io + qkv + u + sp + hid <= budget_bytes:
+            best = g
+    return best
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "eps", "gelu_approx", "interpret"),
+)
+def fused_block(
+    x: jax.Array,
+    ln1_scale, ln1_bias, qkv_kernel, qkv_bias, proj_kernel, proj_bias,
+    ln2_scale, ln2_bias, fc1_kernel, fc1_bias, fc2_kernel, fc2_bias,
+    *,
+    num_heads: int,
+    eps: float = 1e-5,
+    gelu_approx: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """One transformer block (reference models/uvit.py:203-208, no skip) as
+    a single Pallas kernel. Measured slightly SLOWER than running the two
+    sublayer kernels back to back (5.05 vs 5.11 samples/sec at CelebA-64
+    batch 128): the inter-kernel round trips are already hidden behind
+    async DMA and shorter programs pipeline better — kept as a measured
+    alternative for other shapes, not used by Block."""
+    b, l, d = x.shape
+    h = num_heads
+    scale = float(d // h) ** -0.5
+    dtype = x.dtype
+    itemsize = jnp.dtype(dtype).itemsize
+    hidden = fc1_kernel.shape[1]
+
+    grp = _group_size_block(b, l, d, hidden, itemsize)
+    row = pl.BlockSpec((grp, l, d), lambda i: (i, 0, 0))
+    vec = pl.BlockSpec((1, d), lambda i: (0, 0))
+
+    in_specs = [row, vec, vec,
+                pl.BlockSpec((d, 3 * d), lambda i: (0, 0))]
+    args = [x, ln1_scale.reshape(1, d), ln1_bias.reshape(1, d),
+            qkv_kernel.astype(dtype)]
+    if qkv_bias is not None:
+        in_specs.append(pl.BlockSpec((1, 3 * d), lambda i: (0, 0)))
+        args.append(qkv_bias.astype(jnp.float32).reshape(1, 3 * d))
+    in_specs += [
+        pl.BlockSpec((d, d), lambda i: (0, 0)), vec,      # wp, bp
+        vec, vec,                                          # ln2
+        pl.BlockSpec((d, hidden), lambda i: (0, 0)),
+        pl.BlockSpec((1, hidden), lambda i: (0, 0)),
+        pl.BlockSpec((hidden, d), lambda i: (0, 0)),
+        vec,
+    ]
+    args += [
+        proj_kernel.astype(dtype),
+        proj_bias.astype(jnp.float32).reshape(1, d),
+        ln2_scale.reshape(1, d), ln2_bias.reshape(1, d),
+        fc1_kernel.astype(dtype),
+        fc1_bias.astype(jnp.float32).reshape(1, hidden),
+        fc2_kernel.astype(dtype),
+        fc2_bias.astype(jnp.float32).reshape(1, d),
+    ]
+
+    return pl.pallas_call(
+        functools.partial(
+            _block_kernel,
+            num_heads=h,
+            scale=scale,
+            eps=eps,
+            has_qkv_bias=qkv_bias is not None,
+            gelu_approx=gelu_approx,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, l, d), dtype),
+        grid=(b // grp,),
+        in_specs=in_specs,
+        out_specs=row,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * l * d * (4 * d + 2 * l + 2 * hidden),
+            bytes_accessed=2 * b * l * d * itemsize,
+            transcendentals=b * h * l * l + b * l * hidden,
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16))
+def fused_block_trainable(
+    x, ln1_scale, ln1_bias, qkv_kernel, qkv_bias, proj_kernel, proj_bias,
+    ln2_scale, ln2_bias, fc1_kernel, fc1_bias, fc2_kernel, fc2_bias,
+    num_heads, eps=1e-5, gelu_approx=False, interpret=False,
+):
+    """fused_block with a chained backward: recompute the attention-sublayer
+    output u with the forward kernel, MLP grads via the XLA recompute vjp,
+    then the hand-written Pallas attention backward."""
+    return fused_block(
+        x, ln1_scale, ln1_bias, qkv_kernel, qkv_bias, proj_kernel, proj_bias,
+        ln2_scale, ln2_bias, fc1_kernel, fc1_bias, fc2_kernel, fc2_bias,
+        num_heads=num_heads, eps=eps, gelu_approx=gelu_approx,
+        interpret=interpret,
+    )
+
+
+def _fb_fwd(x, ln1_scale, ln1_bias, qkv_kernel, qkv_bias, proj_kernel,
+            proj_bias, ln2_scale, ln2_bias, fc1_kernel, fc1_bias, fc2_kernel,
+            fc2_bias, num_heads, eps, gelu_approx, interpret):
+    y = fused_block(
+        x, ln1_scale, ln1_bias, qkv_kernel, qkv_bias, proj_kernel, proj_bias,
+        ln2_scale, ln2_bias, fc1_kernel, fc1_bias, fc2_kernel, fc2_bias,
+        num_heads=num_heads, eps=eps, gelu_approx=gelu_approx,
+        interpret=interpret,
+    )
+    return y, (x, ln1_scale, ln1_bias, qkv_kernel, qkv_bias, proj_kernel,
+               proj_bias, ln2_scale, ln2_bias, fc1_kernel, fc1_bias,
+               fc2_kernel, fc2_bias)
+
+
+def _fb_bwd(num_heads, eps, gelu_approx, interpret, res, dy):
+    (x, ln1_scale, ln1_bias, qkv_kernel, qkv_bias, proj_kernel, proj_bias,
+     ln2_scale, ln2_bias, fc1_kernel, fc1_bias, fc2_kernel, fc2_bias) = res
+    u = fused_attn_sublayer(
+        x, ln1_scale, ln1_bias, qkv_kernel, qkv_bias, proj_kernel, proj_bias,
+        num_heads=num_heads, eps=eps, interpret=interpret,
+    )
+    _, mlp_vjp = jax.vjp(
+        functools.partial(_mlp_reference, eps=eps, gelu_approx=gelu_approx),
+        u, ln2_scale, ln2_bias, fc1_kernel, fc1_bias, fc2_kernel, fc2_bias,
+    )
+    du, dg2, db2, dw1, dfb1, dw2, dfb2 = mlp_vjp(dy.astype(u.dtype))
+    dx, dg1, db1, dwqkv, dbqkv, dwp, dbp = _attn_sublayer_bwd_impl(
+        x, du.astype(x.dtype), ln1_scale, ln1_bias, qkv_kernel, qkv_bias,
+        proj_kernel, num_heads=num_heads, eps=eps, interpret=interpret,
+    )
+    return (dx, dg1, db1, dwqkv, dbqkv, dwp, dbp, dg2, db2, dw1, dfb1,
+            dw2, dfb2)
+
+
+fused_block_trainable.defvjp(_fb_fwd, _fb_bwd)
+
+
 def _group_size_mlp(b: int, l: int, d: int, hidden: int, itemsize: int,
                     budget_bytes: int = 9 * 2**20) -> int:
     l_sub = _round_up(l, 8)
