@@ -1,0 +1,91 @@
+"""One-time uint8 memmap cache of a decoded+transformed dataset.
+
+The image datasets (CelebA, ImageNet) pay a JPEG decode + crop/resize per
+item per epoch — on a 1-CPU host that is the training wall (NOTES.md: the
+device step is ~118ms while the host feeds ~1 batch/287ms). Caching the
+post-transform uint8 images as one (N, H, W, 3) .npy memmap turns every
+later __getitem__ into a page-cache memcpy, and the batch assembler's fused
+uint8->float path consumes it directly.
+
+Sizes are modest for the fixed-size datasets (CelebA-64: 2.4 GB,
+ImageNet-64: 6.4 GB); imagenet256 (106 GB) should only be cached on disks
+that can take it — the cache is opt-in (--cache_data).
+
+The build is atomic: arrays are written to <key>.building/ and the
+directory is renamed into place, so a killed build never leaves a
+half-cache that later runs trust.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+
+import numpy as np
+
+
+class MemmapCachedDataset:
+    """Wraps any dataset with integer indexing returning (uint8 HWC, label).
+
+    Exposes the same contract plus the loader's scale/offset attributes.
+    """
+
+    def __init__(self, base, cache_dir, key: str, num_workers: int = 8,
+                 verbose: bool = True):
+        self.scale = getattr(base, "scale", 1.0 / 255.0)
+        self.offset = getattr(base, "offset", 0.0)
+        final = Path(cache_dir) / key
+        if not (final / "meta.json").exists():
+            self._build(base, cache_dir, key, num_workers, verbose)
+        meta = json.loads((final / "meta.json").read_text())
+        self.images = np.load(final / "images.npy", mmap_mode="r")
+        assert list(self.images.shape) == meta["shape"], (
+            f"corrupt cache at {final}: {self.images.shape} vs {meta['shape']}"
+        )
+        self.labels = np.load(final / "labels.npy")
+
+    @staticmethod
+    def _build(base, cache_dir, key, num_workers, verbose):
+        tmp = Path(cache_dir) / f"{key}.building"
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        tmp.mkdir(parents=True)
+        n = len(base)
+        img0, _ = base[0]
+        shape = (n,) + tuple(img0.shape)
+        if verbose:
+            gb = float(np.prod(shape)) / 2**30
+            print(f"Building dataset cache {key}: {n} images, {gb:.1f} GB "
+                  f"(one-time)")
+        images = np.lib.format.open_memmap(
+            tmp / "images.npy", mode="w+", dtype=np.uint8, shape=shape
+        )
+        labels = np.empty((n,), np.int32)
+
+        def fill(i):
+            img, label = base[i]
+            images[i] = img
+            labels[i] = label
+
+        with ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
+            done = 0
+            for _ in pool.map(fill, range(n), chunksize=256):
+                done += 1
+                if verbose and done % 50000 == 0:
+                    print(f"  cached {done}/{n}")
+        images.flush()
+        del images
+        np.save(tmp / "labels.npy", labels)
+        (tmp / "meta.json").write_text(json.dumps({"shape": list(shape)}))
+        final = Path(cache_dir) / key
+        if final.exists():
+            shutil.rmtree(final)
+        tmp.rename(final)
+
+    def __len__(self):
+        return len(self.labels)
+
+    def __getitem__(self, i):
+        return self.images[i], int(self.labels[i])

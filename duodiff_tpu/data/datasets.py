@@ -138,18 +138,36 @@ class ImageFolderDataset:
         return np.asarray(img, dtype=np.uint8), label
 
 
+def _maybe_cache(ds, cache_data: bool, data_dir, key: str,
+                 num_workers: int):
+    """Opt-in one-time memmap cache of the decoded+transformed images
+    (duodiff_tpu/data/cache.py); no-op for datasets already in memory."""
+    if not cache_data:
+        return ds
+    from duodiff_tpu.data.cache import MemmapCachedDataset
+
+    return MemmapCachedDataset(
+        ds, Path(data_dir) / "_duodiff_cache", key, num_workers=num_workers
+    )
+
+
 def get_cifar10_dataloader(
-    batch_size, seed, data_dir, normalize: bool = True, num_workers: int = 4
+    batch_size, seed, data_dir, normalize: bool = True, num_workers: int = 4,
+    cache_data: bool = False,
 ) -> DataLoader:
+    # CIFAR-10 already lives in memory as uint8 — nothing to cache
     ds = Cifar10Dataset(data_dir, normalize=normalize)
     sampler = ResumableSeedableSampler(len(ds), seed=seed)
     return DataLoader(ds, batch_size, sampler, num_workers=num_workers)
 
 
 def get_celeba_dataloader(
-    batch_size, seed, data_dir="data/", normalize: bool = True, num_workers: int = 8
+    batch_size, seed, data_dir="data/", normalize: bool = True,
+    num_workers: int = 8, cache_data: bool = False,
 ) -> DataLoader:
     ds = CelebADataset(data_dir, normalize=normalize)
+    ds = _maybe_cache(ds, cache_data, data_dir,
+                      f"celeba64_norm{int(normalize)}", num_workers)
     sampler = ResumableSeedableSampler(len(ds), seed=seed)
     return DataLoader(ds, batch_size, sampler, num_workers=num_workers)
 
@@ -161,11 +179,16 @@ def get_imagenet_dataloader(
     resize: bool,
     normalize: bool = True,
     num_workers: int = 16,
+    cache_data: bool = False,
 ) -> DataLoader:
     ds = ImageFolderDataset(
         Path(data_dir) / "imagenet",
         normalize=normalize,
         resize_to=64 if resize else None,
+    )
+    ds = _maybe_cache(
+        ds, cache_data, data_dir,
+        f"imagenet{64 if resize else 256}_norm{int(normalize)}", num_workers,
     )
     sampler = ResumableSeedableSampler(len(ds), seed=seed)
     return DataLoader(ds, batch_size, sampler, num_workers=num_workers)

@@ -138,7 +138,8 @@ class Trainer:
     def _init_data(self):
         args = self.args
         self.dataloader = get_dataloader(
-            args.dataset, args.batch_size, args.seed, args.data_path
+            args.dataset, args.batch_size, args.seed, args.data_path,
+            cache_data=getattr(args, "cache_data", False),
         )
         self.has_labels = "imagenet" in args.dataset
 

@@ -98,6 +98,10 @@ def get_args(argv=None):
     parser.add_argument("--dataset", type=str, default="cifar10",
                         choices=["cifar10", "celeba", "imagenet64", "imagenet256"])
     parser.add_argument("--data_path", type=str, default="data")
+    parser.add_argument("--cache_data", action="store_true", default=False,
+                        help="One-time memmap cache of the decoded/resized "
+                             "dataset (data/_duodiff_cache) — removes the "
+                             "per-epoch JPEG decode wall on slow hosts")
 
     return parser.parse_args(argv)
 

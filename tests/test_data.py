@@ -178,3 +178,65 @@ def test_prefetching_iterator_state_is_checkpoint_exact(cifar_dir):
     resumed = dl2.next_batch()
     want = next(it)  # the 3rd consumed batch of the original stream
     np.testing.assert_array_equal(resumed["image"], want["image"])
+
+
+def test_memmap_cache_identity_and_reuse(tmp_path):
+    """The memmap cache must reproduce the base dataset exactly, survive
+    reopening without the base, and plug into the dataloader factory."""
+    from duodiff_tpu.data.cache import MemmapCachedDataset
+
+    root = tmp_path / "imagenet"
+    rng = np.random.RandomState(0)
+    for cls in ("cat", "dog"):
+        (root / cls).mkdir(parents=True)
+        for i in range(3):
+            Image.fromarray(
+                rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+            ).save(root / cls / f"{i}.png")
+
+    from duodiff_tpu.data import ImageFolderDataset
+
+    base = ImageFolderDataset(root, normalize=True, resize_to=8)
+    cached = MemmapCachedDataset(base, tmp_path / "cache", "tiny",
+                                 num_workers=2, verbose=False)
+    assert len(cached) == len(base) == 6
+    for i in range(6):
+        bi, bl = base[i]
+        ci, cl = cached[i]
+        np.testing.assert_array_equal(np.asarray(ci), bi)
+        assert cl == bl
+    assert cached.scale == base.scale and cached.offset == base.offset
+
+    # reopen from disk only (base untouched) — hits the built cache
+    class Boom:
+        def __len__(self):
+            raise AssertionError("cache rebuild attempted")
+
+    cached2 = MemmapCachedDataset(Boom(), tmp_path / "cache", "tiny",
+                                  verbose=False)
+    np.testing.assert_array_equal(np.asarray(cached2[3][0]),
+                                  np.asarray(cached[3][0]))
+
+
+def test_dataloader_factory_with_cache(tmp_path):
+    """get_dataloader(..., cache_data=True) serves batches from the cache."""
+    from duodiff_tpu.data import get_dataloader
+
+    root = tmp_path / "imagenet"
+    rng = np.random.RandomState(0)
+    for cls in ("a", "b"):
+        (root / cls).mkdir(parents=True)
+        for i in range(4):
+            Image.fromarray(
+                rng.randint(0, 256, (64, 64, 3), dtype=np.uint8)
+            ).save(root / cls / f"{i}.png")
+
+    dl = get_dataloader("imagenet64", 4, seed=0, data_dir=tmp_path,
+                        cache_data=True)
+    batch = dl.next_batch()
+    assert batch["image"].shape == (4, 64, 64, 3)
+    assert (tmp_path / "_duodiff_cache" / "imagenet64_norm1" /
+            "meta.json").exists()
+    dl2 = get_dataloader("imagenet64", 4, seed=0, data_dir=tmp_path,
+                         cache_data=True)
+    np.testing.assert_array_equal(dl2.next_batch()["image"], batch["image"])
