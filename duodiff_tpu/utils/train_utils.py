@@ -52,6 +52,17 @@ class MetricsLogger:
     def log_hparams(self, hparams: dict) -> None:
         with open(self.log_dir / "hparams.json", "w") as f:
             json.dump({k: _maybe_str(v) for k, v in hparams.items()}, f, indent=2)
+        if self._tb is not None:
+            # TB hparams table (reference trainer.py:69-75 writes both)
+            simple = {
+                k: v if isinstance(v, (int, float, bool, str)) else str(v)
+                for k, v in hparams.items()
+                if v is not None
+            }
+            try:
+                self._tb.add_hparams(simple, {"hparams/recorded": 1.0})
+            except Exception as e:
+                print(f"add_hparams skipped ({e})")
 
     def close(self) -> None:
         self._jsonl.close()
