@@ -11,14 +11,19 @@ Sizes are modest for the fixed-size datasets (CelebA-64: 2.4 GB,
 ImageNet-64: 6.4 GB); imagenet256 (106 GB) should only be cached on disks
 that can take it — the cache is opt-in (--cache_data).
 
-The build is atomic: arrays are written to <key>.building/ and the
-directory is renamed into place, so a killed build never leaves a
-half-cache that later runs trust.
+The build is atomic and concurrency-safe: each builder writes to a
+private <key>.building.<pid>/ dir and renames it into place; a lost rename
+race (another process finished first) discards the local build and uses the
+winner's. Staleness: meta.json records the base dataset length, checked on
+every open — a changed dataset triggers a rebuild (content/transform changes
+beyond length are NOT detected; delete data/_duodiff_cache after editing
+transforms).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import shutil
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
@@ -37,7 +42,7 @@ class MemmapCachedDataset:
         self.scale = getattr(base, "scale", 1.0 / 255.0)
         self.offset = getattr(base, "offset", 0.0)
         final = Path(cache_dir) / key
-        if not (final / "meta.json").exists():
+        if self._is_stale(final, base):
             self._build(base, cache_dir, key, num_workers, verbose)
         meta = json.loads((final / "meta.json").read_text())
         self.images = np.load(final / "images.npy", mmap_mode="r")
@@ -47,8 +52,23 @@ class MemmapCachedDataset:
         self.labels = np.load(final / "labels.npy")
 
     @staticmethod
+    def _is_stale(final: Path, base) -> bool:
+        if not (final / "meta.json").exists():
+            return True
+        meta = json.loads((final / "meta.json").read_text())
+        n_base = len(base)
+        if meta["shape"][0] != n_base:
+            print(f"Dataset cache {final.name} is stale "
+                  f"({meta['shape'][0]} cached vs {n_base} in the dataset); "
+                  "rebuilding")
+            return True
+        return False
+
+    @staticmethod
     def _build(base, cache_dir, key, num_workers, verbose):
-        tmp = Path(cache_dir) / f"{key}.building"
+        # pid-private build dir: concurrent builders (multi-process training
+        # on a shared data_dir) never touch each other's work
+        tmp = Path(cache_dir) / f"{key}.building.{os.getpid()}"
         if tmp.exists():
             shutil.rmtree(tmp)
         tmp.mkdir(parents=True)
@@ -80,9 +100,19 @@ class MemmapCachedDataset:
         np.save(tmp / "labels.npy", labels)
         (tmp / "meta.json").write_text(json.dumps({"shape": list(shape)}))
         final = Path(cache_dir) / key
-        if final.exists():
-            shutil.rmtree(final)
-        tmp.rename(final)
+        try:
+            tmp.rename(final)
+        except OSError:
+            # lost the rename race (or a stale cache occupies the name):
+            # prefer a same-length winner, else replace it
+            meta = final / "meta.json"
+            if meta.exists() and json.loads(meta.read_text())["shape"] == list(
+                shape
+            ):
+                shutil.rmtree(tmp)
+            else:
+                shutil.rmtree(final)
+                tmp.rename(final)
 
     def __len__(self):
         return len(self.labels)

@@ -56,10 +56,8 @@ def _kernel(*refs, num_heads: int, scale: float, eps: float, has_qkv_bias: bool)
     @pl.when(h == 0)
     def _layernorm_and_residual_init():
         xv = x_ref[:].astype(jnp.float32)  # (G, L, D)
-        mean = jnp.mean(xv, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(xv - mean), axis=-1, keepdims=True)
-        xn = (xv - mean) * jax.lax.rsqrt(var + eps)
-        xn = xn * g_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
+        _, _, xn = _ln_fwd(xv, g_ref[0].astype(jnp.float32),
+                           b_ref[0].astype(jnp.float32), eps)
         xn_ref[:] = xn.astype(xn_ref.dtype)
         # residual + output-projection bias, accumulated once in fp32
         acc_ref[:] = xv + bp_ref[0].astype(jnp.float32)
@@ -114,10 +112,8 @@ def _kernel_v2(*refs, num_heads: int, scale: float, eps: float,
     dh = d // num_heads
     for i in range(g):
         xv = x_ref[i].astype(jnp.float32)  # (L, D)
-        mean = jnp.mean(xv, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(xv - mean), axis=-1, keepdims=True)
-        xn = (xv - mean) * jax.lax.rsqrt(var + eps)
-        xn = xn * g_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
+        _, _, xn = _ln_fwd(xv, g_ref[0].astype(jnp.float32),
+                           b_ref[0].astype(jnp.float32), eps)
         xn = xn.astype(x_ref.dtype)
 
         qkv = jnp.dot(xn, wqkv_ref[:], preferred_element_type=jnp.float32)
@@ -353,10 +349,8 @@ def _mlp_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
     g, l, d = x_ref.shape
     for i in range(g):
         xv = x_ref[i].astype(jnp.float32)  # (L, D)
-        mean = jnp.mean(xv, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(xv - mean), axis=-1, keepdims=True)
-        xn = (xv - mean) * jax.lax.rsqrt(var + eps)
-        xn = xn * g_ref[0].astype(jnp.float32) + b_ref[0].astype(jnp.float32)
+        _, _, xn = _ln_fwd(xv, g_ref[0].astype(jnp.float32),
+                           b_ref[0].astype(jnp.float32), eps)
         h = jnp.dot(
             xn.astype(x_ref.dtype), w1_ref[:], preferred_element_type=jnp.float32
         ) + b1_ref[0].astype(jnp.float32)

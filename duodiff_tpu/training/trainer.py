@@ -229,7 +229,20 @@ class Trainer:
         }
         if self.state.ema_params is not None:
             template["ema_params"] = self.state.ema_params
-        restored = self.checkpointer.restore(ckpt_path, template)
+        try:
+            restored = self.checkpointer.restore(ckpt_path, template)
+        except Exception:
+            if "ema_params" not in template:
+                raise
+            # checkpoint predates --ema_decay: restore without EMA and seed
+            # the EMA from the restored params below
+            del template["ema_params"]
+            restored = self.checkpointer.restore(ckpt_path, template)
+            print("Checkpoint has no EMA params; starting EMA from the "
+                  "restored params")
+            restored["ema_params"] = jax.tree_util.tree_map(
+                jnp.copy, restored["params"]
+            )
         self.state = self._place_state(
             self.state.replace(
                 step=jnp.asarray(int(restored["step"]), jnp.int32),

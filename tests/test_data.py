@@ -207,15 +207,26 @@ def test_memmap_cache_identity_and_reuse(tmp_path):
         assert cl == bl
     assert cached.scale == base.scale and cached.offset == base.offset
 
-    # reopen from disk only (base untouched) — hits the built cache
+    # reopen from disk — same length passes the staleness check and must NOT
+    # rebuild (decoding through Boom would raise)
     class Boom:
         def __len__(self):
+            return 6
+
+        def __getitem__(self, i):
             raise AssertionError("cache rebuild attempted")
 
     cached2 = MemmapCachedDataset(Boom(), tmp_path / "cache", "tiny",
                                   verbose=False)
     np.testing.assert_array_equal(np.asarray(cached2[3][0]),
                                   np.asarray(cached[3][0]))
+
+    # a changed dataset length is detected as stale and rebuilt
+    base2 = ImageFolderDataset(root, normalize=True, resize_to=8)
+    base2.samples = base2.samples[:4]
+    rebuilt = MemmapCachedDataset(base2, tmp_path / "cache", "tiny",
+                                  verbose=False)
+    assert len(rebuilt) == 4
 
 
 def test_dataloader_factory_with_cache(tmp_path):

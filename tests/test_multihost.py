@@ -61,15 +61,22 @@ step_fn = jax.jit(make_train_step(
     schedule, model_kind="uvit", parametrization="predict_noise",
 ))
 
-# every process provides its addressable shard of the global batch
+# every process provides only ITS shard of the global batch: rows are
+# sharded over ("dcn", "data") and dcn spans processes, so process p owns
+# rows [p*B/2, (p+1)*B/2) — make_array_from_process_local_data scales the
+# sharded dim by the process count to recover global_batch
 bshard = batch_sharding(mesh)
 global_batch = 8
-rng = np.random.RandomState(0)  # same data on both processes
+local = global_batch // n_proc
+rng = np.random.RandomState(0)  # both processes draw the same global batch
 imgs = rng.randn(global_batch, 16, 16, 3).astype(np.float32)
-image = jax.make_array_from_process_local_data(bshard, imgs)
-label = jax.make_array_from_process_local_data(
-    batch_sharding(mesh, ndim=1), np.zeros((global_batch,), np.int32)
+image = jax.make_array_from_process_local_data(
+    bshard, imgs[pid * local : (pid + 1) * local]
 )
+label = jax.make_array_from_process_local_data(
+    batch_sharding(mesh, ndim=1), np.zeros((local,), np.int32)
+)
+assert image.shape == (global_batch, 16, 16, 3), image.shape
 
 state, metrics = step_fn(state, {"image": image, "label": label},
                          jax.random.PRNGKey(0))

@@ -52,6 +52,29 @@ def test_pallas_attention_bf16_inputs(qkv):
     np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-2)
 
 
+@pytest.mark.parametrize("h,d,l,b", [
+    (2, 64, 9, 2),     # dh=32, tiny L
+    (16, 256, 33, 5),  # dh=16, odd batch (grp=1 fallback)
+    (4, 128, 128, 4),  # lane-aligned L
+])
+def test_fused_sublayer_geometries(h, d, l, b):
+    """The batch-grid kernel must be correct for any (heads, dim, L, B) —
+    the lane slices and group-size selection are geometry-sensitive."""
+    from duodiff_tpu.models.layers import Block
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, l, d), jnp.float32)
+
+    def run(impl):
+        blk = Block(num_heads=h, dtype=jnp.float32, attn_impl=impl)
+        params = blk.init(jax.random.PRNGKey(0), x)["params"]
+        return blk.apply({"params": params}, x)
+
+    np.testing.assert_allclose(
+        np.asarray(run("fused")), np.asarray(run("xla")),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
 @pytest.mark.parametrize("variant", ["v1", "v2"])
 @pytest.mark.parametrize("qkv_bias", [False, True])
 def test_fused_sublayer_variants_match(variant, qkv_bias):

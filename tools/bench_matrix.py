@@ -1,0 +1,177 @@
+"""Sampling-throughput matrix across the reference's operating points.
+
+Measures per-image generation time on the real chip for every method x
+dataset combination BASELINE.md publishes (FID, time) pairs for — dense
+DDPM, DuoDiff t_switch, DDIM, and bucketed static-exit — with random-init
+weights (wall time is weight-independent). Writes JSON and prints a
+markdown table for the README.
+
+Usage: python tools/bench_matrix.py [--rows celeba,cifar10,...] [--batch 128]
+       [--output bench_matrix.json]
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def time_sampler(fn, key, reps=1):
+    import jax
+
+    jax.block_until_ready(fn(key))  # compile + warm
+    t0 = time.perf_counter()
+    for i in range(reps):
+        out = fn(jax.random.fold_in(key, i))
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--rows", type=str, default=(
+        "celeba,celeba_duodiff,celeba_ddim,celeba_static_exit,"
+        "cifar10,imagenet64,imagenet256"
+    ))
+    p.add_argument("--output", type=str, default="bench_matrix.json")
+    args = p.parse_args(argv)
+
+    from duodiff_tpu.utils.runtime import setup_compilation_cache
+
+    setup_compilation_cache()
+
+    import jax
+
+    jax.config.update("jax_default_prng_impl", "rbg")
+
+    from duodiff_tpu.diffusion import ChunkedDDPMSampler, NoiseSchedule, ddim_sample
+    from duodiff_tpu.utils.model_loading import load_model_from_config
+
+    schedule = NoiseSchedule.create(steps=args.steps)
+    b = args.batch
+
+    # Params ride through the samplers' opaque ``y`` bundle as traced
+    # ARGUMENTS — closing over them bakes the weights into the MLIR as
+    # constants, and the remote-compile endpoint rejects >~200MB modules
+    # (HTTP 413 on the 131M-param imagenet64 model).
+    def load(cfg_path, seed=0):
+        model, params, cfg, _ = load_model_from_config(
+            f"configs/{cfg_path}", None, seed=seed, gelu_approx=True
+        )
+
+        def apply_fn(x, t, bundle):
+            labels, p = bundle
+            return model.apply({"params": p}, x, t, labels)
+
+        return apply_fn, params, cfg
+
+    def dense_fn(cfg_name):
+        apply_fn, params, cfg = load(cfg_name)
+        sampler = ChunkedDDPMSampler(
+            apply_fn, schedule, parametrization="predict_noise"
+        )
+        shape = (b, cfg.img_size, cfg.img_size, cfg.in_chans)
+        y = None
+        if cfg.num_classes > 0:
+            y = jax.random.randint(jax.random.PRNGKey(7), (b,), 0,
+                                   cfg.num_classes)
+        return lambda key: sampler.sample(key, shape, y=(y, params))
+
+    rows = {}
+
+    def run(name, fn_builder):
+        if name not in args.rows.split(","):
+            return
+        print(f"--- {name} (batch {b}, {args.steps} steps)", file=sys.stderr)
+        dt = time_sampler(fn_builder(), jax.random.PRNGKey(0))
+        rows[name] = {
+            "s_per_image": round(dt / b, 5),
+            "samples_per_sec_chip": round(b / dt, 3),
+        }
+        print(f"{name}: {dt/b*1e3:.2f} ms/image "
+              f"({b/dt:.2f} samples/s)", file=sys.stderr)
+
+    run("celeba", lambda: dense_fn("uvit_celeba.yaml"))
+    run("cifar10", lambda: dense_fn("uvit_cifar10.yaml"))
+    run("imagenet64", lambda: dense_fn("uvit_imagenet64.yaml"))
+    run("imagenet256", lambda: dense_fn("uvit_imagenet256.yaml"))
+
+    def duodiff_fn():
+        early_apply, early_params, cfg = load("uvit_celeba_3.yaml")
+        late_apply, late_params, _ = load("uvit_celeba.yaml", seed=1)
+        early = ChunkedDDPMSampler(early_apply, schedule,
+                                   parametrization="predict_noise")
+        late = ChunkedDDPMSampler(late_apply, schedule,
+                                  parametrization="predict_noise")
+        shape = (b, 64, 64, 3)
+        t_switch = 300  # shallow steps (duodiff_sample convention)
+        handoff = args.steps - t_switch
+
+        def sample(key):
+            x, key = early.init(key, shape)
+            x, key = early.run(x, key, schedule.steps - 1, handoff,
+                               (None, early_params))
+            x, _ = late.run(x, key, handoff - 1, 0, (None, late_params))
+            return x
+
+        return sample
+
+    run("celeba_duodiff", duodiff_fn)
+
+    def ddim_fn():
+        apply_fn, params, cfg = load("uvit_celeba.yaml")
+        shape = (b, 64, 64, 3)
+        fn = jax.jit(lambda key, p: ddim_sample(
+            apply_fn, key, schedule=schedule, shape=shape, ddim_steps=50,
+            eta=0.0, y=(None, p),
+        )[0])
+        return lambda key: fn(key, params)
+
+    run("celeba_ddim", ddim_fn)
+
+    def static_exit_fn():
+        from duodiff_tpu.diffusion.static_exit import static_exit_sample
+        from duodiff_tpu.models.early_exit import init_early_exit_uvit
+        from duodiff_tpu.config import UViTConfig
+        from duodiff_tpu.config import load_config
+
+        raw = load_config("configs/deediff_celeba.yaml")
+        cfg = UViTConfig.from_dict(raw["model_params"])
+        import jax.numpy as jnp
+
+        _, params = init_early_exit_uvit(
+            cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16,
+            attn_impl="fused", gelu_approx=True,
+        )
+        # the paper's exit-vs-timestep shape: shallow early, deep late
+        t = args.steps
+        buckets = [
+            (t - 1, int(t * 0.7), 3),
+            (int(t * 0.7) - 1, int(t * 0.3), 8),
+            (int(t * 0.3) - 1, 0, 13),
+        ]
+        shape = (b, 64, 64, 3)
+        return lambda key: static_exit_sample(
+            cfg, params, key, schedule=schedule, shape=shape,
+            buckets=buckets, attn_impl="fused", gelu_approx=True,
+        )
+
+    run("celeba_static_exit", static_exit_fn)
+
+    Path(args.output).write_text(json.dumps(rows, indent=2))
+    print(f"\nwritten {args.output}\n")
+    print("| Operating point | ms/image | samples/sec/chip |")
+    print("|---|---|---|")
+    for name, r in rows.items():
+        print(f"| {name} | {r['s_per_image']*1e3:.2f} | "
+              f"{r['samples_per_sec_chip']} |")
+    return rows
+
+
+if __name__ == "__main__":
+    main()

@@ -52,6 +52,28 @@ def get_args(argv=None):
     return args
 
 
+def make_switch_sampler(early_sampler, late_sampler, schedule, shape):
+    """Chunked-scan DuoDiff sampler with duodiff_sample's exact convention:
+    shallow model for the FIRST t_switch (high-noise) steps
+    t = T-1 .. T-t_switch, full model for the remaining T-t_switch steps
+    (reference handoff ``if t == 1000 - t_switch``, sampler.py:135-136).
+    Chunked segments bound remote-compile time vs one 1000-trip scan."""
+
+    def sample_with_switch(key, t_switch):
+        handoff = schedule.steps - int(t_switch)
+        x, key = early_sampler.init(key, shape)
+        if t_switch > 0:
+            x, key = early_sampler.run(
+                x, key, schedule.steps - 1, handoff, None
+            )
+            x, key = late_sampler.run(x, key, handoff - 1, 0, None)
+        else:
+            x, key = late_sampler.run(x, key, schedule.steps - 1, 0, None)
+        return x
+
+    return sample_with_switch
+
+
 def main(argv=None):
     args = get_args(argv)
 
@@ -93,17 +115,9 @@ def main(argv=None):
         schedule, parametrization="predict_noise",
     )
 
-    def sample_with_switch(key, t_switch):
-        """Shallow model for timesteps [T-1, t_switch], full model below
-        (reference sampler.py:135-136 swaps at sampling step 1000-t_switch,
-        i.e. diffusion timestep t == t_switch)."""
-        x, key = early_sampler.init(key, shape)
-        if t_switch > 0:
-            x, key = early_sampler.run(x, key, schedule.steps - 1, t_switch, None)
-            x, key = late_sampler.run(x, key, t_switch - 1, 0, None)
-        else:
-            x, key = late_sampler.run(x, key, schedule.steps - 1, 0, None)
-        return x
+    sample_with_switch = make_switch_sampler(
+        early_sampler, late_sampler, schedule, shape
+    )
 
     stats = np.load(args.real_stats)
     mu_r, s_r = stats["mu"], stats["sigma"]
