@@ -154,22 +154,22 @@ def derive_exit_schedule(
     return merged
 
 
-def static_exit_sample(
+def make_static_exit_sampler(
     config: UViTConfig,
     params: dict,
-    key: jax.Array,
     *,
     schedule: NoiseSchedule,
-    shape: Sequence[int],
     buckets: Sequence[Bucket],
-    y=None,
     dtype=jnp.bfloat16,
     attn_impl: str = "auto",
     gelu_approx: bool = False,
     chunk: int = 100,
 ):
-    """Sample with per-bucket truncated backbones (one chunked scan per
-    distinct exit layer). Buckets must cover [0, steps-1] descending."""
+    """Build a reusable ``sample(key, shape, y=None)`` with per-bucket
+    truncated backbones (one chunked scan per distinct exit layer). Reuse
+    the returned callable across invocations — the jitted chunks live in
+    its closure, so rebuilding per call would re-trace everything (measured
+    4x slower end to end). Buckets must cover [0, steps-1] descending."""
     buckets = sorted(buckets, key=lambda b: -b[0])
     assert buckets[0][0] == schedule.steps - 1 and buckets[-1][1] == 0, (
         "buckets must cover the full timestep range"
@@ -185,8 +185,35 @@ def static_exit_sample(
                 parametrization="predict_noise",
                 chunk=chunk,
             )
-    first = samplers[buckets[0][2]]
-    x, key = first.init(key, shape)
-    for t_hi, t_lo, layer in buckets:
-        x, key = samplers[layer].run(x, key, t_hi, t_lo, y)
-    return x
+
+    def sample(key, shape, y=None):
+        x, key = samplers[buckets[0][2]].init(key, shape)
+        for t_hi, t_lo, layer in buckets:
+            x, key = samplers[layer].run(x, key, t_hi, t_lo, y)
+        return x
+
+    return sample
+
+
+def static_exit_sample(
+    config: UViTConfig,
+    params: dict,
+    key: jax.Array,
+    *,
+    schedule: NoiseSchedule,
+    shape: Sequence[int],
+    buckets: Sequence[Bucket],
+    y=None,
+    dtype=jnp.bfloat16,
+    attn_impl: str = "auto",
+    gelu_approx: bool = False,
+    chunk: int = 100,
+):
+    """One-shot convenience over make_static_exit_sampler."""
+    sampler = make_static_exit_sampler(
+        config, params, schedule=schedule, buckets=buckets, dtype=dtype,
+        attn_impl=attn_impl, gelu_approx=gelu_approx, chunk=chunk,
+    )
+    return sampler(key, shape, y)
+
+

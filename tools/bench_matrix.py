@@ -135,7 +135,7 @@ def main(argv=None):
     run("celeba_ddim", ddim_fn)
 
     def static_exit_fn():
-        from duodiff_tpu.diffusion.static_exit import static_exit_sample
+        from duodiff_tpu.diffusion.static_exit import make_static_exit_sampler
         from duodiff_tpu.models.early_exit import init_early_exit_uvit
         from duodiff_tpu.config import UViTConfig
         from duodiff_tpu.config import load_config
@@ -156,10 +156,11 @@ def main(argv=None):
             (int(t * 0.3) - 1, 0, 13),
         ]
         shape = (b, 64, 64, 3)
-        return lambda key: static_exit_sample(
-            cfg, params, key, schedule=schedule, shape=shape,
-            buckets=buckets, attn_impl="fused", gelu_approx=True,
+        sampler = make_static_exit_sampler(
+            cfg, params, schedule=schedule, buckets=buckets,
+            attn_impl="fused", gelu_approx=True,
         )
+        return lambda key: sampler(key, shape)
 
     run("celeba_static_exit", static_exit_fn)
 
