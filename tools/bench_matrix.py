@@ -36,7 +36,7 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--rows", type=str, default=(
         "celeba,celeba_duodiff,celeba_ddim,celeba_static_exit,"
-        "cifar10,imagenet64,imagenet256"
+        "cifar10,imagenet64,imagenet256,imagenet256_decoded"
     ))
     p.add_argument("--output", type=str, default="bench_matrix.json")
     args = p.parse_args(argv)
@@ -100,6 +100,29 @@ def main(argv=None):
     run("cifar10", lambda: dense_fn("uvit_cifar10.yaml"))
     run("imagenet64", lambda: dense_fn("uvit_imagenet64.yaml"))
     run("imagenet256", lambda: dense_fn("uvit_imagenet256.yaml"))
+
+    def imagenet256_decoded_fn():
+        # latent sampling + the frozen-KL decode to 256x256 pixels (the
+        # reference timings include the decode; random-init weights — the
+        # decode cost is weight-independent)
+        import jax.numpy as jnp
+
+        from duodiff_tpu.models.autoencoder import init_autoencoder
+
+        sample_latents = dense_fn("uvit_imagenet256.yaml")
+        ae, ae_params = init_autoencoder(dtype=jnp.bfloat16)
+
+        decode = jax.jit(lambda p, z: ae.apply(
+            {"params": p}, z, method=ae.decode
+        ))
+
+        def sample(key):
+            z = sample_latents(key)
+            return decode(ae_params, z)
+
+        return sample
+
+    run("imagenet256_decoded", imagenet256_decoded_fn)
 
     def duodiff_fn():
         early_apply, early_params, cfg = load("uvit_celeba_3.yaml")
