@@ -123,9 +123,17 @@ class ChunkedDDPMSampler:
 
         self._run_chunk = jax.jit(run_chunk)
 
-    def init(self, key, shape):
+    def init(self, key, shape, sharding=None):
+        """Draw x_T ~ N(0, I). ``sharding`` (e.g. batch_sharding(mesh))
+        commits x to a device mesh — jit then propagates the layout through
+        every chunk, so sampling runs data-parallel across chips with the
+        model replicated (DDPM sampling is embarrassingly parallel over the
+        batch; SURVEY.md §2b). Values are sharding-independent: the noise is
+        drawn first, then placed."""
         key, init_key = jax.random.split(key)
         x = jax.random.normal(init_key, tuple(shape), dtype=jnp.float32)
+        if sharding is not None:
+            x = jax.device_put(x, sharding)
         return x, key
 
     def run(self, x, key, t_start: int, t_end: int = 0, y=None):
@@ -148,9 +156,10 @@ class ChunkedDDPMSampler:
             x, key = self._run_chunk(x, key, ts, y)
         return x, key
 
-    def sample(self, key, shape, y=None, t_start=None, t_end: int = 0):
+    def sample(self, key, shape, y=None, t_start=None, t_end: int = 0,
+               sharding=None):
         t_start = self.schedule.steps - 1 if t_start is None else t_start
-        x, key = self.init(key, shape)
+        x, key = self.init(key, shape, sharding=sharding)
         x, _ = self.run(x, key, t_start, t_end, y)
         return x
 
@@ -221,12 +230,14 @@ class ChunkedEarlyExitSampler:
 
         self._run_chunk = jax.jit(run_chunk)
 
-    def sample(self, key, shape, y=None):
+    def sample(self, key, shape, y=None, sharding=None):
         import numpy as np
 
         steps = self.schedule.steps
         key, init_key = jax.random.split(key)
         x = jax.random.normal(init_key, tuple(shape), dtype=jnp.float32)
+        if sharding is not None:  # data-parallel over chips (see DDPM twin)
+            x = jax.device_put(x, sharding)
         all_ts = np.arange(steps - 1, -1, -1)
         errs, idxs = [], []
         for i in range(0, len(all_ts), self.chunk):

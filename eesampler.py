@@ -123,10 +123,19 @@ def main(argv=None):
             apply_fn, schedule, threshold=args.threshold
         )
 
+        batch_shard = None
+        if (jax.device_count() > 1
+                and args.batch_size % jax.device_count() == 0):
+            from duodiff_tpu.parallel import batch_sharding, create_mesh
+
+            batch_shard = batch_sharding(create_mesh())
+            print(f"Sharding batch {args.batch_size} over "
+                  f"{jax.device_count()} devices")
         print(f"Early-exit sampling {args.batch_size} images "
               f"(threshold={args.threshold})...")
         tic = time.time()
-        x, err_by_t, idx_by_t = sampler.sample(key, shape, y=y)
+        x, err_by_t, idx_by_t = sampler.sample(key, shape, y=y,
+                                               sharding=batch_shard)
         x = jax.block_until_ready(x)
         elapsed = time.time() - tic
 

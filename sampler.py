@@ -120,14 +120,34 @@ def main(argv=None):
     timesteps_save = tuple(args.timesteps_save)
     steps = schedule.steps
 
+    # Multi-chip: shard the sample batch over a data mesh (model replicated;
+    # DDPM sampling is embarrassingly parallel over the batch). jit
+    # propagates the layout through every scan chunk — zero code changes in
+    # the samplers beyond the initial placement.
+    batch_shard = None
+    if jax.device_count() > 1 and args.batch_size % jax.device_count() == 0:
+        from duodiff_tpu.parallel import batch_sharding, create_mesh
+
+        mesh = create_mesh()
+        batch_shard = batch_sharding(mesh)
+        print(f"Sharding batch {args.batch_size} over "
+              f"{jax.device_count()} devices")
+
     def run_ddim(key, y):
-        x, inter = jax.jit(lambda k, yy: ddim_sample(
+        x_init = None
+        if batch_shard is not None:
+            ik = jax.random.fold_in(key, 777)
+            x_init = jax.device_put(
+                jax.random.normal(ik, shape, jnp.float32), batch_shard
+            )
+        x, inter = jax.jit(lambda k, yy, xi: ddim_sample(
             apply_early, k, schedule=schedule, shape=shape,
             ddim_steps=args.ddim_steps, eta=args.ddim_eta, y=yy,
             timesteps_save=timesteps_save,
             late_apply_fn=apply_late if late else None,
             t_switch=args.t_switch if late else None,
-        ))(key, y)
+            x_init=xi,
+        ))(key, y, x_init)
         return x, list(inter)
 
     def run_ddpm(key, y):
@@ -155,7 +175,7 @@ def main(argv=None):
         boundaries = sorted(set(save_ts + ([handoff] if handoff else [])),
                             reverse=True)
 
-        x, key = early_sampler.init(key, shape)
+        x, key = early_sampler.init(key, shape, sharding=batch_shard)
         sampler = early_sampler
         t_hi = steps - 1
         inter = []

@@ -212,3 +212,28 @@ def test_chunked_sampler_matches_single_scan():
     x_chunked = sample(key, SHAPE)
     x_one, _ = ddpm_sample(f, key, schedule=sched, shape=SHAPE)
     np.testing.assert_array_equal(np.asarray(x_chunked), np.asarray(x_one))
+
+
+def test_sharded_sampling_matches_unsharded():
+    """Batch-sharded sampling over an 8-device mesh is bit-identical to
+    single-device sampling (noise drawn before placement; SPMD only
+    distributes the math)."""
+    from duodiff_tpu.diffusion.sampling import ChunkedDDPMSampler
+    from duodiff_tpu.parallel import batch_sharding, create_mesh
+
+    if jax.device_count() < 2:
+        import pytest
+
+        pytest.skip("needs the multi-device CPU mesh")
+
+    sched = NoiseSchedule.create(steps=12)
+    f = stub_model(0.1)
+    sampler = ChunkedDDPMSampler(f, sched, chunk=5)
+    key = jax.random.PRNGKey(4)
+    mesh = create_mesh()
+    shard = batch_sharding(mesh)
+    shape = (jax.device_count(), 8, 8, 3)  # batch divisible by the mesh
+    x_sharded = sampler.sample(key, shape, sharding=shard)
+    assert len(x_sharded.sharding.device_set) == jax.device_count()
+    x_plain = sampler.sample(key, shape)
+    np.testing.assert_array_equal(np.asarray(x_sharded), np.asarray(x_plain))
