@@ -4,6 +4,7 @@ from duodiff_tpu.diffusion.sampling import (
     ChunkedEarlyExitSampler,
     ddim_sample,
     ddpm_sample,
+    dpm_solver_sample,
     duodiff_sample,
     early_exit_sample,
     early_exit_select,
@@ -13,6 +14,7 @@ from duodiff_tpu.diffusion.sampling import (
 __all__ = [
     "NoiseSchedule",
     "ddpm_sample",
+    "dpm_solver_sample",
     "ddim_sample",
     "duodiff_sample",
     "early_exit_sample",

@@ -523,3 +523,88 @@ def early_exit_select(
     )[0]
     exit_layers = jnp.where(never_met, depth, adjusted).astype(jnp.int32)
     return selected, exit_layers
+
+
+def dpm_solver_sample(
+    apply_fn: Callable,
+    key: jax.Array,
+    *,
+    schedule: NoiseSchedule,
+    shape: Sequence[int],
+    dpm_steps: int = 20,
+    order: int = 2,
+    parametrization: str = "predict_noise",
+    y: Optional[jax.Array] = None,
+    x_init: Optional[jax.Array] = None,
+):
+    """DPM-Solver++ multistep sampling (Lu et al. 2022, arXiv:2211.01095) —
+    a training-free fast ODE solver: ~20 model calls reach near-1000-step
+    DDPM quality, far past the reference's fastest published operating
+    points (BASELINE.md). No reference equivalent; a beyond-parity feature.
+
+    Discrete-model treatment: the timestep grid is linspace over the trained
+    0..T-1 steps (same grid family as ddim_timestep_grid) and lambda(t) =
+    log(alpha_t / sigma_t) is computed from the trained discrete
+    alphas_bar — the approach diffusers' DPMSolverMultistepScheduler takes.
+
+    order=1 is exactly DDIM with eta=0 on the same grid (tested); order=2 is
+    the 2M multistep variant in data-prediction form:
+
+      x_i = (sigma_i / sigma_{i-1}) x_{i-1} - alpha_i (e^{-h_i} - 1) D_i
+      D_i = (1 + 1/(2 r_i)) x0_{i-1} - 1/(2 r_i) x0_{i-2},
+      h_i = lambda_i - lambda_{i-1},  r_i = h_{i-1} / h_i
+      (first step: D_1 = x0_0).
+    """
+    import numpy as np
+
+    assert order in (1, 2), order
+    steps = schedule.steps
+    grid = np.asarray(ddim_timestep_grid(steps, dpm_steps))  # descending
+    a_bar = np.asarray(schedule.alphas_bar)[grid]
+    alpha = np.sqrt(a_bar)                    # signal coefficient
+    sigma = np.sqrt(1.0 - a_bar)              # noise coefficient
+    lam = np.log(alpha / sigma)               # ascending as t decreases
+
+    # per-transition constants i-1 -> i (n-1 transitions over an n-grid)
+    h = lam[1:] - lam[:-1]
+    r = np.concatenate([np.ones((1,)), h[:-1]]) / h  # r[0] unused
+    consts = {
+        "t_prev": grid[:-1].astype(np.float32),
+        "sigma_ratio": (sigma[1:] / sigma[:-1]).astype(np.float32),
+        "alpha_t": alpha[1:].astype(np.float32),
+        "phi": np.expm1(-h).astype(np.float32),          # e^{-h} - 1
+        "c_cur": (1.0 + 1.0 / (2.0 * r)).astype(np.float32),
+        "c_prev": (1.0 / (2.0 * r)).astype(np.float32),
+        "alpha_prev": alpha[:-1].astype(np.float32),
+        "sigma_prev": sigma[:-1].astype(np.float32),
+        "is_first": np.zeros(len(h), np.float32),
+    }
+    consts["is_first"][0] = 1.0
+    consts = {k: jnp.asarray(v) for k, v in consts.items()}
+
+    key, init_key = jax.random.split(key)
+    x = x_init if x_init is not None else jax.random.normal(
+        init_key, tuple(shape), dtype=jnp.float32
+    )
+    batch = shape[0]
+
+    def to_x0(model_output, x, c):
+        if parametrization == "predict_original":
+            return model_output
+        assert parametrization == "predict_noise", parametrization
+        return (x - c["sigma_prev"] * model_output) / c["alpha_prev"]
+
+    def body(carry, c):
+        x, x0_prev = carry
+        t_batch = jnp.full((batch,), c["t_prev"], dtype=jnp.float32)
+        x0 = to_x0(apply_fn(x, t_batch, y), x, c)
+        if order == 1:
+            d = x0
+        else:
+            d2 = c["c_cur"] * x0 - c["c_prev"] * x0_prev
+            d = jnp.where(c["is_first"] > 0, x0, d2)
+        x = c["sigma_ratio"] * x - c["alpha_t"] * c["phi"] * d
+        return (x, x0), None
+
+    (x, _), _ = jax.lax.scan(body, (x, jnp.zeros_like(x)), consts)
+    return x

@@ -233,3 +233,18 @@ def test_eesampler_cli_static_schedule(tmp_path, tiny_config):
     idx = np.load(out / "indices_by_timestep.npy")
     assert idx.shape == (8, 2)
     assert set(np.unique(idx)) == {1, 3}
+
+
+def test_sampler_cli_dpm_solver(tmp_path, tiny_config):
+    out = tmp_path / "out_dpm"
+    sampler_cli.main([
+        "--config_path", str(tiny_config),
+        "--batch_size", "2",
+        "--parametrization", "predict_noise",
+        "--output_folder", str(out),
+        "--random_init",
+        "--num_timesteps", "50",
+        "--use_dpm_solver",
+        "--dpm_steps", "8",
+    ])
+    assert (out / "0.png").exists() and (out / "grid_image.png").exists()

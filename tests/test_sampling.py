@@ -237,3 +237,65 @@ def test_sharded_sampling_matches_unsharded():
     assert len(x_sharded.sharding.device_set) == jax.device_count()
     x_plain = sampler.sample(key, shape)
     np.testing.assert_array_equal(np.asarray(x_sharded), np.asarray(x_plain))
+
+
+def test_dpm_solver_order1_is_ddim():
+    """DPM-Solver++ with order=1 reduces exactly to DDIM (eta=0) on the same
+    timestep grid — an analytic identity of the data-prediction form."""
+    from duodiff_tpu.diffusion.sampling import ddim_sample, dpm_solver_sample
+
+    sched = NoiseSchedule.create(steps=100)
+    f = stub_model(0.1)
+    key = jax.random.PRNGKey(5)
+    x1 = dpm_solver_sample(f, key, schedule=sched, shape=SHAPE, dpm_steps=12,
+                           order=1)
+    x2, _ = ddim_sample(f, key, schedule=sched, shape=SHAPE, ddim_steps=12,
+                        eta=0.0)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_dpm_solver_order2_properties():
+    """Order 2 equals order 1 for a constant-eps model (the multistep
+    correction vanishes: D = x0), and differs for a state-dependent one."""
+    from duodiff_tpu.diffusion.sampling import dpm_solver_sample
+
+    sched = NoiseSchedule.create(steps=100)
+    key = jax.random.PRNGKey(6)
+
+    def const_eps(x, t, y):
+        return jnp.full_like(x, 0.3)
+
+    a = dpm_solver_sample(const_eps, key, schedule=sched, shape=SHAPE,
+                          dpm_steps=10, order=2)
+    b = dpm_solver_sample(const_eps, key, schedule=sched, shape=SHAPE,
+                          dpm_steps=10, order=1)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-6)
+
+    f = stub_model(0.1)  # eps depends on x
+    c = dpm_solver_sample(f, key, schedule=sched, shape=SHAPE,
+                          dpm_steps=10, order=2)
+    d = dpm_solver_sample(f, key, schedule=sched, shape=SHAPE,
+                          dpm_steps=10, order=1)
+    assert float(jnp.max(jnp.abs(c - d))) > 1e-4
+
+
+def test_dpm_solver_converges_to_ddpm():
+    """With enough steps the ODE solution approaches the many-step DDIM
+    limit: 2nd order at 20 steps should be closer to DDIM-100 than 1st
+    order at 20 steps is (the point of the solver)."""
+    from duodiff_tpu.diffusion.sampling import ddim_sample, dpm_solver_sample
+
+    sched = NoiseSchedule.create(steps=100)
+    f = stub_model(0.3)
+    key = jax.random.PRNGKey(7)
+    ref, _ = ddim_sample(f, key, schedule=sched, shape=SHAPE, ddim_steps=100,
+                         eta=0.0)
+    o2 = dpm_solver_sample(f, key, schedule=sched, shape=SHAPE, dpm_steps=20,
+                           order=2)
+    o1 = dpm_solver_sample(f, key, schedule=sched, shape=SHAPE, dpm_steps=20,
+                           order=1)
+    e2 = float(jnp.mean(jnp.abs(o2 - ref)))
+    e1 = float(jnp.mean(jnp.abs(o1 - ref)))
+    assert e2 < e1, (e2, e1)

@@ -36,7 +36,7 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--rows", type=str, default=(
         "celeba,celeba_duodiff,celeba_ddim,celeba_static_exit,"
-        "cifar10,imagenet64,imagenet256,imagenet256_decoded"
+        "celeba_dpm20,cifar10,imagenet64,imagenet256,imagenet256_decoded"
     ))
     p.add_argument("--output", type=str, default="bench_matrix.json")
     args = p.parse_args(argv)
@@ -156,6 +156,19 @@ def main(argv=None):
         return lambda key: fn(key, params)
 
     run("celeba_ddim", ddim_fn)
+
+    def dpm_fn():
+        from duodiff_tpu.diffusion import dpm_solver_sample
+
+        apply_fn, params, cfg = load("uvit_celeba.yaml")
+        shape = (b, 64, 64, 3)
+        fn = jax.jit(lambda key, p: dpm_solver_sample(
+            apply_fn, key, schedule=schedule, shape=shape, dpm_steps=20,
+            order=2, y=(None, p),
+        ))
+        return lambda key: fn(key, params)
+
+    run("celeba_dpm20", dpm_fn)
 
     def static_exit_fn():
         from duodiff_tpu.diffusion.static_exit import make_static_exit_sampler
