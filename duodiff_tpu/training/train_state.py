@@ -101,23 +101,35 @@ def make_train_step(
     parametrization: str,
     use_unweighted_loss: bool = False,
     has_labels: bool = False,
+    teacher_apply: Optional[Callable] = None,
+    distill_alpha: float = 1.0,
+    t_min: int = 0,
 ):
     """Build the pure train-step function.
 
-    step(state, batch, key) -> (state, metrics)
+    step(state, batch, key[, teacher_params]) -> (state, metrics)
       batch: dict with "image" (B, H, W, C) [latents already encoded for
       imagenet256] and optionally "label" (B,).
 
     The per-step flow mirrors reference trainer.py:307-352: draw uniform
     timesteps, add noise via q(x_t|x_0), forward, parametrization loss.
+
+    Distillation (no reference equivalent; NOTES.md candidate): when
+    ``teacher_apply(teacher_params, x, t, y)`` is given, the loss becomes
+    ``alpha * MSE(student, stop_grad(teacher)) + (1-alpha) * task_loss`` —
+    e.g. distill the DuoDiff shallow model from the trained full model on
+    its deployment regime by setting ``t_min`` to the planned
+    ``steps - t_switch`` (the shallow model only ever serves t >= t_min).
+    Teacher params are a traced argument (constants would bloat the jitted
+    module past remote-compile limits).
     """
 
-    def loss_fn(params, batch, key):
+    def loss_fn(params, batch, key, teacher_params=None):
         clean = batch["image"].astype(jnp.float32)
         labels = batch.get("label") if has_labels else None
         b = clean.shape[0]
         t_key, n_key = jax.random.split(key)
-        timesteps = jax.random.randint(t_key, (b,), 0, schedule.steps)
+        timesteps = jax.random.randint(t_key, (b,), t_min, schedule.steps)
         noise, noisy = schedule.add_noise(n_key, clean, timesteps)
 
         if model_kind == "uvit":
@@ -132,6 +144,22 @@ def make_train_step(
                 schedule=schedule,
             )
             metrics = {"train_loss": loss}
+            if teacher_apply is not None:
+                teacher_out = jax.lax.stop_gradient(
+                    teacher_apply(
+                        teacher_params, noisy,
+                        timesteps.astype(jnp.float32), labels,
+                    )
+                ).astype(jnp.float32)
+                distill = jnp.mean(
+                    jnp.square(pred.astype(jnp.float32) - teacher_out)
+                )
+                loss = distill_alpha * distill + (1.0 - distill_alpha) * loss
+                metrics = {
+                    "train_loss": loss,
+                    "distill_loss": distill,
+                    "task_loss": metrics["train_loss"],
+                }
         elif model_kind == "deediff_uvit":
             backbone, u, g = apply_fn(
                 params, noisy, timesteps.astype(jnp.float32), labels
@@ -156,9 +184,9 @@ def make_train_step(
             raise ValueError(f"Unknown model kind {model_kind}")
         return loss, metrics
 
-    def train_step(state: TrainState, batch, key):
+    def train_step(state: TrainState, batch, key, teacher_params=None):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (_, metrics), grads = grad_fn(state.params, batch, key)
+        (_, metrics), grads = grad_fn(state.params, batch, key, teacher_params)
         new_state = state.apply_gradients(grads)
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics

@@ -76,6 +76,7 @@ class Trainer:
         self.schedule = NoiseSchedule.create(steps=args.num_timesteps)
 
         self._init_model()
+        self._init_teacher()
         self._init_data()
         self._init_optimizer()
         self._init_autoencoder()
@@ -134,6 +135,32 @@ class Trainer:
         # place params according to the mesh partition rules
         self.param_shardings = shard_params(params, self.mesh)
         self.params = jax.device_put(params, self.param_shardings)
+
+    def _init_teacher(self):
+        """Optional distillation teacher (a frozen full-depth UViT); see
+        make_train_step's distillation docs."""
+        args = self.args
+        self.teacher = None
+        self.teacher_params = None
+        cfg_path = getattr(args, "distill_config", None)
+        if not cfg_path:
+            return
+        assert args.model == "uvit", "distillation targets a plain UViT student"
+        from duodiff_tpu.utils.model_loading import load_model_from_config
+
+        self.teacher, self.teacher_params, _, _ = load_model_from_config(
+            cfg_path,
+            getattr(args, "distill_from", None),
+            seed=args.seed + 1,
+            dtype=self.compute_dtype,
+        )
+        if not getattr(args, "distill_from", None):
+            print("WARNING: random-init teacher (--distill_from not given)")
+        self.teacher_params = jax.device_put(
+            self.teacher_params, replicate(self.mesh)
+        )
+        print(f"Distilling from {cfg_path} "
+              f"(alpha={args.distill_alpha}, t_min={args.distill_t_min})")
 
     def _init_data(self):
         args = self.args
@@ -261,6 +288,13 @@ class Trainer:
         def apply_fn(params, x, t, y):
             return model.apply({"params": params}, x, t, y)
 
+        teacher_apply = None
+        if self.teacher is not None:
+            teacher = self.teacher
+
+            def teacher_apply(p, x, t, y):
+                return teacher.apply({"params": p}, x, t, y)
+
         step_fn = make_train_step(
             apply_fn,
             self.schedule,
@@ -268,6 +302,9 @@ class Trainer:
             parametrization=args.parametrization,
             use_unweighted_loss=getattr(args, "use_unweighted_loss", False),
             has_labels=self.has_labels,
+            teacher_apply=teacher_apply,
+            distill_alpha=getattr(args, "distill_alpha", 1.0),
+            t_min=getattr(args, "distill_t_min", 0) or 0,
         )
         return jax.jit(step_fn, donate_argnums=(0,))
 
@@ -311,7 +348,9 @@ class Trainer:
                 )
 
             step_key = jax.random.fold_in(base_key, step)
-            self.state, metrics = self._train_step(self.state, device_batch, step_key)
+            self.state, metrics = self._train_step(
+                self.state, device_batch, step_key, self.teacher_params
+            )
 
             if step % 50 == 0 or step == args.n_steps or step == self.start_step + 1:
                 metrics = {k: float(v) for k, v in metrics.items()}

@@ -55,6 +55,19 @@ def get_args(argv=None):
     parser.add_argument("--resume", action="store_true", default=False)
 
     # Optimizer
+    parser.add_argument("--distill_config", type=str, default=None,
+                        help="Teacher model YAML: train the (shallow) "
+                             "student to match the teacher's outputs "
+                             "(DuoDiff shallow-model distillation; no "
+                             "reference equivalent)")
+    parser.add_argument("--distill_from", type=str, default=None,
+                        help="Teacher checkpoint (Orbax dir or .pth); "
+                             "random teacher if omitted (smoke only)")
+    parser.add_argument("--distill_alpha", type=float, default=1.0,
+                        help="alpha*MSE(student, teacher) + (1-alpha)*task")
+    parser.add_argument("--distill_t_min", type=int, default=0,
+                        help="Train only on t >= t_min (the shallow model's "
+                             "deployment regime is t >= steps - t_switch)")
     parser.add_argument("--ema_decay", type=float, default=0.0,
                         help="Track an EMA of the params (e.g. 0.9999) and "
                              "sample/log with it; 0 disables (reference has "

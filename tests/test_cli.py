@@ -248,3 +248,25 @@ def test_sampler_cli_dpm_solver(tmp_path, tiny_config):
         "--dpm_steps", "8",
     ])
     assert (out / "0.png").exists() and (out / "grid_image.png").exists()
+
+
+def test_main_cli_distillation(tmp_path, tiny_train_config, cifar_data):
+    """--distill_config trains the student against a (here random-init)
+    teacher and logs the distillation metrics."""
+    logdir = tmp_path / "logs_distill"
+    logs = main_cli.main([
+        "--config_path", str(tiny_train_config),
+        "--distill_config", str(tiny_train_config),
+        "--distill_alpha", "0.7",
+        "--distill_t_min", "10",
+        "--n_steps", "3",
+        "--batch_size", "4",
+        "--num_timesteps", "50",
+        "--dataset", "cifar10",
+        "--data_path", str(cifar_data),
+        "--log_path", str(logdir),
+        "--exp_name", "d1",
+        "--num_warmup_steps", "1",
+    ])
+    assert logs and "distill_loss" in logs[-1] and "task_loss" in logs[-1]
+    assert np.isfinite(logs[-1]["distill_loss"])

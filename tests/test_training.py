@@ -270,3 +270,39 @@ def test_tp_mesh_train_step():
     }
     state, metrics = step(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["train_loss"]))
+
+
+def test_train_step_distillation():
+    """Distillation: alpha=1 trains the student purely against
+    stop_grad(teacher); distill_loss must fall, and t_min restricts the
+    sampled timesteps (checked via a teacher that poisons t < t_min)."""
+    student_model, student_params = init_uvit(TINY, jax.random.PRNGKey(0))
+    teacher_model, teacher_params = init_uvit(TINY, jax.random.PRNGKey(9))
+    sched = NoiseSchedule.create(steps=100)
+    tx = make_optimizer(lr=3e-3, weight_decay=0.0, beta1=0.9, beta2=0.999,
+                        max_grad_norm=1.0, num_warmup_steps=0,
+                        num_training_steps=1000)
+
+    t_min = 50
+
+    def teacher_apply(p, x, t, y):
+        out = teacher_model.apply({"params": p}, x, t, y)
+        # poison the region distillation must never sample
+        bad = jnp.full_like(out, jnp.nan)
+        mask = (t >= t_min)[:, None, None, None]
+        return jnp.where(mask, out, bad)
+
+    step = jax.jit(make_train_step(
+        lambda p, x, t, y: student_model.apply({"params": p}, x, t, y),
+        sched, model_kind="uvit", parametrization="predict_noise",
+        teacher_apply=teacher_apply, distill_alpha=1.0, t_min=t_min,
+    ))
+    state = create_train_state(student_params, tx)
+    batch = _toy_batch(np.random.RandomState(0))
+    losses = []
+    for i in range(25):
+        state, metrics = step(state, batch, jax.random.PRNGKey(5), teacher_params)
+        losses.append(float(metrics["distill_loss"]))
+    assert np.isfinite(losses).all(), "sampled t < t_min (poison reached loss)"
+    assert losses[-1] < losses[0] * 0.7, (losses[0], losses[-1])
+    assert "task_loss" in metrics
