@@ -194,7 +194,12 @@ def ee_scan(
 ):
     """Early-exit scan body over a dynamic timestep vector (chunkable twin
     of :func:`early_exit_sample`'s loop). Returns (x, key, err_rows, idx_rows)
-    with rows ordered along ``ts``."""
+    with rows ordered along ``ts``.
+
+    Edge case (reference-identical, eesampler.py:66-68): if NO row satisfies
+    ``probe <= threshold`` — possible when threshold < 0 — argmax over the
+    all-false mask returns 0, i.e. the SHALLOWEST head, not the backbone
+    fallback. The appended zero row only catches thresholds >= 0."""
     batch = x.shape[0]
 
     def body(carry, t):
@@ -271,11 +276,13 @@ def ddpm_sample(
       shape: (B, H, W, C) sample shape.
       timesteps_save: "elapsed steps" values at which to stash intermediates
         (reference semantics: stash when ``1000 - t in timesteps_save``,
-        sampler.py:138-139). Static; implemented as segmented scans.
+        sampler.py:138-139 — valid values are 1..steps). Static; implemented
+        as segmented scans.
       x_init: optional starting noise (defaults to N(0, I)).
     Returns:
       (x, intermediates) with x in model space (not yet rescaled to [0,1]);
-      intermediates is a list aligned with timesteps_save.
+      intermediates is ordered like ``timesteps_save`` (invalid entries
+      skipped), so callers can zip the two directly.
     """
     steps = schedule.steps
     key, init_key = jax.random.split(key)
@@ -283,25 +290,27 @@ def ddpm_sample(
         init_key, tuple(shape), dtype=jnp.float32
     )
 
-    # Split the scan at each save point: save at "1000 - t == s" means after
-    # the update at t = steps - s.
-    boundaries = sorted({steps - s for s in timesteps_save if 0 <= steps - s <= steps})
+    # Split the scan at each save point: save at "steps - t == s" means
+    # after the update at t = steps - s (elapsed s is valid in 1..steps).
+    valid = [int(s) for s in timesteps_save if 1 <= int(s) <= steps]
+    boundaries = sorted({steps - s for s in valid}, reverse=True)
     segments = []
     t_hi = steps - 1
-    for b in sorted(boundaries, reverse=True):
+    for b in boundaries:
         segments.append((t_hi, b, True))
         t_hi = b - 1
     if t_hi >= 0:
         segments.append((t_hi, 0, False))
 
-    intermediates = []
+    snapshots = {}
     for t_start, t_end, save in segments:
         x, key = _ddpm_segment(
             apply_fn, schedule, parametrization, x, key, t_start, t_end, y,
             variance_mode,
         )
         if save:
-            intermediates.append(x)
+            snapshots[t_end] = x
+    intermediates = [snapshots[steps - s] for s in valid]
     return x, intermediates
 
 
@@ -331,7 +340,7 @@ def duodiff_sample(
     x = x_init if x_init is not None else jax.random.normal(
         init_key, tuple(shape), dtype=jnp.float32
     )
-    t_switch = int(min(t_switch, steps))
+    t_switch = int(min(max(t_switch, 0), steps))
     handoff = steps - t_switch  # first t handled by the late model is handoff-1
     x, key = _ddpm_segment(
         early_apply_fn, schedule, parametrization, x, key, steps - 1, handoff, y,
@@ -397,9 +406,9 @@ def ddim_sample(
     else:
         early_pairs, late_pairs = pairs, []
 
-    def run_pairs(apply_fn, x, key, segment_pairs, collect):
+    def run_pairs(apply_fn, x, key, segment_pairs):
         if not segment_pairs:
-            return x, key, []
+            return x, key
         ts = jnp.asarray([p[0] for p in segment_pairs])
         ss = jnp.asarray([p[1] for p in segment_pairs])
 
@@ -411,35 +420,32 @@ def ddim_sample(
             model_output = apply_fn(x, t_batch, y)
             z = _step_noise(zkey, s, x.shape)
             x = schedule.ddim_step(model_output, x, t, s, z, eta=eta)
-            return (x, key), (x if collect else None)
+            return (x, key), None
 
-        (x, key), ys = jax.lax.scan(body, (x, key), (ts, ss))
-        return x, key, ys
+        (x, key), _ = jax.lax.scan(body, (x, key), (ts, ss))
+        return x, key
 
-    collect = bool(timesteps_save)
-    x, key, ys_early = run_pairs(apply_fn, x, key, early_pairs, collect)
-    x, key, ys_late = run_pairs(
-        late_apply_fn if late_apply_fn is not None else apply_fn,
-        x,
-        key,
-        late_pairs,
-        collect,
-    )
-
-    intermediates = []
-    if collect:
-        import numpy as np
-
-        all_ts = [p[0] for p in early_pairs + late_pairs]
-        ys = (
-            jnp.concatenate([ys_early, ys_late], axis=0)
-            if late_pairs
-            else ys_early
-        )
-        for i, t in enumerate(all_ts):
-            if steps - int(t) in set(int(v) for v in timesteps_save):
-                intermediates.append(ys[i])
-        del np
+    # Save after the pair whose current t satisfies steps - t == s
+    # (reference sampler.py:125-126). Sub-segment the scans at those pairs
+    # so only the requested snapshots materialize (collecting every step
+    # stacked a (n_pairs, B, H, W, C) array — ~300MB at batch 128).
+    save_set = {int(v) for v in timesteps_save}
+    snapshots = {}
+    for seg_apply, seg_pairs in (
+        (apply_fn, early_pairs),
+        (late_apply_fn if late_apply_fn is not None else apply_fn, late_pairs),
+    ):
+        run, last_elapsed = [], None
+        for t, ss_ in seg_pairs:
+            run.append((t, ss_))
+            if steps - int(t) in save_set:
+                x, key = run_pairs(seg_apply, x, key, run)
+                snapshots[steps - int(t)] = x
+                run = []
+        x, key = run_pairs(seg_apply, x, key, run)
+    intermediates = [
+        snapshots[int(s)] for s in timesteps_save if int(s) in snapshots
+    ]
     return x, intermediates
 
 
@@ -558,8 +564,12 @@ def dpm_solver_sample(
     import numpy as np
 
     assert order in (1, 2), order
+    assert dpm_steps >= 2, "dpm_steps must be >= 2 (need >= 1 transition)"
     steps = schedule.steps
     grid = np.asarray(ddim_timestep_grid(steps, dpm_steps))  # descending
+    # dedupe: dpm_steps > schedule.steps repeats grid points -> h == 0 ->
+    # division blowups in the multistep coefficients
+    grid = grid[np.concatenate([[True], np.diff(grid) != 0])]
     a_bar = np.asarray(schedule.alphas_bar)[grid]
     alpha = np.sqrt(a_bar)                    # signal coefficient
     sigma = np.sqrt(1.0 - a_bar)              # noise coefficient

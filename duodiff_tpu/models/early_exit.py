@@ -28,6 +28,8 @@ sampler consume directly (reference trainer.py:358-405 stacks the same way).
 
 from __future__ import annotations
 
+import functools
+
 from typing import Optional
 
 import jax
@@ -124,9 +126,11 @@ class AttentionProbe(nn.Module):
         return h.astype(jnp.float32)[:, 0, 0]  # (B,)
 
 
-def _table_init(key, shape, dtype=jnp.float32):
-    """Probe-table init: ~ torch Linear default scale U(-1/sqrt(D), 1/sqrt(D))."""
-    d = shape[-1] if len(shape) >= 2 else 1
+def _table_init(key, shape, dtype=jnp.float32, fan_in=None):
+    """Probe-table init: ~ torch Linear default scale
+    U(-1/sqrt(fan_in), 1/sqrt(fan_in)). ``fan_in`` must be given for bias
+    tables (their trailing dim is 1, not the layer's input width)."""
+    d = fan_in if fan_in is not None else shape[-1]
     bound = 1.0 / jnp.sqrt(jnp.asarray(float(max(d, 1))))
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
@@ -150,13 +154,19 @@ class TimestepProbeTable(nn.Module):
         if self.per_layer:
             w = self.param("weight", _table_init, (self.depth, self.num_timesteps, d))
             bias = self.param(
-                "bias", _table_init, (self.depth, self.num_timesteps, 1)
+                "bias",
+                functools.partial(_table_init, fan_in=d),
+                (self.depth, self.num_timesteps, 1),
             )
             w_g = w[:, t_idx]  # (depth, B, D)
             b_g = bias[:, t_idx, 0]  # (depth, B)
         else:
             w = self.param("weight", _table_init, (self.num_timesteps, d))
-            bias = self.param("bias", _table_init, (self.num_timesteps, 1))
+            bias = self.param(
+                "bias",
+                functools.partial(_table_init, fan_in=d),
+                (self.num_timesteps, 1),
+            )
             w_g = jnp.broadcast_to(w[t_idx][None], (depth, b, d))
             b_g = jnp.broadcast_to(bias[t_idx, 0][None], (depth, b))
         logits = jnp.einsum(
@@ -187,7 +197,11 @@ class EarlyExitUViT(nn.Module):
         depth = cfg.depth
 
         # raw (unnormalized) integer timesteps index the probe tables
-        # (reference models/early_exit.py:269 reads t before normalization)
+        # (reference models/early_exit.py:269 reads t before normalization).
+        # The 1000-row table mirrors the reference's hard-coded registries
+        # (models/early_exit.py:228-239); t >= 1000 clips to row 999 (the
+        # reference would KeyError) — schedules longer than 1000 steps alias
+        # probes and should retrain with a wider table.
         t_idx = jnp.clip(timesteps.astype(jnp.int32), 0, 999)
 
         uvit = UViT(

@@ -194,9 +194,10 @@ def main(argv=None):
         )
         handoff = steps - args.t_switch if late_sampler is not None else None
 
-        # boundaries: after the update at t we may save (elapsed = steps - t)
+        # boundaries: after the update at t we may save (elapsed = steps - t;
+        # valid elapsed values are 1..steps, reference sampler.py:138)
         save_ts = sorted(
-            {steps - s for s in timesteps_save if 0 <= steps - s <= steps - 1},
+            {steps - s for s in timesteps_save if 1 <= s <= steps},
             reverse=True,
         )
         boundaries = sorted(set(save_ts + ([handoff] if handoff else [])),
@@ -205,16 +206,22 @@ def main(argv=None):
         x, key = early_sampler.init(key, shape, sharding=batch_shard)
         sampler = early_sampler
         t_hi = steps - 1
-        inter = []
+        snapshots = {}
         for b in boundaries:
             x, key = sampler.run(x, key, t_hi, b, y)
             if b in save_ts:
-                inter.append(x)
+                snapshots[b] = x
             if handoff is not None and b == handoff:
                 sampler = late_sampler
             t_hi = b - 1
         if t_hi >= 0:
             x, key = sampler.run(x, key, t_hi, 0, y)
+        # ordered like --timesteps_save: the dump zips the two directly
+        inter = [
+            snapshots[steps - s]
+            for s in timesteps_save
+            if steps - s in snapshots
+        ]
         return x, inter
 
     print(f"Sampling {args.batch_size} images on {jax.devices()[0].platform}...")

@@ -299,3 +299,52 @@ def test_dpm_solver_converges_to_ddpm():
     e2 = float(jnp.mean(jnp.abs(o2 - ref)))
     e1 = float(jnp.mean(jnp.abs(o1 - ref)))
     assert e2 < e1, (e2, e1)
+
+
+def test_intermediate_saves_order_and_invariance():
+    """timesteps_save: intermediates come back in ARGUMENT order (callers
+    zip them), invalid entries are skipped, and segmenting the scan at save
+    points must not change the final sample."""
+    from duodiff_tpu.diffusion.sampling import ddim_sample
+
+    sched = NoiseSchedule.create(steps=20)
+    f = stub_model(0.1)
+    key = jax.random.PRNGKey(8)
+
+    # DDPM: unsorted + invalid (0 and steps+1) save points
+    x_ref, empty = ddpm_sample(f, key, schedule=sched, shape=SHAPE)
+    x, inter = ddpm_sample(f, key, schedule=sched, shape=SHAPE,
+                           timesteps_save=(15, 0, 5, 21))
+    assert not empty and len(inter) == 2
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(x_ref))
+    # the elapsed-15 snapshot is closer to the final sample than elapsed-5
+    d15 = float(jnp.mean(jnp.abs(inter[0] - x)))
+    d5 = float(jnp.mean(jnp.abs(inter[1] - x)))
+    assert d15 < d5, (d15, d5)
+
+    # DDIM: saves must not perturb the stream; order follows the argument
+    x_ref, _ = ddim_sample(f, key, schedule=sched, shape=SHAPE, ddim_steps=10,
+                           eta=0.5)
+    grid = np.asarray(
+        __import__("duodiff_tpu.diffusion.sampling",
+                   fromlist=["ddim_timestep_grid"]).ddim_timestep_grid(20, 10)
+    )
+    saves = (int(20 - grid[3]), int(20 - grid[1]))  # two valid pair-t saves
+    x, inter = ddim_sample(f, key, schedule=sched, shape=SHAPE, ddim_steps=10,
+                           eta=0.5, timesteps_save=saves)
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(x_ref))
+    assert len(inter) == 2
+    d0 = float(jnp.mean(jnp.abs(inter[0] - x)))
+    d1 = float(jnp.mean(jnp.abs(inter[1] - x)))
+    assert d0 < d1  # first requested save is later in the trajectory
+
+
+def test_dpm_solver_degenerate_grids():
+    """dpm_steps > schedule.steps dedupes grid points (no NaN from h=0)."""
+    from duodiff_tpu.diffusion.sampling import dpm_solver_sample
+
+    sched = NoiseSchedule.create(steps=8)
+    f = stub_model(0.1)
+    x = dpm_solver_sample(f, jax.random.PRNGKey(9), schedule=sched,
+                          shape=SHAPE, dpm_steps=20, order=2)
+    assert bool(jnp.all(jnp.isfinite(x)))
