@@ -148,19 +148,25 @@ def _kernel_v2(*refs, num_heads: int, scale: float, eps: float,
 
 def _group_size_v2(b: int, l: int, d: int, itemsize: int,
                    budget_bytes: int = 10 * 2**20) -> int:
-    """Largest divisor of b fitting the v2 working set (weights excluded —
-    constant-index blocks are fetched once)."""
+    """Largest divisor of b fitting the v2 working set. Only the x in/out
+    blocks scale with the group size — the per-sample loop reuses its
+    transients (qkv, scores, probs, head outputs, proj accumulator), and
+    constant-index weight blocks are fetched once. grp=4 measured ~2.5%
+    faster than grp=2 at CelebA-64 shapes (chained kernel timing)."""
     l_sub = _round_up(l, 8)
     l_lane = _round_up(l, 128)
+    # per-iteration transients (independent of g)
+    qkv = l_sub * 3 * d * (4 + itemsize)     # fp32 dot output + cast
+    sp = 2 * l_sub * l_lane * 4              # scores + probs, fp32
+    heads = 2 * l_sub * d * itemsize         # scaled q + merged heads
+    proj = l_sub * d * 4
+    fixed = qkv + sp + heads + proj
     best = 1
     for g in range(1, b + 1):
         if b % g:
             continue
-        x_io = 4 * g * l_sub * d * itemsize
-        qkv = g * l_sub * 3 * d * max(itemsize, 4)  # fp32 before cast
-        acc = g * l_sub * d * 4
-        sp = 2 * l_sub * l_lane * 4  # per-head transient
-        if x_io + qkv + acc + sp <= budget_bytes:
+        x_io = 4 * g * l_sub * d * itemsize  # in + out, double-buffered
+        if fixed + x_io <= budget_bytes:
             best = g
     return best
 
