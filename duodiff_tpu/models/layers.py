@@ -252,6 +252,12 @@ class Block(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
     gelu_approx: bool = False
+    # MLP sublayer impl when attn_impl != "fused" (the fused attention path
+    # always pairs with the fused MLP kernel): "auto"/"xla" = plain
+    # Dense/gelu/Dense (measured faster alongside the unfused attention
+    # paths: 117.8 vs 119.7 ms/step at CelebA-64 batch 128 with
+    # attn_impl="pallas"); "fused" = the fused MLP kernel + Pallas backward.
+    mlp_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, skip: Optional[jax.Array] = None):
@@ -309,6 +315,18 @@ class Block(nn.Module):
         x = x + attn(
             _layer_norm(x, name="norm1", out_dtype=self.dtype)
         ).astype(x.dtype)
+        if self.mlp_impl == "fused":
+            from duodiff_tpu.ops.pallas_block import (
+                fused_mlp_sublayer_trainable,
+            )
+
+            interpret = jax.default_backend() != "tpu"
+            ln2_scale, ln2_bias = _LNParams(name="norm2")(d)
+            (w1, b1), (w2, b2) = mlp(None, raw=True)
+            return fused_mlp_sublayer_trainable(
+                x.astype(self.dtype), ln2_scale, ln2_bias, w1, b1, w2, b2,
+                1e-5, self.gelu_approx, interpret,
+            )
         x = x + mlp(
             _layer_norm(x, name="norm2", out_dtype=self.dtype)
         ).astype(x.dtype)

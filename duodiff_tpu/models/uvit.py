@@ -48,6 +48,7 @@ class UViT(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
     gelu_approx: bool = False
+    mlp_impl: str = "auto"
 
     def setup(self):
         cfg = self.config
@@ -74,6 +75,7 @@ class UViT(nn.Module):
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             gelu_approx=self.gelu_approx,
+            mlp_impl=self.mlp_impl,
         )
         self.in_blocks = [Block(**common) for _ in range(cfg.depth // 2)]
         self.mid_block = Block(**common)
@@ -140,6 +142,7 @@ class UViT(nn.Module):
 def init_uvit(
     config: UViTConfig, key: jax.Array, dtype=jnp.float32,
     attn_impl: str = "auto", gelu_approx: bool = False,
+    mlp_impl: str = "auto",
 ):
     """Create a UViT module and initialize its parameters.
 
@@ -147,7 +150,7 @@ def init_uvit(
     """
     model = UViT(
         config=config, dtype=dtype, attn_impl=attn_impl,
-        gelu_approx=gelu_approx,
+        gelu_approx=gelu_approx, mlp_impl=mlp_impl,
     )
     x = jnp.zeros((1, config.img_size, config.img_size, config.in_chans), jnp.float32)
     t = jnp.zeros((1,), jnp.float32)

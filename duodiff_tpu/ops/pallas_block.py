@@ -561,11 +561,19 @@ def _fb_bwd(num_heads, eps, gelu_approx, interpret, res, dy):
         x, ln1_scale, ln1_bias, qkv_kernel, qkv_bias, proj_kernel, proj_bias,
         num_heads=num_heads, eps=eps, interpret=interpret,
     )
-    _, mlp_vjp = jax.vjp(
-        functools.partial(_mlp_reference, eps=eps, gelu_approx=gelu_approx),
-        u, ln2_scale, ln2_bias, fc1_kernel, fc1_bias, fc2_kernel, fc2_bias,
-    )
-    du, dg2, db2, dw1, dfb1, dw2, dfb2 = mlp_vjp(dy.astype(u.dtype))
+    b, l, d = u.shape
+    hidden = fc1_kernel.shape[1]
+    if mlp_bwd_fits(b, l, d, hidden, jnp.dtype(u.dtype).itemsize):
+        du, dg2, db2, dw1, dfb1, dw2, dfb2 = _mlp_sublayer_bwd_impl(
+            u, dy.astype(u.dtype), ln2_scale, ln2_bias, fc1_kernel, fc1_bias,
+            fc2_kernel, eps=eps, gelu_approx=gelu_approx, interpret=interpret,
+        )
+    else:
+        _, mlp_vjp = jax.vjp(
+            functools.partial(_mlp_reference, eps=eps, gelu_approx=gelu_approx),
+            u, ln2_scale, ln2_bias, fc1_kernel, fc1_bias, fc2_kernel, fc2_bias,
+        )
+        du, dg2, db2, dw1, dfb1, dw2, dfb2 = mlp_vjp(dy.astype(u.dtype))
     dx, dg1, db1, dwqkv, dbqkv, dwp, dbp = _attn_sublayer_bwd_impl(
         x, du.astype(x.dtype), ln1_scale, ln1_bias, qkv_kernel, qkv_bias,
         proj_kernel, num_heads=num_heads, eps=eps, interpret=interpret,
@@ -705,6 +713,227 @@ def _fas_bwd(num_heads, eps, interpret, variant, res, dy):
 fused_attn_sublayer_trainable.defvjp(_fas_fwd, _fas_bwd)
 
 
+def _gelu_grad(h_pre: jax.Array, approx: bool) -> jax.Array:
+    """d gelu(x)/dx in fp32 for both GELU forms, Mosaic-lowerable.
+
+    exact: Phi(x) + x*phi(x); tanh: d/dx 0.5x(1+tanh(c(x+a x^3))).
+    """
+    if approx:
+        c = 0.7978845608028654  # sqrt(2/pi)
+        a = 0.044715
+        u = c * (h_pre + a * h_pre * h_pre * h_pre)
+        t = jnp.tanh(u)
+        return 0.5 * (1.0 + t) + 0.5 * h_pre * (1.0 - t * t) * c * (
+            1.0 + 3.0 * a * h_pre * h_pre
+        )
+    phi = jnp.exp(-0.5 * h_pre * h_pre) * 0.3989422804014327  # 1/sqrt(2pi)
+    cdf = 0.5 * (1.0 + _erf_poly(h_pre * (2.0 ** -0.5)))
+    return cdf + h_pre * phi
+
+
+def _row_chunks(l: int, target: int = 128):
+    """Static row-chunk (start, size) list: sublane-aligned starts, a small
+    tail (< target/2 rows) absorbed into the previous chunk so no tiny-K
+    matmuls hit the weight-gradient contractions."""
+    if l <= target:
+        return [(0, l)]
+    chunks = []
+    s = 0
+    while s < l:
+        n = min(target, l - s)
+        if 0 < l - (s + n) < max(target // 2, 8):
+            n = l - s
+        chunks.append((s, n))
+        s += n
+    return chunks
+
+
+def _mlp_bwd_config(b: int, l: int, d: int, hidden: int, itemsize: int,
+                    budget_bytes: int = 16_900_000):
+    """Pick (group, row_target, hidden_chunk) for the MLP backward kernel.
+
+    The fp32 dW1/dW2 accumulators + one activation-dtype copy of W1/W2 are
+    VMEM-resident for the whole grid (2*d*hidden*(4+itemsize) bytes — 12.6MB
+    at the flagship D=512/hidden=2048/bf16), so the row/hidden tiles must
+    shrink until LN row buffers + hidden-chunk transients + double-buffered
+    x/dy/dx blocks fit the remainder. Candidates degrade MXU efficiency
+    gracefully: row_target 128 keeps the weight-grad contractions (K=rows)
+    at full MXU rate; 64 halves them (2 of 5 matmuls). Returns None if
+    nothing fits (caller falls back to the XLA recompute backward) — in
+    particular D>=768 models (ImageNet-64/256 configs), whose fp32 dW
+    accumulators alone exceed VMEM (18.9MB at D=768, hidden=3072).
+
+    Probed on the real v5e (tools/probe_mlp_bwd.py, flagship B=128 L=257
+    D=512 hidden=2048 bf16): (1,128,256) compiles at a ~16.1MB static
+    estimate and is fastest (5.08ms isolated incl. dispatch overhead);
+    every shrink (hc=128, rt=64/32, g=2) is monotonically slower — hence
+    the generous default budget.
+    """
+    import os
+
+    override = os.environ.get("DUODIFF_MLP_BWD_CFG")
+    if override:  # "g,row_target,hidden_chunk" — empirical probing knob
+        g, rt, hc = (int(v) for v in override.split(","))
+        return g, rt, hc
+
+    l_sub = _round_up(l, 8)
+    fixed = 2 * d * hidden * (4 + itemsize) + 64 * 1024  # + small vec slack
+    # g=1 only: g=2 measured ~12% slower at flagship shapes (the weight/
+    # grad residents dominate VMEM; larger x blocks only shrink the
+    # pipelining headroom) — tools/probe_mlp_bwd.py, 2026-08-16.
+    for rt in (128, 64, 32):
+        for hc in (256, 128, 64):
+            if hidden % hc and hidden != hc:
+                continue
+            hcc = min(hc, hidden)
+            rn = _round_up(max(n for _, n in _row_chunks(l, rt)), 8)
+            # live row buffers: x_hat/dy/dxn/dx-construction fp32, xn/dyb
+            # activation dtype; hidden-chunk: h_pre/dh/dhp fp32 + 2 casts
+            trans = rn * d * (4 * 4 + 2 * itemsize) + rn * hcc * (
+                3 * 4 + 2 * itemsize
+            )
+            io = 6 * l_sub * d * itemsize
+            if fixed + trans + io <= budget_bytes:
+                return 1, rt, hcc
+    return None
+
+
+def _mlp_bwd_kernel(x_ref, dy_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref,
+                    dx_ref, dg_ref, db_ref, dw1_ref, db1_ref, dw2_ref,
+                    db2_ref, *, eps: float, gelu_approx: bool,
+                    row_target: int, hc: int):
+    """Backward of the fused MLP sublayer y = x + fc2(gelu(fc1(LN(x)))).
+
+    Everything except the row-summed weight gradients is row-independent
+    (LayerNorm normalizes per row), so the kernel streams (row-chunk,
+    hidden-chunk) tiles: recompute LN + fc1 + gelu in VMEM, produce dx
+    directly per row chunk, and accumulate dW1/dW2/db1/db2/dgamma/dbeta in
+    fp32 VMEM across the sequential batch grid (constant-index outputs,
+    zeroed at program 0 — same pattern as _attn_bwd_kernel). Zero HBM
+    traffic beyond x/dy in and dx out: the (B, L, hidden) tensors the XLA
+    recompute backward materializes never exist here.
+    """
+    @pl.when(pl.program_id(0) == 0)
+    def _zero_accumulators():
+        for r in (dg_ref, db_ref, dw1_ref, db1_ref, dw2_ref, db2_ref):
+            r[:] = jnp.zeros_like(r)
+
+    g, l, d = x_ref.shape
+    hidden = w1_ref.shape[1]
+    gamma = g_ref[0].astype(jnp.float32)
+    beta = b_ref[0].astype(jnp.float32)
+    bdt = x_ref.dtype
+
+    for i in range(g):
+        x2d = x_ref[i]
+        dy2d = dy_ref[i]
+        for r0, rn in _row_chunks(l, row_target):
+            xv = jax.lax.slice(x2d, (r0, 0), (r0 + rn, d)).astype(jnp.float32)
+            x_hat, rstd, xn_f = _ln_fwd(xv, gamma, beta, eps)
+            xn = xn_f.astype(bdt)
+            dy = jax.lax.slice(dy2d, (r0, 0), (r0 + rn, d)).astype(jnp.float32)
+            dyb = dy.astype(bdt)
+            db2_ref[:] += jnp.sum(dy, axis=0, keepdims=True)
+            dxn = jnp.zeros((rn, d), jnp.float32)
+            for c0 in range(0, hidden, hc):
+                w1c = w1_ref[:, c0:c0 + hc]              # (D, hc)
+                h_pre = jnp.dot(
+                    xn, w1c, preferred_element_type=jnp.float32
+                ) + b1_ref[0, c0:c0 + hc].astype(jnp.float32)
+                hgb = _gelu(h_pre, gelu_approx).astype(bdt)
+                # dW2[c] += h^T @ dy (contract rows)
+                dw2_ref[c0:c0 + hc, :] += jax.lax.dot_general(
+                    hgb, dyb, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                # dh = dy @ W2[c]^T (contract D)
+                dh = jax.lax.dot_general(
+                    dyb, w2_ref[c0:c0 + hc, :], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                dhp = dh * _gelu_grad(h_pre, gelu_approx)
+                db1_ref[:, c0:c0 + hc] += jnp.sum(dhp, axis=0, keepdims=True)
+                dhpb = dhp.astype(bdt)
+                # dW1[:, c] += xn^T @ dh_pre (contract rows)
+                dw1_ref[:, c0:c0 + hc] += jax.lax.dot_general(
+                    xn, dhpb, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                # dxn += dh_pre @ W1[:, c]^T (contract hidden chunk)
+                dxn = dxn + jax.lax.dot_general(
+                    dhpb, w1c, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            dg_ref[:] += jnp.sum(dxn * x_hat, axis=0, keepdims=True)
+            db_ref[:] += jnp.sum(dxn, axis=0, keepdims=True)
+            dx = dy + _ln_bwd_dx(dxn, x_hat, rstd, gamma)
+            dx_ref[i, r0:r0 + rn, :] = dx.astype(dx_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("eps", "gelu_approx", "interpret", "config")
+)
+def _mlp_sublayer_bwd_impl(
+    x, dy, ln_scale, ln_bias, w1, b1, w2,
+    *, eps: float, gelu_approx: bool, interpret: bool,
+    config: tuple | None = None,
+):
+    b, l, d = x.shape
+    hidden = w1.shape[1]
+    dtype = x.dtype
+    itemsize = jnp.dtype(dtype).itemsize
+
+    cfg = config or _mlp_bwd_config(b, l, d, hidden, itemsize)
+    assert cfg is not None, "caller must check mlp_bwd_fits first"
+    grp, row_target, hc = cfg
+    row = pl.BlockSpec((grp, l, d), lambda i: (i, 0, 0))
+    vec_d = pl.BlockSpec((1, d), lambda i: (0, 0))
+    vec_h = pl.BlockSpec((1, hidden), lambda i: (0, 0))
+    const_dh = pl.BlockSpec((d, hidden), lambda i: (0, 0))
+    const_hd = pl.BlockSpec((hidden, d), lambda i: (0, 0))
+
+    f32 = jnp.float32
+    outs = pl.pallas_call(
+        functools.partial(
+            _mlp_bwd_kernel, eps=eps, gelu_approx=gelu_approx,
+            row_target=row_target, hc=hc,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, l, d), dtype),      # dx
+            jax.ShapeDtypeStruct((1, d), f32),           # d ln_scale
+            jax.ShapeDtypeStruct((1, d), f32),           # d ln_bias
+            jax.ShapeDtypeStruct((d, hidden), f32),      # dW1
+            jax.ShapeDtypeStruct((1, hidden), f32),      # db1
+            jax.ShapeDtypeStruct((hidden, d), f32),      # dW2
+            jax.ShapeDtypeStruct((1, d), f32),           # db2
+        ),
+        grid=(b // grp,),
+        in_specs=[row, row, vec_d, vec_d, const_dh, vec_h, const_hd],
+        out_specs=(row, vec_d, vec_d, const_dh, vec_h, const_hd, vec_d),
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * b * l * d * hidden,
+            bytes_accessed=3 * b * l * d * itemsize,
+            transcendentals=2 * b * l * hidden,
+        ),
+        interpret=interpret,
+    )(
+        x, dy,
+        ln_scale.reshape(1, d), ln_bias.reshape(1, d),
+        w1.astype(dtype), b1.astype(jnp.float32).reshape(1, hidden),
+        w2.astype(dtype),
+    )
+    dx, dg, db, dw1, db1, dw2, db2 = outs
+    return (dx, dg.reshape(d), db.reshape(d), dw1, db1.reshape(hidden),
+            dw2, db2.reshape(d))
+
+
+def mlp_bwd_fits(b: int, l: int, d: int, hidden: int, itemsize: int) -> bool:
+    """Whether the Pallas MLP backward's VMEM working set fits (fp32
+    activations at flagship shapes don't — those fall back to the XLA
+    recompute backward in _fms_bwd)."""
+    return _mlp_bwd_config(b, l, d, hidden, itemsize) is not None
+
+
 def _mlp_reference(x, ln_scale, ln_bias, w1, b1, w2, b2, *, eps, gelu_approx):
     """Pure-XLA replica of _mlp_kernel's numerics, used as the recompute
     backward of fused_mlp_sublayer (one extra fc1-fwd matmul instead of
@@ -743,6 +972,15 @@ def _fms_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, gelu_approx,
 
 
 def _fms_bwd(eps, gelu_approx, interpret, res, dy):
+    x, ln_scale, ln_bias, w1, b1, w2, b2 = res
+    b, l, d = x.shape
+    hidden = w1.shape[1]
+    if mlp_bwd_fits(b, l, d, hidden, jnp.dtype(x.dtype).itemsize):
+        dx, dg, dbe, dw1, db1, dw2, db2 = _mlp_sublayer_bwd_impl(
+            x, dy.astype(x.dtype), ln_scale, ln_bias, w1, b1, w2,
+            eps=eps, gelu_approx=gelu_approx, interpret=interpret,
+        )
+        return (dx, dg, dbe, dw1, db1, dw2, db2)
     _, vjp = jax.vjp(
         functools.partial(_mlp_reference, eps=eps, gelu_approx=gelu_approx),
         *res,

@@ -104,15 +104,14 @@ class Trainer:
     def _init_model(self):
         args = self.args
         key = jax.random.PRNGKey(args.seed)
-        # Training default: the Pallas attention kernel with its
-        # recompute-softmax custom VJP — measured 117.7 ms/step vs XLA's
-        # 171.7 at CelebA-64 batch 128 (tools/microbench.py train). The
-        # fully fused sublayer kernels also train (hand-written attention
-        # backward + recompute MLP backward) but measure 121.8 ms/step:
-        # their backward recompute slightly outweighs the forward savings,
-        # so "fused" stays the sampling default only.
+        # Training default: the fully fused Pallas sublayer kernels with
+        # hand-written backwards (recompute-softmax attention bwd + the
+        # row/hidden-chunked MLP bwd with VMEM-resident fp32 dW accumulators)
+        # — measured 111.9 ms/step vs 117.8 (flash-attn custom VJP, unfused
+        # MLP) and 172.1 (pure XLA) at CelebA-64 batch 128
+        # (tools/microbench.py train, 2026-08-16).
         attn_impl = getattr(args, "attn_impl", None) or (
-            "pallas" if jax.default_backend() == "tpu" else "auto"
+            "fused" if jax.default_backend() == "tpu" else "auto"
         )
         if args.model == "uvit":
             self.model, params = init_uvit(

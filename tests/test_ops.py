@@ -248,3 +248,57 @@ def test_dispatch_xla_default(qkv):
     out_auto = multi_head_attention(q, k, v, impl="auto")
     out_xla = multi_head_attention(q, k, v, impl="xla")
     np.testing.assert_array_equal(np.asarray(out_auto), np.asarray(out_xla))
+
+
+@pytest.mark.parametrize("gelu_approx", [False, True])
+@pytest.mark.parametrize("l,hidden", [
+    (17, 512),    # one row chunk, two hidden chunks
+    (257, 512),   # flagship L: 128+129 row chunks
+    (320, 128),   # 128/128/64 row chunks, single hidden chunk
+])
+def test_pallas_mlp_bwd_matches_xla_grads(gelu_approx, l, hidden):
+    """The hand-written Pallas MLP-sublayer backward (row/hidden-chunked,
+    fp32 VMEM weight-grad accumulators) must match XLA's gradients of the
+    identical math for params AND inputs."""
+    from duodiff_tpu.ops.pallas_block import (
+        _mlp_reference,
+        fused_mlp_sublayer_trainable,
+        mlp_bwd_fits,
+    )
+
+    d, b = 128, 3
+    assert mlp_bwd_fits(b, l, d, hidden, 4)
+    keys = jax.random.split(jax.random.PRNGKey(0), 8)
+    x = jax.random.normal(keys[0], (b, l, d), jnp.float32)
+    ln_s = 1.0 + 0.1 * jax.random.normal(keys[1], (d,))
+    ln_b = 0.1 * jax.random.normal(keys[2], (d,))
+    w1 = 0.05 * jax.random.normal(keys[3], (d, hidden))
+    b1 = 0.05 * jax.random.normal(keys[4], (hidden,))
+    w2 = 0.05 * jax.random.normal(keys[5], (hidden, d))
+    b2 = 0.05 * jax.random.normal(keys[6], (d,))
+    cot = jax.random.normal(keys[7], (b, l, d), jnp.float32)
+
+    def loss_ref(*args):
+        return jnp.sum(
+            _mlp_reference(*args, eps=1e-5, gelu_approx=gelu_approx) * cot
+        )
+
+    def loss_pallas(*args):
+        return jnp.sum(
+            fused_mlp_sublayer_trainable(
+                *args, 1e-5, gelu_approx, True
+            ) * cot
+        )
+
+    argnums = tuple(range(7))
+    g_ref = jax.grad(loss_ref, argnums=argnums)(x, ln_s, ln_b, w1, b1, w2, b2)
+    g_pal = jax.grad(loss_pallas, argnums=argnums)(
+        x, ln_s, ln_b, w1, b1, w2, b2
+    )
+    for name, a, bb in zip(
+        ["dx", "dln_s", "dln_b", "dw1", "db1", "dw2", "db2"], g_pal, g_ref
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb), rtol=2e-4, atol=2e-5,
+            err_msg=name,
+        )

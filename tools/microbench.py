@@ -109,8 +109,9 @@ def bench_kernels():
 
 def bench_train():
     """Full CelebA-64 train step (fwd+loss+grad+AdamW) per attention impl.
-    2026-08-16 v5e results: pallas(custom VJP) 117.7 ms/step, fused
-    sublayer kernels w/ custom VJPs 121.8, xla 171.7."""
+    2026-08-16 v5e results: fused sublayer kernels w/ hand-written Pallas
+    backwards (incl. the MLP bwd kernel) 111.9 ms/step, pallas flash-attn
+    custom VJP + fused MLP 119.7, + XLA MLP 117.8, pure xla 172.1."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -139,9 +140,16 @@ def bench_train():
         ),
         "label": jnp.zeros((128,), jnp.int32),
     }
-    for impl in ("fused", "pallas", "xla"):
+    variants = (
+        ("fused", "auto"),     # fused sublayer kernels, hand-written bwds
+        ("pallas", "fused"),   # flash-attn VJP + fused MLP w/ Pallas bwd
+        ("pallas", "xla"),     # flash-attn VJP + plain XLA MLP (old default)
+        ("xla", "xla"),
+    )
+    for impl, mlp_impl in variants:
         model, params = init_uvit(
-            cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16, attn_impl=impl
+            cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16, attn_impl=impl,
+            mlp_impl=mlp_impl,
         )
         state = create_train_state(params, tx)
         step = jax.jit(make_train_step(
@@ -158,7 +166,7 @@ def bench_train():
             state, m = step(state, batch, key)
         jax.block_until_ready(m["train_loss"])
         dt = (time.perf_counter() - t0) / n
-        print(f"train_step[{impl:6s}]: {dt*1e3:7.1f} ms/step "
+        print(f"train_step[{impl:6s}+mlp:{mlp_impl:5s}]: {dt*1e3:7.1f} ms/step "
               f"({1/dt:.2f} steps/s, loss {float(m['train_loss']):.4f})")
 
 

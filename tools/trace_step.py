@@ -24,34 +24,38 @@ def capture(args):
     import jax
     import jax.numpy as jnp
 
-    from duodiff_tpu.config import UViTConfig
+    from duodiff_tpu.config import UViTConfig, load_model_config
     from duodiff_tpu.diffusion import NoiseSchedule
     from duodiff_tpu.diffusion.sampling import make_chunked_ddpm_sampler
     from duodiff_tpu.models.uvit import init_uvit
 
-    cfg = UViTConfig(
-        img_size=64, patch_size=4, in_chans=3, embed_dim=512, depth=13,
-        num_heads=8, mlp_ratio=4, qkv_bias=False, mlp_time_embed=False,
-        num_classes=-1, normalize_timesteps=True,
-    )
+    if args.config:
+        cfg, _ = load_model_config(args.config)
+    else:
+        cfg = UViTConfig(
+            img_size=64, patch_size=4, in_chans=3, embed_dim=512, depth=13,
+            num_heads=8, mlp_ratio=4, qkv_bias=False, mlp_time_embed=False,
+            num_classes=-1, normalize_timesteps=True,
+        )
     model, params = init_uvit(
         cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16, attn_impl=args.attn,
         gelu_approx=args.gelu == "tanh",
     )
+    y = jnp.zeros((args.batch,), jnp.int32) if cfg.num_classes > 0 else None
     schedule = NoiseSchedule.create(steps=1000)
     sample = make_chunked_ddpm_sampler(
-        lambda x, t, y: model.apply({"params": params}, x, t, y),
+        lambda x, t, yb: model.apply({"params": params}, x, t, yb),
         schedule, parametrization="predict_noise", chunk=args.steps,
     )
-    shape = (args.batch, 64, 64, 3)
+    shape = (args.batch, cfg.img_size, cfg.img_size, cfg.in_chans)
     t_start = args.steps - 1  # one chunk's worth of steps
     # warm up / compile outside the trace
     jax.block_until_ready(
-        sample(jax.random.PRNGKey(0), shape, t_start=t_start)
+        sample(jax.random.PRNGKey(0), shape, t_start=t_start, y=y)
     )
     with jax.profiler.trace(args.out):
         jax.block_until_ready(
-            sample(jax.random.PRNGKey(1), shape, t_start=t_start)
+            sample(jax.random.PRNGKey(1), shape, t_start=t_start, y=y)
         )
     print(f"trace written to {args.out}", file=sys.stderr)
 
@@ -110,6 +114,7 @@ def summarize(out_dir, n_steps):
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--attn", default="fused")
+    p.add_argument("--config", default=None, help="model YAML (default: flagship CelebA-64)")
     p.add_argument("--gelu", default="tanh", choices=["tanh", "exact"])
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--steps", type=int, default=20)
