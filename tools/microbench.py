@@ -29,28 +29,33 @@ def timeit(fn, *args, reps=20, warmup=2):
     return (time.perf_counter() - t0) / reps
 
 
-def bench_forward():
+def bench_forward(config_path=None):
     import jax
     import jax.numpy as jnp
 
-    from duodiff_tpu.config import UViTConfig
+    from duodiff_tpu.config import UViTConfig, load_model_config
     from duodiff_tpu.models.uvit import init_uvit
     from duodiff_tpu.utils.profiling import flops_per_uvit_forward
 
-    cfg = UViTConfig(
-        img_size=64, patch_size=4, in_chans=3, embed_dim=512, depth=13,
-        num_heads=8, mlp_ratio=4, qkv_bias=False, mlp_time_embed=False,
-        num_classes=-1, normalize_timesteps=True,
-    )
+    if config_path:
+        cfg, _ = load_model_config(config_path)
+    else:
+        cfg = UViTConfig(
+            img_size=64, patch_size=4, in_chans=3, embed_dim=512, depth=13,
+            num_heads=8, mlp_ratio=4, qkv_bias=False, mlp_time_embed=False,
+            num_classes=-1, normalize_timesteps=True,
+        )
     b = 128
-    x = jnp.zeros((b, 64, 64, 3), jnp.bfloat16)
+    x = jnp.zeros((b, cfg.img_size, cfg.img_size, cfg.in_chans), jnp.bfloat16)
     t = jnp.full((b,), 500.0, jnp.float32)
+    y = jnp.zeros((b,), jnp.int32) if cfg.num_classes > 0 else None
     flops = flops_per_uvit_forward(cfg, b)
     for impl in ("pallas", "fused", "xla"):
         model, params = init_uvit(
-            cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16, attn_impl=impl
+            cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16, attn_impl=impl,
+            gelu_approx=True,
         )
-        fwd = jax.jit(lambda p, x, t: model.apply({"params": p}, x, t))
+        fwd = jax.jit(lambda p, x, t: model.apply({"params": p}, x, t, y))
         dt = timeit(fwd, params, x, t)
         print(f"forward[{impl:6s}]: {dt*1e3:8.2f} ms  "
               f"({flops/dt/1e12:6.1f} TF/s effective)")
@@ -172,11 +177,12 @@ def bench_train():
 
 if __name__ == "__main__":
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    config_path = sys.argv[2] if len(sys.argv) > 2 else None
     from duodiff_tpu.utils.runtime import setup_compilation_cache
 
     setup_compilation_cache()
     if which in ("fwd", "all"):
-        bench_forward()
+        bench_forward(config_path)
     if which in ("kernels", "all"):
         bench_kernels()
     if which in ("train", "all"):

@@ -32,7 +32,22 @@ def main():
         fused_mlp_sublayer,
     )
 
-    b, l, d, hidden = 128, 257, 512, 2048
+    shape = sys.argv[1] if len(sys.argv) > 1 else "flagship"
+    b, l, d, hidden = {
+        "flagship": (128, 257, 512, 2048),      # CelebA/CIFAR configs
+        "imagenet64": (128, 258, 768, 3072),    # depth 17, class-cond
+        "imagenet256": (128, 258, 1024, 4096),  # depth 21, latent
+    }[shape]
+    configs = {
+        "flagship": [
+            (1, 128, 512), (1, 128, 1024), (1, 256, 256), (1, 128, 256),
+        ],
+        # fixed residents: 28.3MB (768) / 50.3MB (1024) fp32 dW + bf16 W —
+        # probe whether the effective VMEM ceiling admits them at all
+        "imagenet64": [(1, 128, 256), (1, 64, 128)],
+        "imagenet256": [(1, 128, 256), (1, 64, 128)],
+    }[shape]
+    print(f"shape={shape}: B={b} L={l} D={d} hidden={hidden}")
     dtype = jnp.bfloat16
     keys = jax.random.split(jax.random.PRNGKey(0), 8)
     x = jax.random.normal(keys[0], (b, l, d), dtype)
@@ -87,10 +102,6 @@ def main():
         x, ln_s, ln_b, w1, b1, w2, b2, eps=1e-5))
     print(f"{'fused fwd kernel':34s}: {dt*1e3:7.3f} ms")
 
-    configs = [
-        (1, 128, 256), (1, 128, 128), (1, 64, 256), (1, 64, 128),
-        (2, 64, 128), (1, 32, 256), (1, 32, 128),
-    ]
     for cfg in configs:
         def run(cfg=cfg):
             return _mlp_sublayer_bwd_impl(

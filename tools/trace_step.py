@@ -60,6 +60,61 @@ def capture(args):
     print(f"trace written to {args.out}", file=sys.stderr)
 
 
+def capture_train(args):
+    """Trace full train steps (fwd+loss+grad+AdamW) instead of sampling."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from duodiff_tpu.config import UViTConfig, load_model_config
+    from duodiff_tpu.diffusion import NoiseSchedule
+    from duodiff_tpu.models.uvit import init_uvit
+    from duodiff_tpu.training.train_state import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    if args.config:
+        cfg, _ = load_model_config(args.config)
+    else:
+        cfg = UViTConfig(
+            img_size=64, patch_size=4, in_chans=3, embed_dim=512, depth=13,
+            num_heads=8, mlp_ratio=4, qkv_bias=False, mlp_time_embed=False,
+            num_classes=-1, normalize_timesteps=True,
+        )
+    model, params = init_uvit(
+        cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16, attn_impl=args.attn,
+        gelu_approx=args.gelu == "tanh",
+    )
+    sched = NoiseSchedule.create(steps=1000)
+    tx = make_optimizer(lr=2e-4, weight_decay=0.03, beta1=0.99, beta2=0.999,
+                        max_grad_norm=1.0, num_warmup_steps=1500,
+                        num_training_steps=500000)
+    state = create_train_state(params, tx)
+    step = jax.jit(make_train_step(
+        lambda p, x, t, y: model.apply({"params": p}, x, t, y),
+        sched, model_kind="uvit", parametrization="predict_noise",
+    ), donate_argnums=(0,))
+    batch = {
+        "image": jnp.asarray(
+            np.random.RandomState(0).randn(
+                args.batch, cfg.img_size, cfg.img_size, cfg.in_chans
+            ), jnp.float32
+        ),
+        "label": jnp.zeros((args.batch,), jnp.int32),
+    }
+    key = jax.random.PRNGKey(1)
+    for _ in range(3):
+        state, m = step(state, batch, key)
+    jax.block_until_ready(m["train_loss"])
+    with jax.profiler.trace(args.out):
+        for _ in range(args.steps):
+            state, m = step(state, batch, key)
+        jax.block_until_ready(m["train_loss"])
+    print(f"train trace written to {args.out}", file=sys.stderr)
+
+
 def summarize(out_dir, n_steps):
     """Aggregate device time by HLO category from the captured xplane.
 
@@ -120,10 +175,14 @@ if __name__ == "__main__":
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--out", default="/tmp/duodiff_trace")
     p.add_argument("--summarize_only", action="store_true")
+    p.add_argument("--mode", default="sample", choices=["sample", "train"])
     args = p.parse_args()
     if not args.summarize_only:
         from duodiff_tpu.utils.runtime import setup_compilation_cache
 
         setup_compilation_cache()
-        capture(args)
+        if args.mode == "train":
+            capture_train(args)
+        else:
+            capture(args)
     summarize(args.out, args.steps)
