@@ -113,15 +113,16 @@ class Trainer:
         attn_impl = getattr(args, "attn_impl", None) or (
             "fused" if jax.default_backend() == "tpu" else "auto"
         )
+        gelu_approx = getattr(args, "gelu", "exact") == "tanh"
         if args.model == "uvit":
             self.model, params = init_uvit(
                 self.model_config, key, dtype=self.compute_dtype,
-                attn_impl=attn_impl,
+                attn_impl=attn_impl, gelu_approx=gelu_approx,
             )
         elif args.model == "deediff_uvit":
             self.model, params = init_early_exit_uvit(
                 self.model_config, key, dtype=self.compute_dtype,
-                attn_impl=attn_impl,
+                attn_impl=attn_impl, gelu_approx=gelu_approx,
             )
             if getattr(args, "load_backbone", None):
                 print(f"Loading backbone from {args.load_backbone}")

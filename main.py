@@ -22,8 +22,14 @@ def get_args(argv=None):
                         help="AMP data type")
     parser.add_argument("--attn_impl", type=str, default=None,
                         choices=["auto", "xla", "pallas", "fused"],
-                        help="Attention implementation (default: pallas "
-                             "custom-VJP kernel on TPU, XLA elsewhere)")
+                        help="Attention implementation (default: fused "
+                             "Pallas sublayer kernels on TPU, XLA elsewhere)")
+    parser.add_argument("--gelu", type=str, default="exact",
+                        choices=["exact", "tanh"],
+                        help="GELU form. 'exact' matches the reference "
+                             "(torch nn.GELU); 'tanh' is the tanh "
+                             "approximation (difference below bf16 rounding, "
+                             "skips the VPU-bound erf in the Pallas kernels)")
     parser.add_argument("--max_grad_norm", type=float, default=1.0,
                         help="Max gradient norm")
 

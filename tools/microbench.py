@@ -117,6 +117,8 @@ def bench_train():
     2026-08-16 v5e results: fused sublayer kernels w/ hand-written Pallas
     backwards (incl. the MLP bwd kernel) 111.9 ms/step, pallas flash-attn
     custom VJP + fused MLP 119.7, + XLA MLP 117.8, pure xla 172.1."""
+    import os
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -151,10 +153,14 @@ def bench_train():
         ("pallas", "xla"),     # flash-attn VJP + plain XLA MLP (old default)
         ("xla", "xla"),
     )
+    only = os.environ.get("MB_ONLY")
+    if only:
+        variants = tuple(v for v in variants if v[0] in only.split(","))
+    gelu_approx = os.environ.get("MB_GELU", "exact") == "tanh"
     for impl, mlp_impl in variants:
         model, params = init_uvit(
             cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16, attn_impl=impl,
-            mlp_impl=mlp_impl,
+            mlp_impl=mlp_impl, gelu_approx=gelu_approx,
         )
         state = create_train_state(params, tx)
         step = jax.jit(make_train_step(
