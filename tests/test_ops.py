@@ -56,6 +56,8 @@ def test_pallas_attention_bf16_inputs(qkv):
     (2, 64, 9, 2),     # dh=32, tiny L
     (16, 256, 33, 5),  # dh=16, odd batch (grp=1 fallback)
     (4, 128, 128, 4),  # lane-aligned L
+    (2, 64, 257, 2),   # flagship L: bulk-256 + 1-token-tail sdpa split
+    (2, 64, 258, 2),   # class-cond L: 2-token tail
 ])
 def test_fused_sublayer_geometries(h, d, l, b):
     """The batch-grid kernel must be correct for any (heads, dim, L, B) —
