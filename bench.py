@@ -38,7 +38,7 @@ def main():
         )
     import jax.numpy as jnp
 
-    from duodiff_tpu.config import UViTConfig
+    from duodiff_tpu.config import flagship_config
     from duodiff_tpu.diffusion import NoiseSchedule
     from duodiff_tpu.diffusion.sampling import make_chunked_ddpm_sampler
     from duodiff_tpu.models.uvit import init_uvit
@@ -53,11 +53,7 @@ def main():
     # polynomial (~0.7 ms/block; duodiff_tpu.models.layers.Mlp docstring)
     gelu_approx = os.environ.get("BENCH_GELU", "tanh") == "tanh"
 
-    cfg = UViTConfig(
-        img_size=64, patch_size=4, in_chans=3, embed_dim=512, depth=13,
-        num_heads=8, mlp_ratio=4, qkv_bias=False, mlp_time_embed=False,
-        num_classes=-1, normalize_timesteps=True,
-    )
+    cfg = flagship_config()
     model, params = init_uvit(
         cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16, attn_impl=attn,
         gelu_approx=gelu_approx,

@@ -98,6 +98,16 @@ class AutoencoderConfig:
         return cls(**known)
 
 
+def flagship_config() -> UViTConfig:
+    """The CelebA-64 U-ViT (configs/uvit_celeba.yaml) — the BASELINE.json
+    headline model used by bench.py and the profiling tools."""
+    return UViTConfig(
+        img_size=64, patch_size=4, in_chans=3, embed_dim=512, depth=13,
+        num_heads=8, mlp_ratio=4, qkv_bias=False, mlp_time_embed=False,
+        num_classes=-1, normalize_timesteps=True,
+    )
+
+
 def load_model_config(path) -> tuple[UViTConfig, Optional[AutoencoderConfig]]:
     """Load a reference-format YAML into (UViTConfig, AutoencoderConfig | None)."""
     raw = load_config(path)

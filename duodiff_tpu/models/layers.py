@@ -286,41 +286,35 @@ class Block(nn.Module):
             in_features=d,
             name="mlp",
         )
+        # Fused sublayers are single Pallas kernels
+        # (duodiff_tpu/ops/pallas_block.py); the param tree is identical to
+        # the unfused path (the submodules declare, raw=True returns). The
+        # fused attention path always pairs with the fused MLP kernel: two
+        # kernels per block, not the merged fused_block — measured 5.11 vs
+        # 5.05 samples/sec at CelebA-64 batch 128 (the block in/out round
+        # trips are already hidden behind async DMA, and shorter programs
+        # pipeline better).
+        interpret = jax.default_backend() != "tpu"
         if self.attn_impl == "fused":
-            # Both pre-norm sublayers as single Pallas kernels
-            # (duodiff_tpu/ops/pallas_block.py); the param tree is identical
-            # to the unfused path (the submodules declare, raw=True returns).
-            # Two kernels per block, not the merged fused_block: measured
-            # 5.11 vs 5.05 samples/sec at CelebA-64 batch 128 — the block
-            # in/out round trips are already hidden behind async DMA, and
-            # shorter programs pipeline better.
             from duodiff_tpu.ops.pallas_block import (
                 fused_attn_sublayer_trainable,
-                fused_mlp_sublayer_trainable,
             )
 
-            interpret = jax.default_backend() != "tpu"
             ln_scale, ln_bias = _LNParams(name="norm1")(d)
             (wqkv, bqkv), (wp, bp) = attn(None, raw=True)
             x = fused_attn_sublayer_trainable(
                 x.astype(self.dtype), ln_scale, ln_bias, wqkv, bqkv, wp, bp,
                 self.num_heads, 1e-5, interpret,
             )
-            ln2_scale, ln2_bias = _LNParams(name="norm2")(d)
-            (w1, b1), (w2, b2) = mlp(None, raw=True)
-            return fused_mlp_sublayer_trainable(
-                x, ln2_scale, ln2_bias, w1, b1, w2, b2,
-                1e-5, self.gelu_approx, interpret,
-            )
-        x = x + attn(
-            _layer_norm(x, name="norm1", out_dtype=self.dtype)
-        ).astype(x.dtype)
-        if self.mlp_impl == "fused":
+        else:
+            x = x + attn(
+                _layer_norm(x, name="norm1", out_dtype=self.dtype)
+            ).astype(x.dtype)
+        if self.attn_impl == "fused" or self.mlp_impl == "fused":
             from duodiff_tpu.ops.pallas_block import (
                 fused_mlp_sublayer_trainable,
             )
 
-            interpret = jax.default_backend() != "tpu"
             ln2_scale, ln2_bias = _LNParams(name="norm2")(d)
             (w1, b1), (w2, b2) = mlp(None, raw=True)
             return fused_mlp_sublayer_trainable(

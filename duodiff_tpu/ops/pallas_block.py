@@ -772,9 +772,16 @@ def _mlp_bwd_config(b: int, l: int, d: int, hidden: int, itemsize: int,
     import os
 
     override = os.environ.get("DUODIFF_MLP_BWD_CFG")
-    if override:  # "g,row_target,hidden_chunk" — empirical probing knob
+    if override:
+        # "g,row_target,hidden_chunk" probing knob. Read at TRACE time: a
+        # new process per setting (jit caches the first traced config for
+        # a given shape). In-process sweeps must pass config= explicitly
+        # (tools/probe_mlp_bwd.py does). Invalid group/chunk sizes would
+        # silently drop batch elements / misslice weights, so fall through
+        # to the cascade instead of honoring them.
         g, rt, hc = (int(v) for v in override.split(","))
-        return g, rt, hc
+        if b % g == 0 and (hidden % hc == 0 or hidden == hc):
+            return g, rt, hc
 
     l_sub = _round_up(l, 8)
     fixed = 2 * d * hidden * (4 + itemsize) + 64 * 1024  # + small vec slack
@@ -782,19 +789,18 @@ def _mlp_bwd_config(b: int, l: int, d: int, hidden: int, itemsize: int,
     # grad residents dominate VMEM; larger x blocks only shrink the
     # pipelining headroom) — tools/probe_mlp_bwd.py, 2026-08-16.
     for rt in (128, 64, 32):
-        for hc in (256, 128, 64):
-            if hidden % hc and hidden != hc:
+        for hc in (256, 128, 64) if hidden > 256 else (hidden,):
+            if hidden % hc:
                 continue
-            hcc = min(hc, hidden)
             rn = _round_up(max(n for _, n in _row_chunks(l, rt)), 8)
             # live row buffers: x_hat/dy/dxn/dx-construction fp32, xn/dyb
             # activation dtype; hidden-chunk: h_pre/dh/dhp fp32 + 2 casts
-            trans = rn * d * (4 * 4 + 2 * itemsize) + rn * hcc * (
+            trans = rn * d * (4 * 4 + 2 * itemsize) + rn * hc * (
                 3 * 4 + 2 * itemsize
             )
             io = 6 * l_sub * d * itemsize
             if fixed + trans + io <= budget_bytes:
-                return 1, rt, hcc
+                return 1, rt, hc
     return None
 
 

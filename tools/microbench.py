@@ -30,35 +30,36 @@ def timeit(fn, *args, reps=20, warmup=2):
 
 
 def bench_forward(config_path=None):
+    import os
+
     import jax
     import jax.numpy as jnp
 
-    from duodiff_tpu.config import UViTConfig, load_model_config
+    from duodiff_tpu.config import flagship_config, load_model_config
     from duodiff_tpu.models.uvit import init_uvit
     from duodiff_tpu.utils.profiling import flops_per_uvit_forward
 
     if config_path:
         cfg, _ = load_model_config(config_path)
     else:
-        cfg = UViTConfig(
-            img_size=64, patch_size=4, in_chans=3, embed_dim=512, depth=13,
-            num_heads=8, mlp_ratio=4, qkv_bias=False, mlp_time_embed=False,
-            num_classes=-1, normalize_timesteps=True,
-        )
+        cfg = flagship_config()
     b = 128
     x = jnp.zeros((b, cfg.img_size, cfg.img_size, cfg.in_chans), jnp.bfloat16)
     t = jnp.full((b,), 500.0, jnp.float32)
     y = jnp.zeros((b,), jnp.int32) if cfg.num_classes > 0 else None
     flops = flops_per_uvit_forward(cfg, b)
+    # default tanh: the sampling production setting; MB_GELU=exact for the
+    # training-parity form (bench_train defaults the other way around)
+    gelu_approx = os.environ.get("MB_GELU", "tanh") == "tanh"
     for impl in ("pallas", "fused", "xla"):
         model, params = init_uvit(
             cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16, attn_impl=impl,
-            gelu_approx=True,
+            gelu_approx=gelu_approx,
         )
         fwd = jax.jit(lambda p, x, t: model.apply({"params": p}, x, t, y))
         dt = timeit(fwd, params, x, t)
-        print(f"forward[{impl:6s}]: {dt*1e3:8.2f} ms  "
-              f"({flops/dt/1e12:6.1f} TF/s effective)")
+        print(f"forward[{impl:6s}] gelu={'tanh' if gelu_approx else 'exact'}:"
+              f" {dt*1e3:8.2f} ms ({flops/dt/1e12:6.1f} TF/s effective)")
 
 
 def bench_kernels():
@@ -123,8 +124,9 @@ def bench_train():
     import jax.numpy as jnp
     import numpy as np
 
-    from duodiff_tpu.config import UViTConfig
+    from duodiff_tpu.config import flagship_config
     from duodiff_tpu.diffusion import NoiseSchedule
+    from duodiff_tpu.models.early_exit import init_early_exit_uvit
     from duodiff_tpu.models.uvit import init_uvit
     from duodiff_tpu.training.train_state import (
         create_train_state,
@@ -132,11 +134,13 @@ def bench_train():
         make_train_step,
     )
 
-    cfg = UViTConfig(
-        img_size=64, patch_size=4, in_chans=3, embed_dim=512, depth=13,
-        num_heads=8, mlp_ratio=4, qkv_bias=False, mlp_time_embed=False,
-        num_classes=-1, normalize_timesteps=True,
+    # MB_MODEL=deediff benches the DeeDiff fine-tune step (frozen-free full
+    # grad; reference trains 100k of these per model) with the mlp-probe-
+    # per-layer classifier — depth output heads + probes on top of the UViT
+    model_kind = (
+        "deediff_uvit" if os.environ.get("MB_MODEL") == "deediff" else "uvit"
     )
+    cfg = flagship_config()
     sched = NoiseSchedule.create(steps=1000)
     tx = make_optimizer(lr=2e-4, weight_decay=0.03, beta1=0.99, beta2=0.999,
                         max_grad_norm=1.0, num_warmup_steps=1500,
@@ -158,14 +162,23 @@ def bench_train():
         variants = tuple(v for v in variants if v[0] in only.split(","))
     gelu_approx = os.environ.get("MB_GELU", "exact") == "tanh"
     for impl, mlp_impl in variants:
-        model, params = init_uvit(
-            cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16, attn_impl=impl,
-            mlp_impl=mlp_impl, gelu_approx=gelu_approx,
-        )
+        if model_kind == "deediff_uvit":
+            from dataclasses import replace
+
+            model, params = init_early_exit_uvit(
+                replace(cfg, classifier_type="mlp_probe_per_layer"),
+                jax.random.PRNGKey(0), dtype=jnp.bfloat16, attn_impl=impl,
+                gelu_approx=gelu_approx,
+            )
+        else:
+            model, params = init_uvit(
+                cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16, attn_impl=impl,
+                mlp_impl=mlp_impl, gelu_approx=gelu_approx,
+            )
         state = create_train_state(params, tx)
         step = jax.jit(make_train_step(
             lambda p, x, t, y: model.apply({"params": p}, x, t, y),
-            sched, model_kind="uvit", parametrization="predict_noise",
+            sched, model_kind=model_kind, parametrization="predict_noise",
         ), donate_argnums=(0,))
         key = jax.random.PRNGKey(1)
         for _ in range(3):
@@ -177,8 +190,9 @@ def bench_train():
             state, m = step(state, batch, key)
         jax.block_until_ready(m["train_loss"])
         dt = (time.perf_counter() - t0) / n
-        print(f"train_step[{impl:6s}+mlp:{mlp_impl:5s}]: {dt*1e3:7.1f} ms/step "
-              f"({1/dt:.2f} steps/s, loss {float(m['train_loss']):.4f})")
+        print(f"train_step[{impl:6s}+mlp:{mlp_impl:5s}] "
+              f"gelu={'tanh' if gelu_approx else 'exact'}: {dt*1e3:7.1f} "
+              f"ms/step ({1/dt:.2f} steps/s, loss {float(m['train_loss']):.4f})")
 
 
 if __name__ == "__main__":

@@ -24,7 +24,7 @@ def capture(args):
     import jax
     import jax.numpy as jnp
 
-    from duodiff_tpu.config import UViTConfig, load_model_config
+    from duodiff_tpu.config import flagship_config, load_model_config
     from duodiff_tpu.diffusion import NoiseSchedule
     from duodiff_tpu.diffusion.sampling import make_chunked_ddpm_sampler
     from duodiff_tpu.models.uvit import init_uvit
@@ -32,11 +32,7 @@ def capture(args):
     if args.config:
         cfg, _ = load_model_config(args.config)
     else:
-        cfg = UViTConfig(
-            img_size=64, patch_size=4, in_chans=3, embed_dim=512, depth=13,
-            num_heads=8, mlp_ratio=4, qkv_bias=False, mlp_time_embed=False,
-            num_classes=-1, normalize_timesteps=True,
-        )
+        cfg = flagship_config()
     model, params = init_uvit(
         cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16, attn_impl=args.attn,
         gelu_approx=args.gelu == "tanh",
@@ -66,7 +62,7 @@ def capture_train(args):
     import jax.numpy as jnp
     import numpy as np
 
-    from duodiff_tpu.config import UViTConfig, load_model_config
+    from duodiff_tpu.config import flagship_config, load_model_config
     from duodiff_tpu.diffusion import NoiseSchedule
     from duodiff_tpu.models.uvit import init_uvit
     from duodiff_tpu.training.train_state import (
@@ -78,11 +74,7 @@ def capture_train(args):
     if args.config:
         cfg, _ = load_model_config(args.config)
     else:
-        cfg = UViTConfig(
-            img_size=64, patch_size=4, in_chans=3, embed_dim=512, depth=13,
-            num_heads=8, mlp_ratio=4, qkv_bias=False, mlp_time_embed=False,
-            num_classes=-1, normalize_timesteps=True,
-        )
+        cfg = flagship_config()
     model, params = init_uvit(
         cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16, attn_impl=args.attn,
         gelu_approx=args.gelu == "tanh",
