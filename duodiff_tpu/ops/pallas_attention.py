@@ -28,22 +28,28 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    # blocks: (G, L, Dh); batch dim leading.
-    q = q_ref[:]
+    # blocks: (G, L, Dh); batch dim leading. Scale is folded into q (one
+    # (G, L, Dh) pass vs scaling the (G, L, L) scores) and the softmax
+    # 1/denom normalization divides the (G, L, Dh) output instead of the
+    # lane-padded (G, L, L) probabilities — same optimization as
+    # pallas_block._kernel_v2, worth ~10% of the kernel at L=257.
     k = k_ref[:]
     v = v_ref[:]
+    q = (q_ref[:].astype(jnp.float32) * scale).astype(k.dtype)
     s = jax.lax.dot_general(
         q, k,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )  # (G, L, L)
-    p = jax.nn.softmax(s.astype(jnp.float32) * scale, axis=-1)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
     o = jax.lax.dot_general(
-        p.astype(v.dtype), v,
+        e.astype(v.dtype), v,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )  # (G, L, Dh)
-    o_ref[:] = o.astype(o_ref.dtype)
+    o_ref[:] = (o / denom).astype(o_ref.dtype)
 
 
 def _group_size(bh: int, l: int, dh: int, budget_bytes: int = 10 * 2**20) -> int:
@@ -72,33 +78,41 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
     keeps a fp32 (B, H, L, L) tensor alive between forward and backward —
     ~270MB per block at CelebA-64 batch 128).
     """
-    q = q_ref[:]
     k = k_ref[:]
     v = v_ref[:]
+    bdt = k.dtype
+    # scale folded into q; 1/denom factored onto (G, L, Dh) tensors — no
+    # (G, L, L) divides or scale passes (see pallas_block._attn_bwd_kernel
+    # for the identities; p = e*r with e = exp(s-m), r = 1/rowsum(e)).
+    qsc = (q_ref[:].astype(jnp.float32) * scale).astype(bdt)
     do = do_ref[:].astype(jnp.float32)
     s = jax.lax.dot_general(
-        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )
-    p = jax.nn.softmax(s.astype(jnp.float32) * scale, axis=-1)  # (G, Lq, Lk)
-    pb = p.astype(q.dtype)
-    dob = do.astype(q.dtype)
-    # dv[g, lk, d] = sum_lq p[g, lq, lk] * do[g, lq, d]
+        qsc, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )  # scaled scores (G, Lq, Lk)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)  # (G, Lq, 1)
+    eb = e.astype(bdt)
+    # dv[g, lk, d] = sum_lq p[g, lq, lk] * do[g, lq, d] = e^T @ (do * r)
     dv = jax.lax.dot_general(
-        pb, dob, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        eb, (do * r).astype(bdt), (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
     )
     # dp[g, lq, lk] = sum_d do[g, lq, d] * v[g, lk, d]
     dp = jax.lax.dot_general(
-        dob, v, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        do.astype(bdt), v, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
     )
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    ds = (ds * scale).astype(q.dtype)
-    # dq[g, lq, d] = sum_lk ds[g, lq, lk] * k[g, lk, d]
+    c = jnp.sum(dp * e, axis=-1, keepdims=True) * r
+    dsp = (e * (dp - c)).astype(bdt)  # ds' (unnormalized, unscaled)
+    # dq[g, lq, d] = (ds' @ k) * r * scale
     dq = jax.lax.dot_general(
-        ds, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )
-    # dk[g, lk, d] = sum_lq ds[g, lq, lk] * q[g, lq, d]
+        dsp, k, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ) * (r * scale)
+    # dk[g, lk, d] = ds'^T @ (q_scaled * r)
     dk = jax.lax.dot_general(
-        ds, q, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        dsp, (qsc.astype(jnp.float32) * r).astype(bdt),
+        (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32,
     )
     dq_ref[:] = dq.astype(dq_ref.dtype)
     dk_ref[:] = dk.astype(dk_ref.dtype)

@@ -136,9 +136,18 @@ def _kernel_v2(*refs, num_heads: int, scale: float, eps: float,
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (L, L)
-            p = jax.nn.softmax(s, axis=-1)
-            o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
-            heads.append(o.astype(x_ref.dtype))
+            # softmax with the 1/denom normalization moved AFTER the value
+            # contraction: divides the (L, Dh) output instead of the
+            # lane-padded (L, L->384) probability matrix (ablation:
+            # max+sum+divide cost ~0.26ms of the 0.99ms block at CelebA-64
+            # batch 128, the divide being the largest full-matrix pass).
+            # exp(s-m) is in [0, 1], so the bf16 cast loses the same bits
+            # either side of the divide.
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            denom = jnp.sum(e, axis=-1, keepdims=True)
+            o = jnp.dot(e.astype(v.dtype), v, preferred_element_type=jnp.float32)
+            heads.append((o / denom).astype(x_ref.dtype))
         # one full-width K=D output projection instead of num_heads K=Dh
         # partial matmuls (K=64 runs the MXU at half rate)
         merged = jnp.concatenate(heads, axis=1)  # (L, D)
@@ -268,19 +277,33 @@ def _attn_bwd_kernel(*refs, num_heads: int, scale: float, eps: float,
             v = jax.lax.slice(
                 qkv, (0, 2 * d + h * dh), (l, 2 * d + (h + 1) * dh)
             )
+            # scale folded into q (one (L, Dh) pass vs scaling the (L, L)
+            # scores); all 1/denom normalizations factored onto (L, Dh) /
+            # (L, 1) tensors — no full-width (L, L->384-lane) divides.
+            # With p = e*r (e = exp(s-m), r = 1/rowsum):
+            #   o  = (e @ v) * r
+            #   dv = e^T @ (do * r)
+            #   ds_scaled = e*(dp - c) * r,  c = rowsum(dp*e) * r
+            #   dq = (ds' @ k) * r * scale,  dk = ds'^T @ (q_scaled * r)
+            # where ds' = e*(dp - c) stays unnormalized for the matmuls.
+            qsc = (q.astype(jnp.float32) * scale).astype(bdt)
             s = jax.lax.dot_general(
-                q, k, (((1,), (1,)), ((), ())),
+                qsc, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )
-            p = jax.nn.softmax(s * scale, axis=-1)  # (Lq, Lk) fp32
-            pb = p.astype(bdt)
+            )  # scaled scores (Lq, Lk)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            r = 1.0 / jnp.sum(e, axis=-1, keepdims=True)  # (Lq, 1)
+            eb = e.astype(bdt)
             do = jax.lax.slice(dm_b, (0, h * dh), (l, (h + 1) * dh))
+            dof = do.astype(jnp.float32)
             os_.append(
-                jnp.dot(pb, v, preferred_element_type=jnp.float32).astype(bdt)
+                (jnp.dot(eb, v, preferred_element_type=jnp.float32) * r
+                 ).astype(bdt)
             )
-            # dv = p^T @ do (contract Lq)
+            # dv = e^T @ (do * r) (contract Lq)
             dvs.append(jax.lax.dot_general(
-                pb, do, (((0,), (0,)), ((), ())),
+                eb, (dof * r).astype(bdt), (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ).astype(bdt))
             # dp = do @ v^T (contract Dh)
@@ -288,13 +311,16 @@ def _attn_bwd_kernel(*refs, num_heads: int, scale: float, eps: float,
                 do, v, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
-                  ).astype(bdt)
-            dqs.append(jnp.dot(ds, k, preferred_element_type=jnp.float32
-                               ).astype(bdt))
-            # dk = ds^T @ q (contract Lq)
+            c = jnp.sum(dp * e, axis=-1, keepdims=True) * r
+            dsp = (e * (dp - c)).astype(bdt)  # ds'(unnormalized, unscaled)
+            dqs.append(
+                (jnp.dot(dsp, k, preferred_element_type=jnp.float32)
+                 * (r * scale)).astype(bdt)
+            )
+            # dk = ds'^T @ (q_scaled * r) (contract Lq)
             dks.append(jax.lax.dot_general(
-                ds, q, (((0,), (0,)), ((), ())),
+                dsp, (qsc.astype(jnp.float32) * r).astype(bdt),
+                (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ).astype(bdt))
 
@@ -404,11 +430,13 @@ def _block_kernel(*refs, num_heads: int, scale: float, eps: float,
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            p = jax.nn.softmax(s, axis=-1)
-            heads.append(
-                jnp.dot(p.astype(bdt), v,
-                        preferred_element_type=jnp.float32).astype(bdt)
-            )
+            # post-normalized softmax: divide the (L, Dh) output, not the
+            # lane-padded (L, L) probabilities (see _kernel_v2)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            denom = jnp.sum(e, axis=-1, keepdims=True)
+            o = jnp.dot(e.astype(bdt), v, preferred_element_type=jnp.float32)
+            heads.append((o / denom).astype(bdt))
         merged = jnp.concatenate(heads, axis=1)
         proj = jnp.dot(merged, wp_ref[:], preferred_element_type=jnp.float32)
         u = xv + proj + bp_ref[0].astype(jnp.float32)  # (L, D) fp32
