@@ -94,13 +94,17 @@ def _kernel(*refs, num_heads: int, scale: float, eps: float, has_qkv_bias: bool)
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
-def _kernel_v2(*refs, num_heads: int, scale: float, eps: float,
-               has_qkv_bias: bool):
+def _kernel_v2(*refs, num_heads: int, eps: float, has_qkv_bias: bool):
     """Batch-only grid variant: per sample, ONE full-width (L, D) x (D, 3D)
     QKV matmul (full MXU tiles vs the (b, h)-grid version's N=64 per-head
     projections), then a static unrolled head loop over 64-column lane
     slices of the packed result. Weights have constant block indices, so
-    Pallas DMAs them once instead of once per (batch, head) program."""
+    Pallas DMAs them once instead of once per (batch, head) program.
+
+    The softmax scale is pre-folded into the q columns of the delivered
+    weight (and bias) by the wrapper — a loop-invariant (D, 3D) op XLA
+    hoists out of the sampling scan — so the kernel runs no scale pass at
+    all and q slices straight out of the packed bf16 qkv."""
     if has_qkv_bias:
         (x_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
          o_ref) = refs
@@ -119,17 +123,11 @@ def _kernel_v2(*refs, num_heads: int, scale: float, eps: float,
         qkv = jnp.dot(xn, wqkv_ref[:], preferred_element_type=jnp.float32)
         if has_qkv_bias:
             qkv = qkv + bqkv_ref[0].astype(jnp.float32)
-        # fold the softmax scale into q here (one (L, D) multiply) instead of
-        # scaling the fp32 (L, L) score matrix (saves a full VPU pass over
-        # the largest tensor in the kernel)
-        qs = (
-            jax.lax.slice(qkv, (0, 0), (l, d)) * scale
-        ).astype(x_ref.dtype)
-        qkv = qkv.astype(x_ref.dtype)  # (L, 3D), packed (K H Dh)
+        qkv = qkv.astype(x_ref.dtype)  # (L, 3D), packed (K H Dh), q scaled
 
         heads = []
         for h in range(num_heads):
-            q = jax.lax.slice(qs, (0, h * dh), (l, (h + 1) * dh))
+            q = jax.lax.slice(qkv, (0, h * dh), (l, (h + 1) * dh))
             k = jax.lax.slice(qkv, (0, d + h * dh), (l, d + (h + 1) * dh))
             v = jax.lax.slice(qkv, (0, 2 * d + h * dh), (l, 2 * d + (h + 1) * dh))
             s = jax.lax.dot_general(
@@ -161,7 +159,9 @@ def _group_size_v2(b: int, l: int, d: int, itemsize: int,
     blocks scale with the group size — the per-sample loop reuses its
     transients (qkv, scores, probs, head outputs, proj accumulator), and
     constant-index weight blocks are fetched once. grp=4 measured ~2.5%
-    faster than grp=2 at CelebA-64 shapes (chained kernel timing)."""
+    faster than grp=2 at CelebA-64 shapes (chained kernel timing); raising
+    the budget to 15MB (grp=8) measured 74% SLOWER — the larger x blocks
+    starve the double-buffering headroom."""
     l_sub = _round_up(l, 8)
     l_lane = _round_up(l, 128)
     # per-iteration transients (independent of g)
@@ -391,7 +391,7 @@ def _mlp_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
         o_ref[i] = (xv + out + b2_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
 
 
-def _block_kernel(*refs, num_heads: int, scale: float, eps: float,
+def _block_kernel(*refs, num_heads: int, eps: float,
                   has_qkv_bias: bool, gelu_approx: bool):
     """Whole transformer block (both pre-norm sublayers) in ONE kernel:
     y = u + fc2(gelu(fc1(LN2(u)))), u = x + proj(SDPA(qkv(LN1(x)))).
@@ -417,11 +417,10 @@ def _block_kernel(*refs, num_heads: int, scale: float, eps: float,
         qkv = jnp.dot(xn, wqkv_ref[:], preferred_element_type=jnp.float32)
         if has_qkv_bias:
             qkv = qkv + bqkv_ref[0].astype(jnp.float32)
-        qs = (jax.lax.slice(qkv, (0, 0), (l, d)) * scale).astype(bdt)
-        qkv = qkv.astype(bdt)
+        qkv = qkv.astype(bdt)  # q columns pre-scaled by the wrapper
         heads = []
         for h in range(num_heads):
-            q = jax.lax.slice(qs, (0, h * dh), (l, (h + 1) * dh))
+            q = jax.lax.slice(qkv, (0, h * dh), (l, (h + 1) * dh))
             k = jax.lax.slice(qkv, (0, d + h * dh), (l, d + (h + 1) * dh))
             v = jax.lax.slice(
                 qkv, (0, 2 * d + h * dh), (l, 2 * d + (h + 1) * dh)
@@ -506,11 +505,15 @@ def fused_block(
 
     in_specs = [row, vec, vec,
                 pl.BlockSpec((d, 3 * d), lambda i: (0, 0))]
-    args = [x, ln1_scale.reshape(1, d), ln1_bias.reshape(1, d),
-            qkv_kernel.astype(dtype)]
+    # softmax scale pre-folded into the q columns/bias (see _kernel_v2)
+    wqkv = jnp.concatenate(
+        [qkv_kernel[:, :d] * scale, qkv_kernel[:, d:]], axis=1
+    ).astype(dtype)
+    args = [x, ln1_scale.reshape(1, d), ln1_bias.reshape(1, d), wqkv]
     if qkv_bias is not None:
         in_specs.append(pl.BlockSpec((1, 3 * d), lambda i: (0, 0)))
-        args.append(qkv_bias.astype(jnp.float32).reshape(1, 3 * d))
+        bq = jnp.concatenate([qkv_bias[:d] * scale, qkv_bias[d:]])
+        args.append(bq.astype(jnp.float32).reshape(1, 3 * d))
     in_specs += [
         pl.BlockSpec((d, d), lambda i: (0, 0)), vec,      # wp, bp
         vec, vec,                                          # ln2
@@ -533,7 +536,6 @@ def fused_block(
         functools.partial(
             _block_kernel,
             num_heads=h,
-            scale=scale,
             eps=eps,
             has_qkv_bias=qkv_bias is not None,
             gelu_approx=gelu_approx,
@@ -1134,7 +1136,12 @@ def fused_attn_sublayer(
     )
 
     if variant == "v2":
-        wqkv = qkv_kernel.astype(dtype)             # (D, 3D), packed (K H Dh)
+        # softmax scale pre-folded into the q columns (and bias entries):
+        # loop-invariant, hoisted by XLA; the hand-written VJP never sees
+        # these prescaled copies, so gradients stay wrt the originals
+        wqkv = jnp.concatenate(
+            [qkv_kernel[:, :d] * scale, qkv_kernel[:, d:]], axis=1
+        ).astype(dtype)                             # (D, 3D), packed (K H Dh)
         wp = proj_kernel.astype(dtype)              # (D, D), rows (H Dh)
         grp = _group_size_v2(b, l, d, itemsize)
         row = pl.BlockSpec((grp, l, d), lambda i: (i, 0, 0))
@@ -1146,7 +1153,8 @@ def fused_attn_sublayer(
         args = [x, g2, b2, wqkv]
         if qkv_bias is not None:
             in_specs.append(pl.BlockSpec((1, 3 * d), lambda i: (0, 0)))
-            args.append(qkv_bias.astype(jnp.float32).reshape(1, 3 * d))
+            bq = jnp.concatenate([qkv_bias[:d] * scale, qkv_bias[d:]])
+            args.append(bq.astype(jnp.float32).reshape(1, 3 * d))
         in_specs += [
             pl.BlockSpec((d, d), lambda i: (0, 0)),  # wproj
             vec,
@@ -1156,7 +1164,6 @@ def fused_attn_sublayer(
             functools.partial(
                 _kernel_v2,
                 num_heads=h,
-                scale=scale,
                 eps=eps,
                 has_qkv_bias=qkv_bias is not None,
             ),
