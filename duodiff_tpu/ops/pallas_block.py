@@ -616,7 +616,9 @@ fused_block_trainable.defvjp(_fb_fwd, _fb_bwd)
 
 
 def _group_size_mlp(b: int, l: int, d: int, hidden: int, itemsize: int,
-                    budget_bytes: int = 9 * 2**20) -> int:
+                    budget_bytes: int = 13 * 2**20) -> int:
+    """13MB lands grp=4 at flagship shapes: probed 1.517ms vs 1.617 (grp=1,
+    the old 9MB budget) vs 1.764 (grp=2) — tools/probe_mlp_fwd.py."""
     l_sub = _round_up(l, 8)
     weights = 2 * d * hidden * itemsize  # constant-index blocks, single copy
     best = 1
