@@ -270,3 +270,13 @@ def test_main_cli_distillation(tmp_path, tiny_train_config, cifar_data):
     ])
     assert logs and "distill_loss" in logs[-1] and "task_loss" in logs[-1]
     assert np.isfinite(logs[-1]["distill_loss"])
+
+
+def test_flagship_config_matches_yaml():
+    """flagship_config() (used by bench.py and the profiling tools) must
+    stay in sync with configs/uvit_celeba.yaml — the config the README/
+    BASELINE numbers claim to measure."""
+    from duodiff_tpu.config import flagship_config, load_model_config
+
+    yaml_cfg, _ = load_model_config("configs/uvit_celeba.yaml")
+    assert flagship_config() == yaml_cfg
