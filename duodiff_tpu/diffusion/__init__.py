@@ -9,6 +9,7 @@ from duodiff_tpu.diffusion.sampling import (
     early_exit_sample,
     early_exit_select,
     make_chunked_ddpm_sampler,
+    make_guided_apply,
 )
 
 __all__ = [
@@ -22,4 +23,5 @@ __all__ = [
     "ChunkedDDPMSampler",
     "ChunkedEarlyExitSampler",
     "make_chunked_ddpm_sampler",
+    "make_guided_apply",
 ]

@@ -104,6 +104,8 @@ def make_train_step(
     teacher_apply: Optional[Callable] = None,
     distill_alpha: float = 1.0,
     t_min: int = 0,
+    label_dropout: float = 0.0,
+    null_label: Optional[int] = None,
 ):
     """Build the pure train-step function.
 
@@ -128,7 +130,13 @@ def make_train_step(
         clean = batch["image"].astype(jnp.float32)
         labels = batch.get("label") if has_labels else None
         b = clean.shape[0]
-        t_key, n_key = jax.random.split(key)
+        t_key, n_key, d_key = jax.random.split(key, 3)
+        if labels is not None and label_dropout > 0.0:
+            # classifier-free-guidance training (beyond-parity): replace a
+            # random fraction of labels with the null token so the model
+            # learns the unconditional distribution alongside
+            drop = jax.random.bernoulli(d_key, label_dropout, (b,))
+            labels = jnp.where(drop, null_label, labels)
         timesteps = jax.random.randint(t_key, (b,), t_min, schedule.steps)
         noise, noisy = schedule.add_noise(n_key, clean, timesteps)
 

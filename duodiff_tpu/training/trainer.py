@@ -305,6 +305,11 @@ class Trainer:
             teacher_apply=teacher_apply,
             distill_alpha=getattr(args, "distill_alpha", 1.0),
             t_min=getattr(args, "distill_t_min", 0) or 0,
+            label_dropout=getattr(args, "label_dropout", 0.0) or 0.0,
+            # upstream U-ViT convention: the last embedding slot is the
+            # null/unconditional token (the reference's 1001-class ImageNet
+            # configs reserve it without using it)
+            null_label=self.model_config.num_classes - 1,
         )
         return jax.jit(step_fn, donate_argnums=(0,))
 

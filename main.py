@@ -24,6 +24,12 @@ def get_args(argv=None):
                         choices=["auto", "xla", "pallas", "fused"],
                         help="Attention implementation (default: fused "
                              "Pallas sublayer kernels on TPU, XLA elsewhere)")
+    parser.add_argument("--label_dropout", type=float, default=0.0,
+                        help="Classifier-free-guidance training: fraction "
+                             "of labels replaced by the null token "
+                             "(num_classes-1) each step. Beyond-parity "
+                             "feature; pairs with sampler.py "
+                             "--guidance_scale")
     parser.add_argument("--gelu", type=str, default="exact",
                         choices=["exact", "tanh"],
                         help="GELU form. 'exact' matches the reference "

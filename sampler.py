@@ -33,6 +33,15 @@ def get_args(argv=None):
     parser.add_argument("--t_switch", type=int, default=None,
                         help="Sampling timestep at which the late model takes over")
     parser.add_argument("--class_id", type=int, default=None)
+    parser.add_argument("--guidance_scale", type=float, default=None,
+                        help="Classifier-free guidance weight w (beyond-"
+                             "parity): out = out_null + w*(out_cond - "
+                             "out_null) via a doubled-batch forward. Needs "
+                             "class-conditional weights trained with "
+                             "--label_dropout. w=1 == conditional model")
+    parser.add_argument("--null_class", type=int, default=None,
+                        help="Null-label index for guidance (default "
+                             "num_classes-1)")
     parser.add_argument("--use_ddim", action="store_true")
     parser.add_argument("--ddim_steps", type=int, default=50)
     parser.add_argument("--ddim_eta", type=float, default=0.0)
@@ -126,6 +135,24 @@ def main(argv=None):
     def apply_late(x, t, yy):
         late_model, late_params = late
         return late_model.apply({"params": late_params}, x, t, yy)
+
+    if args.guidance_scale is not None:
+        from duodiff_tpu.diffusion import make_guided_apply
+
+        if y is None:
+            raise SystemExit("--guidance_scale needs --class_id (labels)")
+        null_class = (
+            args.null_class
+            if args.null_class is not None
+            else cfg.num_classes - 1
+        )
+        apply_early = make_guided_apply(
+            apply_early, args.guidance_scale, null_class
+        )
+        if late is not None:
+            apply_late = make_guided_apply(
+                apply_late, args.guidance_scale, null_class
+            )
 
     timesteps_save = tuple(args.timesteps_save)
     steps = schedule.steps

@@ -280,3 +280,24 @@ def test_flagship_config_matches_yaml():
 
     yaml_cfg, _ = load_model_config("configs/uvit_celeba.yaml")
     assert flagship_config() == yaml_cfg
+
+
+def test_sampler_cli_guided(tmp_path):
+    """Classifier-free guidance end to end: class-conditional tiny model,
+    --guidance_scale doubles the forward batch and produces finite PNGs."""
+    cfg = tmp_path / "tiny_cond.yaml"
+    cfg.write_text(TINY_YAML.replace("num_classes: -1", "num_classes: 10"))
+    out = tmp_path / "guided"
+    sampler_cli.main([
+        "--config_path", str(cfg),
+        "--random_init",
+        "--batch_size", "2",
+        "--num_timesteps", "8",
+        "--parametrization", "predict_noise",
+        "--class_id", "1",
+        "--guidance_scale", "3.0",
+        "--output_folder", str(out),
+        "--seed", "0",
+    ])
+    pngs = sorted(p for p in out.rglob("*.png") if "grid" not in p.name)
+    assert len(pngs) == 2

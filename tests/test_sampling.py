@@ -348,3 +348,34 @@ def test_dpm_solver_degenerate_grids():
     x = dpm_solver_sample(f, jax.random.PRNGKey(9), schedule=sched,
                           shape=SHAPE, dpm_steps=20, order=2)
     assert bool(jnp.all(jnp.isfinite(x)))
+
+
+def test_guided_apply_identities():
+    """make_guided_apply: w=1 is exactly the conditional model, w=0 the
+    null-label model; output shape/dtype preserved."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from duodiff_tpu.diffusion import make_guided_apply
+
+    emb = jax.random.normal(jax.random.PRNGKey(0), (11, 4))
+
+    def apply_fn(x, t, y):
+        return x * 0.5 + emb[y][:, None, None, :] + t[:, None, None, None]
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 2, 2, 4))
+    t = jnp.full((3,), 5.0)
+    y = jnp.array([1, 2, 3])
+
+    cond = apply_fn(x, t, y)
+    null = apply_fn(x, t, jnp.full_like(y, 10))
+    w1 = make_guided_apply(apply_fn, 1.0, 10)(x, t, y)
+    w0 = make_guided_apply(apply_fn, 0.0, 10)(x, t, y)
+    w3 = make_guided_apply(apply_fn, 3.0, 10)(x, t, y)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(cond), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(w0), np.asarray(null), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(w3), np.asarray(null + 3.0 * (cond - null)),
+        rtol=1e-5, atol=1e-5,
+    )

@@ -306,3 +306,48 @@ def test_train_step_distillation():
     assert np.isfinite(losses).all(), "sampled t < t_min (poison reached loss)"
     assert losses[-1] < losses[0] * 0.7, (losses[0], losses[-1])
     assert "task_loss" in metrics
+
+
+def test_train_step_label_dropout():
+    """label_dropout=1.0 must equal training on explicit all-null labels
+    (same key), and 0.0 must equal the plain conditional step."""
+    import jax
+    import jax.numpy as jnp
+
+    from duodiff_tpu.config import UViTConfig
+    from duodiff_tpu.diffusion import NoiseSchedule
+    from duodiff_tpu.models.uvit import init_uvit
+    from duodiff_tpu.training.train_state import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    cfg = UViTConfig(
+        img_size=16, patch_size=2, in_chans=3, embed_dim=32, depth=2,
+        num_heads=4, mlp_ratio=2, num_classes=5, normalize_timesteps=True,
+    )
+    model, params = init_uvit(cfg, jax.random.PRNGKey(0))
+    sched = NoiseSchedule.create(steps=20)
+    tx = make_optimizer(lr=1e-3, weight_decay=0.0, beta1=0.9, beta2=0.999,
+                        max_grad_norm=1.0, num_warmup_steps=0,
+                        num_training_steps=10)
+
+    def step_with(label_dropout, labels):
+        step = make_train_step(
+            lambda p, x, t, y: model.apply({"params": p}, x, t, y),
+            sched, model_kind="uvit", parametrization="predict_noise",
+            has_labels=True, label_dropout=label_dropout, null_label=4,
+        )
+        state = create_train_state(params, tx)
+        batch = {
+            "image": jnp.ones((4, 16, 16, 3)) * 0.1,
+            "label": labels,
+        }
+        _, m = step(state, batch, jax.random.PRNGKey(3))
+        return float(m["train_loss"])
+
+    y = jnp.array([0, 1, 2, 3])
+    nulls = jnp.full((4,), 4)
+    assert step_with(1.0, y) == step_with(0.0, nulls)
+    assert step_with(0.0, y) != step_with(0.0, nulls)
