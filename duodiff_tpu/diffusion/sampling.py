@@ -45,10 +45,12 @@ def make_guided_apply(
         out = out_null + w * (out_cond - out_null)
 
     via ONE doubled-batch forward (conditional half + null-label half), so
-    it composes with every sampler in this module unchanged — scan bodies,
-    DuoDiff segments, DDIM, and DPM-Solver all just see an apply_fn.
-    ``w = 1`` reduces to the conditional model; ``w = 0`` to the
-    unconditional one. Cost: 2x model compute per step.
+    it composes with the SINGLE-OUTPUT samplers unchanged — DDPM scan
+    bodies, DuoDiff segments, DDIM, and DPM-Solver all just see an
+    apply_fn returning one (B, ...) array. (Early-exit apply_fns return a
+    (backbone, probes, heads) tuple and need their own handling — not
+    supported here.) ``w = 1`` reduces to the conditional model; ``w = 0``
+    to the unconditional one. Cost: 2x model compute per step.
     """
 
     def guided(x, t, y):

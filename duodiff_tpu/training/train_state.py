@@ -130,11 +130,14 @@ def make_train_step(
         clean = batch["image"].astype(jnp.float32)
         labels = batch.get("label") if has_labels else None
         b = clean.shape[0]
-        t_key, n_key, d_key = jax.random.split(key, 3)
+        t_key, n_key = jax.random.split(key)
         if labels is not None and label_dropout > 0.0:
             # classifier-free-guidance training (beyond-parity): replace a
             # random fraction of labels with the null token so the model
-            # learns the unconditional distribution alongside
+            # learns the unconditional distribution alongside. d_key comes
+            # from fold_in, NOT a 3-way split — t_key/n_key must stay
+            # bit-identical to label_dropout=0 runs (seed reproducibility).
+            d_key = jax.random.fold_in(key, 0x1ABE1)
             drop = jax.random.bernoulli(d_key, label_dropout, (b,))
             labels = jnp.where(drop, null_label, labels)
         timesteps = jax.random.randint(t_key, (b,), t_min, schedule.steps)

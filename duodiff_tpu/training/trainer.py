@@ -295,6 +295,25 @@ class Trainer:
             def teacher_apply(p, x, t, y):
                 return teacher.apply({"params": p}, x, t, y)
 
+        label_dropout = getattr(args, "label_dropout", 0.0) or 0.0
+        if label_dropout > 0.0:
+            if not self.has_labels or self.model_config.num_classes <= 0:
+                raise ValueError(
+                    "--label_dropout needs a class-conditional model on a "
+                    "labeled dataset (num_classes > 0, imagenet*); it would "
+                    "silently be a no-op here"
+                )
+            # upstream U-ViT convention: the LAST embedding slot is the
+            # null/unconditional token. Only configs that RESERVE it (e.g.
+            # num_classes: 1001 for 1000 real classes, as the reference's
+            # imagenet256 configs do) can train CFG — with num_classes ==
+            # the real class count, the 'null' would alias the last class.
+            print(
+                f"label_dropout={label_dropout}: using null label "
+                f"{self.model_config.num_classes - 1}. Make sure the config "
+                "reserves this embedding slot beyond the real classes "
+                "(e.g. num_classes: 1001 for ImageNet's 1000)."
+            )
         step_fn = make_train_step(
             apply_fn,
             self.schedule,
@@ -305,10 +324,7 @@ class Trainer:
             teacher_apply=teacher_apply,
             distill_alpha=getattr(args, "distill_alpha", 1.0),
             t_min=getattr(args, "distill_t_min", 0) or 0,
-            label_dropout=getattr(args, "label_dropout", 0.0) or 0.0,
-            # upstream U-ViT convention: the last embedding slot is the
-            # null/unconditional token (the reference's 1001-class ImageNet
-            # configs reserve it without using it)
+            label_dropout=label_dropout,
             null_label=self.model_config.num_classes - 1,
         )
         return jax.jit(step_fn, donate_argnums=(0,))

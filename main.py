@@ -27,8 +27,10 @@ def get_args(argv=None):
     parser.add_argument("--label_dropout", type=float, default=0.0,
                         help="Classifier-free-guidance training: fraction "
                              "of labels replaced by the null token "
-                             "(num_classes-1) each step. Beyond-parity "
-                             "feature; pairs with sampler.py "
+                             "(num_classes-1) each step. The config must "
+                             "RESERVE that slot beyond the real classes "
+                             "(e.g. num_classes: 1001 for ImageNet-1000). "
+                             "Beyond-parity; pairs with sampler.py "
                              "--guidance_scale")
     parser.add_argument("--gelu", type=str, default="exact",
                         choices=["exact", "tanh"],

@@ -124,10 +124,21 @@ def main(argv=None):
     key = jax.random.PRNGKey(args.seed)
     y = None
     if args.class_id is not None:
-        # reference draws random labels in [1, 1001) when --class_id is given
-        # (sampler.py:314-318)
         key, ykey = jax.random.split(key)
-        y = jax.random.randint(ykey, (args.batch_size,), 1, 1001)
+        if args.guidance_scale is not None:
+            # guided sampling draws REAL class labels: uniform over
+            # [0, null_class) so no sample conditions on the null token
+            # (which would make cond == uncond, zero guidance)
+            hi = (
+                args.null_class
+                if args.null_class is not None
+                else cfg.num_classes - 1
+            )
+            y = jax.random.randint(ykey, (args.batch_size,), 0, hi)
+        else:
+            # reference parity: random labels in [1, 1001) when --class_id
+            # is given (reference sampler.py:314-318)
+            y = jax.random.randint(ykey, (args.batch_size,), 1, 1001)
 
     def apply_early(x, t, yy):
         return model.apply({"params": params}, x, t, yy)

@@ -278,7 +278,7 @@ def test_flagship_config_matches_yaml():
     BASELINE numbers claim to measure."""
     from duodiff_tpu.config import flagship_config, load_model_config
 
-    yaml_cfg, _ = load_model_config("configs/uvit_celeba.yaml")
+    yaml_cfg, _ = load_model_config(REPO / "configs" / "uvit_celeba.yaml")
     assert flagship_config() == yaml_cfg
 
 
