@@ -36,7 +36,8 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--rows", type=str, default=(
         "celeba,celeba_duodiff,celeba_ddim,celeba_static_exit,"
-        "celeba_dpm20,cifar10,imagenet64,imagenet256,imagenet256_decoded"
+        "celeba_ee_threshold,celeba_dpm20,cifar10,imagenet64,imagenet256,"
+        "imagenet256_decoded"
     ))
     p.add_argument("--output", type=str, default="bench_matrix.json")
     args = p.parse_args(argv)
@@ -199,6 +200,34 @@ def main(argv=None):
         return lambda key: sampler(key, shape)
 
     run("celeba_static_exit", static_exit_fn)
+
+    def ee_threshold_fn():
+        # dynamic-threshold AdaDiff parity mode: every layer + every probe/
+        # head computed each step, exits SELECTED per sample (reference
+        # eesampler.py:62-68 semantics — the reference saves no compute
+        # either; static-exit above is the variant with real savings)
+        import jax.numpy as jnp
+
+        from duodiff_tpu.config import UViTConfig, load_config
+        from duodiff_tpu.diffusion import ChunkedEarlyExitSampler
+        from duodiff_tpu.models.early_exit import init_early_exit_uvit
+
+        raw = load_config("configs/deediff_celeba.yaml")
+        cfg = UViTConfig.from_dict(raw["model_params"])
+        model, params = init_early_exit_uvit(
+            cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16,
+            attn_impl="fused", gelu_approx=True,
+        )
+
+        def apply_fn(x, t, bundle):
+            _, p = bundle
+            return model.apply({"params": p}, x, t, None)
+
+        sampler = ChunkedEarlyExitSampler(apply_fn, schedule, threshold=0.08)
+        shape = (b, 64, 64, 3)
+        return lambda key: sampler.sample(key, shape, y=(None, params))[0]
+
+    run("celeba_ee_threshold", ee_threshold_fn)
 
     Path(args.output).write_text(json.dumps(rows, indent=2))
     print(f"\nwritten {args.output}\n")
