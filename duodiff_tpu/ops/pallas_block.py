@@ -591,20 +591,11 @@ def _fb_bwd(num_heads, eps, gelu_approx, interpret, res, dy):
         x, ln1_scale, ln1_bias, qkv_kernel, qkv_bias, proj_kernel, proj_bias,
         num_heads=num_heads, eps=eps, interpret=interpret,
     )
-    b, l, d = u.shape
-    hidden = fc1_kernel.shape[1]
-    if mlp_bwd_fits(b, l, d, hidden, jnp.dtype(u.dtype).itemsize):
-        du, dg2, db2, dw1, dfb1, dw2, dfb2 = _mlp_sublayer_bwd_impl(
-            u, dy.astype(u.dtype), ln2_scale, ln2_bias, fc1_kernel, fc1_bias,
-            fc2_kernel, eps=eps, gelu_approx=gelu_approx, interpret=interpret,
-        )
-    else:
-        _, mlp_vjp = jax.vjp(
-            functools.partial(_mlp_reference, eps=eps, gelu_approx=gelu_approx),
-            u, ln2_scale, ln2_bias, fc1_kernel, fc1_bias, fc2_kernel, fc2_bias,
-        )
-        du, dg2, db2, dw1, dfb1, dw2, dfb2 = mlp_vjp(dy.astype(u.dtype))
-    dx, dg1, db1, dwqkv, dbqkv, dwp, dbp = _attn_sublayer_bwd_impl(
+    du, dg2, db2, dw1, dfb1, dw2, dfb2 = _mlp_sublayer_bwd(
+        u, dy, ln2_scale, ln2_bias, fc1_kernel, fc1_bias, fc2_kernel,
+        fc2_bias, eps=eps, gelu_approx=gelu_approx, interpret=interpret,
+    )
+    dx, dg1, db1, dwqkv, dbqkv, dwp, dbp = _attn_sublayer_bwd(
         x, du.astype(x.dtype), ln1_scale, ln1_bias, qkv_kernel, qkv_bias,
         proj_kernel, num_heads=num_heads, eps=eps, interpret=interpret,
     )
@@ -710,6 +701,111 @@ def _attn_sublayer_bwd_impl(
     return dx, dg.reshape(d), db.reshape(d), dwqkv, dbqkv, dwp, dbp.reshape(d)
 
 
+def _attn_sublayer_reference(
+    x, ln_scale, ln_bias, qkv_kernel, qkv_bias, proj_kernel, proj_bias,
+    *, num_heads: int, eps: float,
+):
+    """Pure-XLA replica of the fused attention sublayer's numerics (fp32 LN
+    and softmax, bf16 matmul operands, post-normalized attention output,
+    full-width out-projection). Used as the recompute backward when the
+    Pallas attention backward's VMEM residents don't fit (attn_bwd_fits)."""
+    b, l, d = x.shape
+    h = num_heads
+    dh = d // h
+    scale = float(dh) ** -0.5
+    bdt = x.dtype
+    f32 = jnp.float32
+
+    xv = x.astype(f32)
+    _, _, xn_f = _ln_fwd(xv, ln_scale.astype(f32), ln_bias.astype(f32), eps)
+    xn = xn_f.astype(bdt)
+    qkv = jnp.dot(
+        xn, qkv_kernel.astype(bdt), preferred_element_type=f32
+    )
+    if qkv_bias is not None:
+        qkv = qkv + qkv_bias.astype(f32)
+    qkv = qkv.astype(bdt)
+    # packed column order (K H Dh): [q | k | v] each (B, L, H, Dh)
+    q = qkv[..., :d].reshape(b, l, h, dh)
+    k = qkv[..., d:2 * d].reshape(b, l, h, dh)
+    v = qkv[..., 2 * d:].reshape(b, l, h, dh)
+    qsc = (q.astype(f32) * scale).astype(bdt)
+    s = jnp.einsum(
+        "blhe,bmhe->bhlm", qsc, k, preferred_element_type=f32
+    )
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    o = jnp.einsum(
+        "bhlm,bmhe->blhe", e.astype(bdt), v, preferred_element_type=f32
+    )
+    o = (o / jnp.swapaxes(denom, 1, 2)).astype(bdt)
+    merged = o.reshape(b, l, d)
+    proj = jnp.dot(
+        merged, proj_kernel.astype(bdt), preferred_element_type=f32
+    )
+    return (xv + proj + proj_bias.astype(f32)).astype(bdt)
+
+
+def attn_bwd_fits(b: int, l: int, d: int, itemsize: int,
+                  budget_bytes: int = 24 * 2**20) -> bool:
+    """Whether the Pallas attention backward's VMEM working set fits.
+
+    The fp32 dWqkv/dWp accumulators + one activation-dtype copy of the
+    weights are grid-resident (d*4d*(4+itemsize) bytes: 6.3MB at D=512,
+    14.2MB at D=768, 25.2MB at D=1024 bf16); per-iteration transients add
+    the recomputed qkv, per-head fp32 score/prob matrices and the dqkv
+    construction. The 24MB default ceiling is the measured effective Mosaic
+    limit on v5e (NOTES.md: a ~24MB MLP-bwd tile compiles, 28.3MB does
+    not); callers fall back to the XLA recompute backward via
+    _attn_sublayer_reference above it."""
+    l_sub = _round_up(l, 8)
+    l_lane = _round_up(l, 128)
+    residents = d * 4 * d * (4 + itemsize) + 16 * 1024
+    grp = _group_size_v2(b, l, d, itemsize, budget_bytes=5 * 2**20)
+    qkv = l_sub * 3 * d * (4 + itemsize)          # fp32 dot output + cast
+    sp = 3 * l_sub * l_lane * 4 + l_sub * l_lane * itemsize  # s/e/dp + dsp
+    dqkv = l_sub * 3 * d * (4 + itemsize)         # concat + fp32 copy
+    rows = 4 * grp * l_sub * d * itemsize + 2 * l_sub * d * 4  # x/dy/dx + dm/dxn
+    return residents + qkv + sp + dqkv + rows <= budget_bytes
+
+
+def _attn_sublayer_bwd(
+    x, dy, ln_scale, ln_bias, qkv_kernel, qkv_bias, proj_kernel,
+    *, num_heads: int, eps: float, interpret: bool,
+):
+    """Attention-sublayer backward dispatch: the hand-written Pallas kernel
+    when its VMEM residents fit (D<=512-class models), else the XLA
+    recompute backward through _attn_sublayer_reference (D>=1024; D=768 is
+    decided by the attn_bwd_fits estimate). Returns
+    (dx, dg, db, dwqkv, dbqkv, dwp, dbp) with dbqkv None iff qkv_bias is."""
+    b, l, d = x.shape
+    if attn_bwd_fits(b, l, d, jnp.dtype(x.dtype).itemsize):
+        return _attn_sublayer_bwd_impl(
+            x, dy, ln_scale, ln_bias, qkv_kernel, qkv_bias, proj_kernel,
+            num_heads=num_heads, eps=eps, interpret=interpret,
+        )
+    ref = functools.partial(
+        _attn_sublayer_reference, num_heads=num_heads, eps=eps
+    )
+    zero_bp = jnp.zeros((d,), jnp.float32)  # additive: grads independent
+    if qkv_bias is not None:
+        _, vjp = jax.vjp(
+            lambda xx, g, bb, wq, bq, wp: ref(xx, g, bb, wq, bq, wp, zero_bp),
+            x, ln_scale, ln_bias, qkv_kernel, qkv_bias, proj_kernel,
+        )
+        dx, dg, db, dwqkv, dbqkv, dwp = vjp(dy.astype(x.dtype))
+    else:
+        _, vjp = jax.vjp(
+            lambda xx, g, bb, wq, wp: ref(xx, g, bb, wq, None, wp, zero_bp),
+            x, ln_scale, ln_bias, qkv_kernel, proj_kernel,
+        )
+        dx, dg, db, dwqkv, dwp = vjp(dy.astype(x.dtype))
+        dbqkv = None
+    dbp = jnp.sum(dy.astype(jnp.float32), axis=(0, 1))
+    return dx, dg, db, dwqkv, dbqkv, dwp, dbp
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
 def fused_attn_sublayer_trainable(
     x, ln_scale, ln_bias, qkv_kernel, qkv_bias, proj_kernel, proj_bias,
@@ -735,7 +831,7 @@ def _fas_fwd(x, ln_scale, ln_bias, qkv_kernel, qkv_bias, proj_kernel,
 
 def _fas_bwd(num_heads, eps, interpret, variant, res, dy):
     x, ln_scale, ln_bias, qkv_kernel, qkv_bias, proj_kernel = res
-    dx, dg, db, dwqkv, dbqkv, dwp, dbp = _attn_sublayer_bwd_impl(
+    dx, dg, db, dwqkv, dbqkv, dwp, dbp = _attn_sublayer_bwd(
         x, dy.astype(x.dtype), ln_scale, ln_bias, qkv_kernel, qkv_bias,
         proj_kernel, num_heads=num_heads, eps=eps, interpret=interpret,
     )
@@ -812,7 +908,9 @@ def _mlp_bwd_config(b: int, l: int, d: int, hidden: int, itemsize: int,
         # silently drop batch elements / misslice weights, so fall through
         # to the cascade instead of honoring them.
         g, rt, hc = (int(v) for v in override.split(","))
-        if b % g == 0 and (hidden % hc == 0 or hidden == hc):
+        # rt <= 0 would make _row_chunks loop forever at trace time
+        if (g > 0 and rt > 0 and hc > 0 and b % g == 0
+                and (hidden % hc == 0 or hidden == hc)):
             return g, rt, hc
 
     l_sub = _round_up(l, 8)
@@ -965,6 +1063,199 @@ def _mlp_sublayer_bwd_impl(
             dw2, db2.reshape(d))
 
 
+def _mlp_bwd_partial_kernel(x_ref, dy_ref, g_ref, b_ref, w1_ref, b1_ref,
+                            w2_ref, dxn_ref, dw1_ref, db1_ref, dw2_ref,
+                            *, eps: float, gelu_approx: bool,
+                            row_target: int, hc: int):
+    """Hidden-slice partial of the MLP-sublayer backward.
+
+    Same streaming structure as _mlp_bwd_kernel, but covers only a slice of
+    the hidden dimension (w1_ref is (D, hidden/splits)): emits the slice's
+    dxn contribution (fp32) instead of dx, and the slice's dW1/db1/dW2.
+    The caller sums the dxn partials and finishes the LayerNorm backward
+    (dx, dgamma, dbeta) plus db2 in XLA — that recombination touches only
+    (B, L, D)-sized tensors, so the (B, L, hidden) recompute activations
+    still never exist. This extends the fused backward to D>=768 models
+    (ImageNet-64/256), whose full-width fp32 dW accumulators (28.3MB at
+    D=768) exceed the ~24MB effective Mosaic VMEM ceiling.
+    """
+    @pl.when(pl.program_id(0) == 0)
+    def _zero_accumulators():
+        for r in (dw1_ref, db1_ref, dw2_ref):
+            r[:] = jnp.zeros_like(r)
+
+    g, l, d = x_ref.shape
+    hs = w1_ref.shape[1]
+    gamma = g_ref[0].astype(jnp.float32)
+    beta = b_ref[0].astype(jnp.float32)
+    bdt = x_ref.dtype
+
+    for i in range(g):
+        x2d = x_ref[i]
+        dy2d = dy_ref[i]
+        for r0, rn in _row_chunks(l, row_target):
+            xv = jax.lax.slice(x2d, (r0, 0), (r0 + rn, d)).astype(jnp.float32)
+            _, _, xn_f = _ln_fwd(xv, gamma, beta, eps)
+            xn = xn_f.astype(bdt)
+            dy = jax.lax.slice(dy2d, (r0, 0), (r0 + rn, d)).astype(jnp.float32)
+            dyb = dy.astype(bdt)
+            dxn = jnp.zeros((rn, d), jnp.float32)
+            for c0 in range(0, hs, hc):
+                w1c = w1_ref[:, c0:c0 + hc]              # (D, hc)
+                h_pre = jnp.dot(
+                    xn, w1c, preferred_element_type=jnp.float32
+                ) + b1_ref[0, c0:c0 + hc].astype(jnp.float32)
+                hgb = _gelu(h_pre, gelu_approx).astype(bdt)
+                dw2_ref[c0:c0 + hc, :] += jax.lax.dot_general(
+                    hgb, dyb, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                dh = jax.lax.dot_general(
+                    dyb, w2_ref[c0:c0 + hc, :], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                dhp = dh * _gelu_grad(h_pre, gelu_approx)
+                db1_ref[:, c0:c0 + hc] += jnp.sum(dhp, axis=0, keepdims=True)
+                dhpb = dhp.astype(bdt)
+                dw1_ref[:, c0:c0 + hc] += jax.lax.dot_general(
+                    xn, dhpb, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                dxn = dxn + jax.lax.dot_general(
+                    dhpb, w1c, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            dxn_ref[i, r0:r0 + rn, :] = dxn
+
+
+def _mlp_bwd_split_config(b: int, l: int, d: int, hidden: int,
+                          itemsize: int,
+                          budget_bytes: int = 16_900_000):
+    """Pick (splits, row_target, hidden_chunk) for the hidden-split MLP
+    backward: the smallest split count whose per-call residents
+    (2*d*(hidden/splits)*(4+itemsize) fp32 dW slice + weight-slice copy)
+    plus transients fit the budget. Returns None when even splits=8 doesn't
+    fit (caller falls back to the XLA recompute backward)."""
+    import os
+
+    override = os.environ.get("DUODIFF_MLP_BWD_SPLIT_CFG")
+    if override:
+        s, rt, hc = (int(v) for v in override.split(","))
+        hs = hidden // s if s > 0 and hidden % s == 0 else 0
+        if (s > 1 and rt > 0 and hc > 0 and hs > 0
+                and (hs % hc == 0 or hs == hc)):
+            return s, rt, hc
+
+    l_sub = _round_up(l, 8)
+    for splits in (2, 4, 8):
+        if hidden % splits:
+            continue
+        hs = hidden // splits
+        fixed = 2 * d * hs * (4 + itemsize) + 64 * 1024
+        for rt in (128, 64, 32):
+            for hc in (256, 128, 64) if hs > 256 else (hs,):
+                if hs % hc:
+                    continue
+                rn = _round_up(max(n for _, n in _row_chunks(l, rt)), 8)
+                trans = rn * d * (4 * 4 + 2 * itemsize) + rn * hc * (
+                    3 * 4 + 2 * itemsize
+                )
+                # x/dy in (itemsize) + dxn out (fp32), double-buffered
+                io = 4 * l_sub * d * itemsize + 2 * l_sub * d * 4
+                if fixed + trans + io <= budget_bytes:
+                    return splits, rt, hc
+    return None
+
+
+@functools.partial(
+    jax.jit, static_argnames=("eps", "gelu_approx", "interpret", "config")
+)
+def _mlp_sublayer_bwd_split(
+    x, dy, ln_scale, ln_bias, w1, b1, w2,
+    *, eps: float, gelu_approx: bool, interpret: bool,
+    config: tuple | None = None,
+):
+    """Hidden-split MLP-sublayer backward: one pallas call per hidden slice
+    (each fitting VMEM), dxn partials summed and the LayerNorm backward
+    finished in XLA. Numerics match _mlp_sublayer_bwd_impl to fp32
+    rounding: identical per-slice accumulation order, fp32 dxn partials."""
+    b, l, d = x.shape
+    hidden = w1.shape[1]
+    dtype = x.dtype
+    itemsize = jnp.dtype(dtype).itemsize
+
+    cfg = config or _mlp_bwd_split_config(b, l, d, hidden, itemsize)
+    assert cfg is not None, "caller must check _mlp_bwd_split_config first"
+    splits, row_target, hc = cfg
+    hs = hidden // splits
+
+    row = pl.BlockSpec((1, l, d), lambda i: (i, 0, 0))
+    vec_d = pl.BlockSpec((1, d), lambda i: (0, 0))
+    vec_h = pl.BlockSpec((1, hs), lambda i: (0, 0))
+    const_dh = pl.BlockSpec((d, hs), lambda i: (0, 0))
+    const_hd = pl.BlockSpec((hs, d), lambda i: (0, 0))
+    f32 = jnp.float32
+
+    g2 = ln_scale.reshape(1, d)
+    b2v = ln_bias.reshape(1, d)
+    w1c = w1.astype(dtype)
+    b1f = b1.astype(f32).reshape(1, hidden)
+    w2c = w2.astype(dtype)
+
+    dxn = None
+    dw1s, db1s, dw2s = [], [], []
+    for s in range(splits):
+        lo = s * hs
+        dxn_s, dw1_s, db1_s, dw2_s = pl.pallas_call(
+            functools.partial(
+                _mlp_bwd_partial_kernel, eps=eps, gelu_approx=gelu_approx,
+                row_target=row_target, hc=hc,
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, l, d), f32),    # dxn partial
+                jax.ShapeDtypeStruct((d, hs), f32),      # dW1 slice
+                jax.ShapeDtypeStruct((1, hs), f32),      # db1 slice
+                jax.ShapeDtypeStruct((hs, d), f32),      # dW2 slice
+            ),
+            grid=(b,),
+            in_specs=[row, row, vec_d, vec_d, const_dh, vec_h, const_hd],
+            out_specs=(row, const_dh, vec_h, const_hd),
+            cost_estimate=pl.CostEstimate(
+                flops=5 * 2 * b * l * d * hs,
+                bytes_accessed=(2 * itemsize + 4) * b * l * d,
+                transcendentals=2 * b * l * hs,
+            ),
+            interpret=interpret,
+        )(
+            x, dy, g2, b2v,
+            w1c[:, lo:lo + hs], b1f[:, lo:lo + hs], w2c[lo:lo + hs, :],
+        )
+        dxn = dxn_s if dxn is None else dxn + dxn_s
+        dw1s.append(dw1_s)
+        db1s.append(db1_s)
+        dw2s.append(dw2_s)
+
+    # XLA recombination: finish the LayerNorm backward on (B, L, D) tensors
+    xv = x.astype(f32)
+    x_hat, rstd, _ = _ln_fwd(
+        xv, ln_scale.astype(f32), ln_bias.astype(f32), eps
+    )
+    dg = jnp.sum(dxn * x_hat, axis=(0, 1))
+    db = jnp.sum(dxn, axis=(0, 1))
+    dyf = dy.astype(f32)
+    dx = (dyf + _ln_bwd_dx(dxn, x_hat, rstd, ln_scale.astype(f32))).astype(
+        dtype
+    )
+    db2 = jnp.sum(dyf, axis=(0, 1))
+    return (
+        dx, dg, db,
+        jnp.concatenate(dw1s, axis=1),
+        jnp.concatenate(db1s, axis=1).reshape(hidden),
+        jnp.concatenate(dw2s, axis=0),
+        db2,
+    )
+
+
 def mlp_bwd_fits(b: int, l: int, d: int, hidden: int, itemsize: int) -> bool:
     """Whether the Pallas MLP backward's VMEM working set fits (fp32
     activations at flagship shapes don't — those fall back to the XLA
@@ -986,6 +1277,34 @@ def _mlp_reference(x, ln_scale, ln_bias, w1, b1, w2, b2, *, eps, gelu_approx):
     h = jax.nn.gelu(h, approximate=gelu_approx).astype(x.dtype)
     out = jnp.dot(h, w2.astype(x.dtype), preferred_element_type=jnp.float32)
     return (xv + out + b2.astype(jnp.float32)).astype(x.dtype)
+
+
+def _mlp_sublayer_bwd(
+    x, dy, ln_scale, ln_bias, w1, b1, w2, b2,
+    *, eps: float, gelu_approx: bool, interpret: bool,
+):
+    """MLP-sublayer backward dispatch: the monolithic Pallas kernel when its
+    full-width dW residents fit VMEM (D<=512-class models), else the
+    hidden-split variant (D=768/1024: ImageNet-64/256 configs), else the
+    XLA recompute backward. Returns (dx, dg, db, dw1, db1, dw2, db2)."""
+    b_, l, d = x.shape
+    hidden = w1.shape[1]
+    itemsize = jnp.dtype(x.dtype).itemsize
+    if mlp_bwd_fits(b_, l, d, hidden, itemsize):
+        return _mlp_sublayer_bwd_impl(
+            x, dy.astype(x.dtype), ln_scale, ln_bias, w1, b1, w2,
+            eps=eps, gelu_approx=gelu_approx, interpret=interpret,
+        )
+    if _mlp_bwd_split_config(b_, l, d, hidden, itemsize) is not None:
+        return _mlp_sublayer_bwd_split(
+            x, dy.astype(x.dtype), ln_scale, ln_bias, w1, b1, w2,
+            eps=eps, gelu_approx=gelu_approx, interpret=interpret,
+        )
+    _, vjp = jax.vjp(
+        functools.partial(_mlp_reference, eps=eps, gelu_approx=gelu_approx),
+        x, ln_scale, ln_bias, w1, b1, w2, b2,
+    )
+    return vjp(dy.astype(x.dtype))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
@@ -1011,19 +1330,10 @@ def _fms_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, gelu_approx,
 
 def _fms_bwd(eps, gelu_approx, interpret, res, dy):
     x, ln_scale, ln_bias, w1, b1, w2, b2 = res
-    b, l, d = x.shape
-    hidden = w1.shape[1]
-    if mlp_bwd_fits(b, l, d, hidden, jnp.dtype(x.dtype).itemsize):
-        dx, dg, dbe, dw1, db1, dw2, db2 = _mlp_sublayer_bwd_impl(
-            x, dy.astype(x.dtype), ln_scale, ln_bias, w1, b1, w2,
-            eps=eps, gelu_approx=gelu_approx, interpret=interpret,
-        )
-        return (dx, dg, dbe, dw1, db1, dw2, db2)
-    _, vjp = jax.vjp(
-        functools.partial(_mlp_reference, eps=eps, gelu_approx=gelu_approx),
-        *res,
-    )
-    return vjp(dy.astype(res[0].dtype))
+    return tuple(_mlp_sublayer_bwd(
+        x, dy, ln_scale, ln_bias, w1, b1, w2, b2,
+        eps=eps, gelu_approx=gelu_approx, interpret=interpret,
+    ))
 
 
 fused_mlp_sublayer_trainable.defvjp(_fms_fwd, _fms_bwd)

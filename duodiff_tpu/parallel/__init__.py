@@ -4,10 +4,12 @@ from duodiff_tpu.parallel.mesh import (
     batch_sharding,
     param_sharding_rules,
     shard_params,
+    opt_state_shardings,
     replicate,
 )
 
 __all__ = [
+    "opt_state_shardings",
     "create_mesh",
     "create_hybrid_mesh",
     "batch_sharding",

@@ -101,15 +101,25 @@ _TP_RULES = (
     (r".*time_embed/fc2/kernel$", P("model", None)),
 )
 
-# Stacked early-exit heads/probes carry a leading depth axis; same rules
-# shifted by one dim.
+# Stacked early-exit heads/probes carry a leading depth axis (nn.vmap
+# stacking, models/early_exit.py); same column/row split shifted by one dim.
+# decoder_pred contracts D -> row-parallel on dim 1 (psum after); the
+# attention-probe kv/fc1 are column-parallel, cls_fc2 row-parallel.
 _TP_RULES_STACKED = (
-    (r".*heads/decoder_pred/kernel$", P(None, None, None)),
+    (r".*heads/decoder_pred/kernel$", P(None, "model", None)),
+    (r".*probes/weight_kv/kernel$", P(None, None, "model")),
+    (r".*probes/weight_kv/bias$", P(None, "model")),
+    (r".*probes/cls_fc1/kernel$", P(None, None, "model")),
+    (r".*probes/cls_fc1/bias$", P(None, "model")),
+    (r".*probes/cls_fc2/kernel$", P(None, "model", None)),
 )
 
 
 def param_sharding_rules(path: str) -> P:
     """PartitionSpec for one parameter path (joined with '/')."""
+    for pattern, spec in _TP_RULES_STACKED:
+        if re.match(pattern, path):
+            return spec
     for pattern, spec in _TP_RULES:
         if re.match(pattern, path):
             return spec
@@ -137,3 +147,34 @@ def shard_params(params, mesh: Mesh):
         return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def opt_state_shardings(opt_state, params, param_shardings, mesh: Mesh):
+    """Shardings for an optax state: any subtree structured like ``params``
+    (Adam's mu/nu, EMA copies) gets the parameter shardings; everything else
+    (step counts, schedule state) is replicated.
+
+    Walks optax's namedtuple/tuple/dict containers structurally — masked or
+    otherwise reshaped inner states that no longer match the param treedef
+    simply fall back to replication (the pre-TP behavior)."""
+    params_treedef = jax.tree_util.tree_structure(params)
+    rep = NamedSharding(mesh, P())
+
+    def params_like(node) -> bool:
+        try:
+            return jax.tree_util.tree_structure(node) == params_treedef
+        except Exception:
+            return False
+
+    def go(node):
+        if params_like(node):
+            return param_shardings
+        if isinstance(node, tuple):  # incl. optax namedtuple states
+            mapped = [go(c) for c in node]
+            return type(node)(*mapped) if hasattr(node, "_fields") else \
+                type(node)(mapped)
+        if isinstance(node, dict):
+            return {k: go(v) for k, v in node.items()}
+        return rep
+
+    return go(opt_state)

@@ -29,7 +29,14 @@ from duodiff_tpu.data import get_dataloader
 from duodiff_tpu.diffusion import NoiseSchedule, ddpm_sample
 from duodiff_tpu.models.early_exit import init_early_exit_uvit
 from duodiff_tpu.models.uvit import init_uvit
-from duodiff_tpu.parallel import batch_sharding, create_mesh, replicate, shard_params
+from duodiff_tpu.parallel import (
+    batch_sharding,
+    create_hybrid_mesh,
+    create_mesh,
+    opt_state_shardings,
+    replicate,
+    shard_params,
+)
 from duodiff_tpu.training.checkpointer import Checkpointer
 from duodiff_tpu.training.train_state import (
     TrainState,
@@ -52,17 +59,42 @@ class Trainer:
         self.log_path = Path(args.log_path) / args.exp_name
         self.log_path.mkdir(parents=True, exist_ok=True)
 
-        # data axis must divide the global batch; drop to the largest divisor
         n_devices = jax.device_count()
-        data_size = n_devices
-        while args.batch_size % data_size != 0:
-            data_size -= 1
-        if data_size != n_devices:
-            print(
-                f"batch_size {args.batch_size} not divisible by {n_devices} "
-                f"devices; using {data_size}-device data parallelism"
+        mp = max(1, getattr(args, "model_parallel", 1) or 1)
+        if jax.process_count() > 1:
+            # multi-host (jax.distributed initialized before Trainer): DCN
+            # axis outermost, TP inside each host over ICI
+            self.mesh = create_hybrid_mesh(model_parallel=mp)
+            batch_shards = (
+                self.mesh.shape["dcn"] * self.mesh.shape["data"]
             )
-        self.mesh = create_mesh(devices=jax.devices()[:data_size])
+            if args.batch_size % batch_shards:
+                raise ValueError(
+                    f"batch_size {args.batch_size} must be divisible by the "
+                    f"{batch_shards} data shards of mesh "
+                    f"{dict(self.mesh.shape)}"
+                )
+        else:
+            if n_devices % mp:
+                raise ValueError(
+                    f"--model_parallel {mp} does not divide "
+                    f"{n_devices} devices"
+                )
+            # data axis must divide the global batch; drop to the largest
+            # divisor
+            data_size = n_devices // mp
+            while args.batch_size % data_size != 0:
+                data_size -= 1
+            if data_size != n_devices // mp:
+                print(
+                    f"batch_size {args.batch_size} not divisible by "
+                    f"{n_devices // mp} data shards; using {data_size}-way "
+                    "data parallelism"
+                )
+            self.mesh = create_mesh(
+                shape=(data_size, mp),
+                devices=jax.devices()[:data_size * mp],
+            )
         print(f"Training on mesh {dict(self.mesh.shape)} ({n_devices} devices)")
 
         self.compute_dtype = (
@@ -204,13 +236,16 @@ class Trainer:
 
     def _place_state(self, state):
         """Commit every train-state leaf to the mesh: params per the partition
-        rules, optimizer state and step replicated (mu/nu replication is a
-        simplification vs sharding them like their params — revisit for TP)."""
+        rules, Adam mu/nu sharded like their params (so TP shards its
+        optimizer memory too), scalars/step replicated."""
         rep = replicate(self.mesh)
+        opt_shardings = opt_state_shardings(
+            state.opt_state, state.params, self.param_shardings, self.mesh
+        )
         return state.replace(
             step=jax.device_put(state.step, rep),
             params=jax.device_put(state.params, self.param_shardings),
-            opt_state=jax.device_put(state.opt_state, rep),
+            opt_state=jax.device_put(state.opt_state, opt_shardings),
             ema_params=jax.device_put(state.ema_params, self.param_shardings)
             if state.ema_params is not None
             else None,
@@ -307,7 +342,22 @@ class Trainer:
             # null/unconditional token. Only configs that RESERVE it (e.g.
             # num_classes: 1001 for 1000 real classes, as the reference's
             # imagenet256 configs do) can train CFG — with num_classes ==
-            # the real class count, the 'null' would alias the last class.
+            # the real class count, the 'null' would alias the last class
+            # and corrupt that class's conditioning for the whole run.
+            real_classes = getattr(
+                getattr(self.dataloader, "dataset", None), "class_to_idx", None
+            )
+            if (real_classes is not None
+                    and self.model_config.num_classes <= len(real_classes)):
+                raise ValueError(
+                    f"--label_dropout needs num_classes > the dataset's real "
+                    f"class count ({len(real_classes)}) so the null token "
+                    f"gets its own embedding slot; this config has "
+                    f"num_classes={self.model_config.num_classes}, which "
+                    f"would alias the null token onto real class "
+                    f"{self.model_config.num_classes - 1} (use e.g. "
+                    f"num_classes: {len(real_classes) + 1})"
+                )
             print(
                 f"label_dropout={label_dropout}: using null label "
                 f"{self.model_config.num_classes - 1}. Make sure the config "

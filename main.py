@@ -130,7 +130,51 @@ def get_args(argv=None):
                              "dataset (data/_duodiff_cache) — removes the "
                              "per-epoch JPEG decode wall on slow hosts")
 
+    parser.add_argument("--model_parallel", type=int, default=1,
+                        help="Tensor-parallel mesh axis size: the mesh "
+                             "becomes (devices/N data, N model) and the "
+                             "Megatron-style partition rules in "
+                             "duodiff_tpu/parallel/mesh.py shard qkv/proj/"
+                             "fc1/fc2 (+ Adam mu/nu) over it. 1 = pure "
+                             "data parallelism (default)")
+    parser.add_argument("--multihost", action="store_true", default=False,
+                        help="Call jax.distributed.initialize() before "
+                             "anything touches jax (TPU pods auto-detect "
+                             "coordinator/process ids from the environment; "
+                             "elsewhere set JAX_COORDINATOR_ADDRESS, "
+                             "JAX_NUM_PROCESSES, JAX_PROCESS_ID). The "
+                             "trainer then builds the hybrid "
+                             "(dcn, data, model) mesh")
+
     return parser.parse_args(argv)
+
+
+def maybe_init_distributed(args) -> None:
+    """Initialize the jax distributed runtime for multi-host training.
+
+    Triggered by --multihost or by the presence of JAX_COORDINATOR_ADDRESS
+    in the environment. On TPU pods ``jax.distributed.initialize()`` reads
+    everything from the environment; on CPU/GPU clusters the three env vars
+    spell it out (same contract as tests/test_multihost.py)."""
+    import os
+
+    coordinator = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not (args.multihost or coordinator):
+        return
+    import jax
+
+    if coordinator and os.environ.get("JAX_NUM_PROCESSES"):
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]),
+        )
+    else:
+        jax.distributed.initialize()
+    print(
+        f"jax.distributed initialized: process {jax.process_index()}/"
+        f"{jax.process_count()}, {jax.device_count()} global devices"
+    )
 
 
 def main(argv=None):
@@ -142,6 +186,8 @@ def main(argv=None):
     if args.config_path is not None:
         config = load_config(args.config_path)
         merge_args_with_config(args, config)
+
+    maybe_init_distributed(args)
 
     # Late import so --help stays fast (jax/TPU init is expensive).
     from duodiff_tpu.training.trainer import Trainer

@@ -32,7 +32,14 @@ def get_args(argv=None):
     parser.add_argument("--config_path_late", type=str, default=None)
     parser.add_argument("--t_switch", type=int, default=None,
                         help="Sampling timestep at which the late model takes over")
-    parser.add_argument("--class_id", type=int, default=None)
+    parser.add_argument("--class_id", type=int, default=None,
+                        help="Enable class-conditional sampling. Unguided: "
+                             "random labels in [1, 1001) (reference parity; "
+                             "the value is ignored). Guided "
+                             "(--guidance_scale): sample this class; pass "
+                             "-1 for uniform random real classes. Guided "
+                             "mode assumes real labels occupy "
+                             "[0, null_class)")
     parser.add_argument("--guidance_scale", type=float, default=None,
                         help="Classifier-free guidance weight w (beyond-"
                              "parity): out = out_null + w*(out_cond - "
@@ -126,15 +133,25 @@ def main(argv=None):
     if args.class_id is not None:
         key, ykey = jax.random.split(key)
         if args.guidance_scale is not None:
-            # guided sampling draws REAL class labels: uniform over
-            # [0, null_class) so no sample conditions on the null token
-            # (which would make cond == uncond, zero guidance)
+            # guided sampling uses REAL class labels in [0, null_class) so
+            # no sample conditions on the null token (which would make
+            # cond == uncond, zero guidance). --class_id N samples class N;
+            # --class_id -1 draws uniform random real classes.
             hi = (
                 args.null_class
                 if args.null_class is not None
                 else cfg.num_classes - 1
             )
-            y = jax.random.randint(ykey, (args.batch_size,), 0, hi)
+            if args.class_id >= 0:
+                if args.class_id >= hi:
+                    raise SystemExit(
+                        f"--class_id {args.class_id} is not a real class: "
+                        f"guided labels must lie in [0, {hi}) "
+                        "(null_class and above are reserved)"
+                    )
+                y = jnp.full((args.batch_size,), args.class_id, jnp.int32)
+            else:
+                y = jax.random.randint(ykey, (args.batch_size,), 0, hi)
         else:
             # reference parity: random labels in [1, 1001) when --class_id
             # is given (reference sampler.py:314-318)

@@ -304,3 +304,98 @@ def test_pallas_mlp_bwd_matches_xla_grads(gelu_approx, l, hidden):
             np.asarray(a), np.asarray(bb), rtol=2e-4, atol=2e-5,
             err_msg=name,
         )
+
+
+@pytest.mark.parametrize("gelu_approx", [False, True])
+@pytest.mark.parametrize("splits", [2, 4])
+def test_mlp_bwd_split_matches_mono(gelu_approx, splits):
+    """The hidden-split MLP backward (D>=768 path: per-slice pallas calls +
+    XLA LayerNorm recombination) must match the monolithic kernel to fp32
+    rounding."""
+    from duodiff_tpu.ops.pallas_block import (
+        _mlp_sublayer_bwd_impl,
+        _mlp_sublayer_bwd_split,
+    )
+
+    b, l, d, hidden = 3, 33, 64, 256
+    keys = jax.random.split(jax.random.PRNGKey(1), 8)
+    x = jax.random.normal(keys[0], (b, l, d))
+    dy = jax.random.normal(keys[1], (b, l, d))
+    ln_s = 1.0 + 0.1 * jax.random.normal(keys[2], (d,))
+    ln_b = 0.1 * jax.random.normal(keys[3], (d,))
+    w1 = 0.05 * jax.random.normal(keys[4], (d, hidden))
+    b1 = 0.05 * jax.random.normal(keys[5], (hidden,))
+    w2 = 0.05 * jax.random.normal(keys[6], (hidden, d))
+
+    mono = _mlp_sublayer_bwd_impl(
+        x, dy, ln_s, ln_b, w1, b1, w2,
+        eps=1e-5, gelu_approx=gelu_approx, interpret=True, config=(1, 16, 64),
+    )
+    split = _mlp_sublayer_bwd_split(
+        x, dy, ln_s, ln_b, w1, b1, w2,
+        eps=1e-5, gelu_approx=gelu_approx, interpret=True,
+        config=(splits, 16, 64),
+    )
+    names = ["dx", "dln_s", "dln_b", "dw1", "db1", "dw2", "db2"]
+    for name, a, m in zip(names, split, mono):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(m), rtol=1e-5, atol=1e-5, err_msg=name,
+        )
+
+
+def test_attn_bwd_xla_fallback_matches_pallas(monkeypatch):
+    """When attn_bwd_fits says the VMEM residents don't fit (D>=768 models),
+    _attn_sublayer_bwd must fall back to the XLA recompute backward through
+    _attn_sublayer_reference with gradients matching the Pallas kernel."""
+    from duodiff_tpu.ops import pallas_block as pb
+
+    b, l, d, h = 3, 33, 64, 4
+    keys = jax.random.split(jax.random.PRNGKey(2), 8)
+    x = jax.random.normal(keys[0], (b, l, d))
+    dy = jax.random.normal(keys[1], (b, l, d))
+    ln_s = 1.0 + 0.1 * jax.random.normal(keys[2], (d,))
+    ln_b = 0.1 * jax.random.normal(keys[3], (d,))
+    wqkv = 0.05 * jax.random.normal(keys[4], (d, 3 * d))
+    bqkv = 0.05 * jax.random.normal(keys[5], (3 * d,))
+    wp = 0.05 * jax.random.normal(keys[6], (d, d))
+
+    pallas = pb._attn_sublayer_bwd_impl(
+        x, dy, ln_s, ln_b, wqkv, bqkv, wp,
+        num_heads=h, eps=1e-5, interpret=True,
+    )
+    monkeypatch.setattr(pb, "attn_bwd_fits", lambda *a, **k: False)
+    xla = pb._attn_sublayer_bwd(
+        x, dy, ln_s, ln_b, wqkv, bqkv, wp,
+        num_heads=h, eps=1e-5, interpret=True,
+    )
+    names = ["dx", "dln_s", "dln_b", "dwqkv", "dbqkv", "dwp", "dbp"]
+    for name, a, p in zip(names, xla, pallas):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(p), rtol=2e-4, atol=2e-5, err_msg=name,
+        )
+
+
+def test_attn_bwd_fits_thresholds():
+    """Static fit decisions: flagship D=512 runs the Pallas backward; the
+    D=1024 imagenet256 config's 25.2MB residents exceed the ~24MB Mosaic
+    ceiling and must fall back."""
+    from duodiff_tpu.ops.pallas_block import attn_bwd_fits
+
+    assert attn_bwd_fits(128, 257, 512, 2)
+    assert not attn_bwd_fits(128, 258, 1024, 2)
+
+
+def test_mlp_bwd_dispatch_cascade():
+    """mono -> split -> XLA cascade per model scale (bf16 training shapes)."""
+    from duodiff_tpu.ops.pallas_block import (
+        _mlp_bwd_split_config,
+        mlp_bwd_fits,
+    )
+
+    # flagship: mono kernel
+    assert mlp_bwd_fits(128, 257, 512, 2048, 2)
+    # imagenet64/256: mono doesn't fit, split does
+    assert not mlp_bwd_fits(128, 258, 768, 3072, 2)
+    assert _mlp_bwd_split_config(128, 258, 768, 3072, 2) is not None
+    assert not mlp_bwd_fits(128, 258, 1024, 4096, 2)
+    assert _mlp_bwd_split_config(128, 258, 1024, 4096, 2) is not None
