@@ -100,3 +100,59 @@ def test_read_samples_skips_grid(tmp_path):
     imgs = read_samples(tmp_path)
     assert imgs.shape == (2, 8, 8, 3)
     assert imgs.max() <= 1.0
+
+
+def test_inception_features_match_torch_graph(tmp_path):
+    """Feature-level agreement between the Flax InceptionV3 and a plain-torch
+    replica of the pytorch-fid graph (tests/torch_inception_ref.py), with
+    every conv/BN tensor randomly initialized and converted through
+    convert_inception_weights. This proves graph + converter end to end;
+    with it, the only untested piece of the FID stack is the canonical
+    weights file itself (unobtainable in this environment).
+    Reference: fid.py:34-39 (torchmetrics FrechetInceptionDistance)."""
+    import jax.numpy as jnp
+    import torch
+
+    from duodiff_tpu.models.inception import (
+        convert_inception_weights,
+        init_inception,
+    )
+    from tests.torch_inception_ref import random_initialized
+
+    tmodel = random_initialized(seed=0)
+    wpath = tmp_path / "fid_inception_random.pth"
+    torch.save(tmodel.state_dict(), wpath)
+
+    model, template = init_inception()
+    params = convert_inception_weights(str(wpath), template)
+
+    rng = np.random.RandomState(42)
+    x = rng.uniform(-1.0, 1.0, size=(2, 299, 299, 3)).astype(np.float32)
+    with torch.no_grad():
+        feats_t = tmodel(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    feats_j = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+
+    assert feats_t.shape == feats_j.shape == (2, 2048)
+    err = np.max(np.abs(feats_t - feats_j))
+    assert err < 1e-4, f"torch/flax feature mismatch: max abs err {err}"
+
+
+def test_inception_preprocess_matches_torch_interpolate():
+    """preprocess (jax.image.resize bilinear, half-pixel centers) must match
+    pytorch-fid's F.interpolate(..., mode='bilinear', align_corners=False)
+    resize-to-299 + [-1,1] rescale."""
+    import jax.numpy as jnp
+    import torch
+    import torch.nn.functional as F
+
+    from duodiff_tpu.models.inception import preprocess
+
+    rng = np.random.RandomState(7)
+    img = rng.uniform(0.0, 1.0, size=(2, 64, 64, 3)).astype(np.float32)
+    ours = np.asarray(preprocess(jnp.asarray(img)))
+    t = F.interpolate(
+        torch.from_numpy(img.transpose(0, 3, 1, 2)), size=(299, 299),
+        mode="bilinear", align_corners=False,
+    ).numpy().transpose(0, 2, 3, 1)
+    theirs = 2.0 * t - 1.0
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-5)
