@@ -10,6 +10,7 @@ from duodiff_tpu.diffusion.sampling import (
     early_exit_select,
     make_chunked_ddpm_sampler,
     make_guided_apply,
+    make_guided_apply_ee,
 )
 
 __all__ = [
@@ -24,4 +25,5 @@ __all__ = [
     "ChunkedEarlyExitSampler",
     "make_chunked_ddpm_sampler",
     "make_guided_apply",
+    "make_guided_apply_ee",
 ]

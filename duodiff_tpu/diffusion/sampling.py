@@ -48,9 +48,9 @@ def make_guided_apply(
     it composes with the SINGLE-OUTPUT samplers unchanged — DDPM scan
     bodies, DuoDiff segments, DDIM, and DPM-Solver all just see an
     apply_fn returning one (B, ...) array. (Early-exit apply_fns return a
-    (backbone, probes, heads) tuple and need their own handling — not
-    supported here.) ``w = 1`` reduces to the conditional model; ``w = 0``
-    to the unconditional one. Cost: 2x model compute per step.
+    (backbone, probes, heads) tuple — use :func:`make_guided_apply_ee`.)
+    ``w = 1`` reduces to the conditional model; ``w = 0`` to the
+    unconditional one. Cost: 2x model compute per step.
     """
 
     def guided(x, t, y):
@@ -62,6 +62,41 @@ def make_guided_apply(
         out = apply_fn(xx, tt, yy)
         cond, uncond = out[:b], out[b:]
         return uncond + guidance_scale * (cond - uncond)
+
+    return guided
+
+
+def make_guided_apply_ee(
+    apply_fn: Callable, guidance_scale: float, null_label: int
+) -> Callable:
+    """Classifier-free guidance for EARLY-EXIT apply_fns returning
+    ``(backbone_out, classifier_outputs (depth, B), ee_outputs
+    (depth, B, H, W, C))``.
+
+    One doubled-batch forward; the backbone output and every per-layer head
+    output are guided (``uncond + w * (cond - uncond)`` — each head is a
+    noise prediction, so per-head guidance is the CFG rule applied at every
+    exit depth), while the probe values come from the CONDITIONAL half: the
+    probes were trained to predict the conditional model's per-layer error,
+    and the exit decision should gate on the trajectory actually being
+    generated. Returns the same tuple shape on the original batch, so
+    :func:`early_exit_sample` / ChunkedEarlyExitSampler compose unchanged.
+    Cost: 2x model compute per step.
+    """
+
+    def guided(x, t, y):
+        assert y is not None, "guidance needs class labels"
+        b = x.shape[0]
+        xx = jnp.concatenate([x, x], axis=0)
+        tt = jnp.concatenate([t, t], axis=0)
+        yy = jnp.concatenate([y, jnp.full_like(y, null_label)], axis=0)
+        backbone, probes, heads = apply_fn(xx, tt, yy)
+        backbone = backbone[b:] + guidance_scale * (
+            backbone[:b] - backbone[b:]
+        )
+        heads = heads[:, b:] + guidance_scale * (heads[:, :b] - heads[:, b:])
+        probes = jnp.asarray(probes)[:, :b]
+        return backbone, probes, heads
 
     return guided
 

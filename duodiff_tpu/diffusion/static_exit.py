@@ -164,6 +164,7 @@ def make_static_exit_sampler(
     attn_impl: str = "auto",
     gelu_approx: bool = False,
     chunk: int = 100,
+    guidance: tuple | None = None,
 ):
     """Build a reusable ``sample(key, shape, y=None)`` with per-bucket
     truncated backbones (one chunked scan per distinct exit layer). Reuse
@@ -177,10 +178,17 @@ def make_static_exit_sampler(
     samplers = {}
     for _, _, layer in buckets:
         if layer not in samplers:
+            apply = truncated_ee_apply(
+                config, params, layer, dtype, attn_impl, gelu_approx
+            )
+            if guidance is not None:
+                # each truncated backbone is single-output, so plain CFG
+                # wrapping applies per bucket (guidance=(scale, null_label))
+                from duodiff_tpu.diffusion.sampling import make_guided_apply
+
+                apply = make_guided_apply(apply, *guidance)
             samplers[layer] = ChunkedDDPMSampler(
-                truncated_ee_apply(
-                    config, params, layer, dtype, attn_impl, gelu_approx
-                ),
+                apply,
                 schedule,
                 parametrization="predict_noise",
                 chunk=chunk,
@@ -208,11 +216,13 @@ def static_exit_sample(
     attn_impl: str = "auto",
     gelu_approx: bool = False,
     chunk: int = 100,
+    guidance: tuple | None = None,
 ):
     """One-shot convenience over make_static_exit_sampler."""
     sampler = make_static_exit_sampler(
         config, params, schedule=schedule, buckets=buckets, dtype=dtype,
         attn_impl=attn_impl, gelu_approx=gelu_approx, chunk=chunk,
+        guidance=guidance,
     )
     return sampler(key, shape, y)
 

@@ -24,7 +24,20 @@ def get_args(argv=None):
     parser.add_argument("--batch_size", type=int, required=True)
     parser.add_argument("--output_folder", type=str, required=True)
     parser.add_argument("--config_path", type=str, required=True)
-    parser.add_argument("--class_id", type=int, default=None)
+    parser.add_argument("--class_id", type=int, default=None,
+                        help="Enable class-conditional sampling. Unguided: "
+                             "random labels in [1, 1001) (reference parity). "
+                             "Guided (--guidance_scale): sample this class; "
+                             "-1 for uniform random real classes")
+    parser.add_argument("--guidance_scale", type=float, default=None,
+                        help="Classifier-free guidance weight w: backbone "
+                             "and every per-layer head output are guided "
+                             "(out_null + w*(out_cond - out_null)); probe "
+                             "values gate on the conditional half. Needs "
+                             "weights trained with --label_dropout")
+    parser.add_argument("--null_class", type=int, default=None,
+                        help="Null-label index for guidance (default "
+                             "num_classes-1)")
     parser.add_argument("--random_init", action="store_true")
     parser.add_argument("--num_timesteps", type=int, default=1000)
     parser.add_argument("--attn_impl", type=str, default=None,
@@ -85,11 +98,36 @@ def main(argv=None):
     schedule = NoiseSchedule.create(steps=args.num_timesteps)
     shape = (args.batch_size, cfg.img_size, cfg.img_size, cfg.in_chans)
 
+    import jax.numpy as jnp
+
     key = jax.random.PRNGKey(args.seed)
     y = None
+    guidance = None
+    if args.guidance_scale is not None:
+        if args.class_id is None:
+            raise SystemExit("--guidance_scale needs --class_id (labels)")
+        null_class = (
+            args.null_class
+            if args.null_class is not None
+            else cfg.num_classes - 1
+        )
+        guidance = (args.guidance_scale, null_class)
     if args.class_id is not None:
         key, ykey = jax.random.split(key)
-        y = jax.random.randint(ykey, (args.batch_size,), 1, 1001)
+        if guidance is not None:
+            # guided labels must be REAL classes in [0, null_class)
+            hi = guidance[1]
+            if args.class_id >= 0:
+                if args.class_id >= hi:
+                    raise SystemExit(
+                        f"--class_id {args.class_id} is not a real class: "
+                        f"guided labels must lie in [0, {hi})"
+                    )
+                y = jnp.full((args.batch_size,), args.class_id, jnp.int32)
+            else:
+                y = jax.random.randint(ykey, (args.batch_size,), 0, hi)
+        else:
+            y = jax.random.randint(ykey, (args.batch_size,), 1, 1001)
 
     if args.static_schedule:
         from duodiff_tpu.diffusion.static_exit import (
@@ -107,6 +145,7 @@ def main(argv=None):
             attn_impl=args.attn_impl
             or ("fused" if jax.default_backend() == "tpu" else "auto"),
             gelu_approx=args.gelu_approx,
+            guidance=guidance,
         )
         x = jax.block_until_ready(x)
         elapsed = time.time() - tic
@@ -118,6 +157,11 @@ def main(argv=None):
     else:
         def apply_fn(x, t, yy):
             return model.apply({"params": params}, x, t, yy)
+
+        if guidance is not None:
+            from duodiff_tpu.diffusion import make_guided_apply_ee
+
+            apply_fn = make_guided_apply_ee(apply_fn, *guidance)
 
         sampler = ChunkedEarlyExitSampler(
             apply_fn, schedule, threshold=args.threshold

@@ -332,3 +332,47 @@ def test_main_cli_train_tensor_parallel(tmp_path, tiny_train_config,
         assert logs and np.isfinite(logs[-1]["train_loss"])
         losses[tag] = [l["train_loss"] for l in logs]
     np.testing.assert_allclose(losses["tp"], losses["dp"], rtol=2e-4)
+
+
+TINY_COND_YAML = TINY_YAML.replace("num_classes: -1", "num_classes: 11")
+
+
+def test_eesampler_cli_guided(tmp_path):
+    """eesampler --guidance_scale: CFG composes with the early-exit sampler
+    (backbone + per-layer heads guided, conditional probes gating), both
+    for a concrete --class_id and for the dynamic-threshold path."""
+    cfg = tmp_path / "tiny_cond.yaml"
+    cfg.write_text(TINY_COND_YAML)
+    out = tmp_path / "out_ee_guided"
+    eesampler_cli.main([
+        "--config_path", str(cfg),
+        "--batch_size", "2",
+        "--threshold", "0.5",
+        "--output_folder", str(out),
+        "--random_init",
+        "--num_timesteps", "8",
+        "--class_id", "3",
+        "--guidance_scale", "2.0",
+    ])
+    assert (out / "0.png").exists()
+    idx = np.load(out / "indices_by_timestep.npy")
+    assert idx.shape == (8, 2)
+
+
+def test_eesampler_cli_guided_static_schedule(tmp_path):
+    """--guidance_scale also composes with --static_schedule (each
+    truncated backbone is single-output, wrapped by plain CFG)."""
+    cfg = tmp_path / "tiny_cond.yaml"
+    cfg.write_text(TINY_COND_YAML)
+    out = tmp_path / "out_ee_guided_static"
+    eesampler_cli.main([
+        "--config_path", str(cfg),
+        "--batch_size", "2",
+        "--static_schedule", "7-4:1,3-0:3",
+        "--output_folder", str(out),
+        "--random_init",
+        "--num_timesteps", "8",
+        "--class_id", "-1",
+        "--guidance_scale", "1.5",
+    ])
+    assert (out / "0.png").exists()

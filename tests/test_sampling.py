@@ -379,3 +379,61 @@ def test_guided_apply_identities():
         np.asarray(w3), np.asarray(null + 3.0 * (cond - null)),
         rtol=1e-5, atol=1e-5,
     )
+
+
+def test_guided_apply_ee_identities():
+    """make_guided_apply_ee: backbone and per-layer heads follow the CFG
+    rule (w=1 conditional, w=0 null); probe values always come from the
+    conditional half; tuple shapes preserved on the original batch."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from duodiff_tpu.diffusion import make_guided_apply_ee
+
+    depth, b = 4, 3
+    emb = jax.random.normal(jax.random.PRNGKey(0), (11, 4))
+
+    def apply_fn(x, t, y):
+        backbone = x * 0.5 + emb[y][:, None, None, :]
+        heads = jnp.stack(
+            [backbone * (i + 1) for i in range(depth)], axis=0
+        )
+        probes = jnp.stack(
+            [jnp.mean(jnp.abs(backbone), axis=(1, 2, 3)) * (i + 1)
+             for i in range(depth)], axis=0
+        )
+        return backbone, probes, heads
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, 2, 2, 4))
+    t = jnp.full((b,), 5.0)
+    y = jnp.array([1, 2, 3])
+    y_null = jnp.full_like(y, 10)
+
+    cond = apply_fn(x, t, y)
+    null = apply_fn(x, t, y_null)
+    for w, want_bb, want_heads in (
+        (1.0, cond[0], cond[2]),
+        (0.0, null[0], null[2]),
+    ):
+        bb, probes, heads = make_guided_apply_ee(apply_fn, w, 10)(x, t, y)
+        assert bb.shape == (b, 2, 2, 4)
+        assert probes.shape == (depth, b)
+        assert heads.shape == (depth, b, 2, 2, 4)
+        np.testing.assert_allclose(np.asarray(bb), np.asarray(want_bb),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(heads), np.asarray(want_heads),
+                                   rtol=1e-6, atol=1e-5)
+        # probes are ALWAYS the conditional ones, independent of w
+        np.testing.assert_allclose(np.asarray(probes), np.asarray(cond[1]),
+                                   rtol=1e-6, atol=1e-6)
+
+    bb3, _, heads3 = make_guided_apply_ee(apply_fn, 3.0, 10)(x, t, y)
+    np.testing.assert_allclose(
+        np.asarray(bb3), np.asarray(null[0] + 3.0 * (cond[0] - null[0])),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(heads3), np.asarray(null[2] + 3.0 * (cond[2] - null[2])),
+        rtol=1e-5, atol=1e-5,
+    )
