@@ -110,6 +110,7 @@ def ddpm_scan(
     ts: jax.Array,
     y: Optional[jax.Array] = None,
     variance_mode: str = "beta_tilde",
+    aux_fn: Optional[Callable] = None,
 ):
     """Scan the ancestral DDPM update over a (dynamic) descending timestep
     vector ``ts``. The scan body — model forward + elementwise posterior
@@ -118,6 +119,13 @@ def ddpm_scan(
     ``ts`` is a traced argument, so one compiled program serves any
     contiguous segment of a given length (used by the chunked drivers to
     bound compile time on remote-compile TPU backends).
+
+    ``aux_fn(model_output) -> (eps, aux)`` splits a multi-output model into
+    the prediction driving the update and per-step diagnostics stacked as
+    scan outputs — the TPU equivalent of the reference in-training
+    sampler's logging dict (ddpm_core.py:106-214 appends classifier
+    outputs per host-loop step). With aux_fn set, returns (x, key, aux
+    rows (len(ts), ...)).
     """
     batch = x.shape[0]
 
@@ -126,11 +134,16 @@ def ddpm_scan(
         key, zkey = jax.random.split(key)
         t_batch = jnp.full((batch,), t, dtype=jnp.float32)
         model_output = apply_fn(x, t_batch, y)
+        aux = None
+        if aux_fn is not None:
+            model_output, aux = aux_fn(model_output)
         z = _step_noise(zkey, t, x.shape)
         x = schedule.step(parametrization, model_output, x, t, z, variance_mode)
-        return (x, key), None
+        return (x, key), aux
 
-    (x, key), _ = jax.lax.scan(body, (x, key), ts)
+    (x, key), aux_rows = jax.lax.scan(body, (x, key), ts)
+    if aux_fn is not None:
+        return x, key, aux_rows
     return x, key
 
 
@@ -178,13 +191,16 @@ class ChunkedDDPMSampler:
         parametrization: str = "predict_noise",
         variance_mode: str = "beta_tilde",
         chunk: int = 100,
+        aux_fn: Optional[Callable] = None,
     ):
         self.schedule = schedule
         self.chunk = chunk
+        self.aux_fn = aux_fn
 
         def run_chunk(x, key, ts, y):
             return ddpm_scan(
-                apply_fn, schedule, parametrization, x, key, ts, y, variance_mode
+                apply_fn, schedule, parametrization, x, key, ts, y,
+                variance_mode, aux_fn=aux_fn,
             )
 
         self._run_chunk = jax.jit(run_chunk)
@@ -203,30 +219,48 @@ class ChunkedDDPMSampler:
         return x, key
 
     def run(self, x, key, t_start: int, t_end: int = 0, y=None):
-        """Advance t = t_start down to t_end (inclusive). Returns (x, key)."""
+        """Advance t = t_start down to t_end (inclusive). Returns (x, key),
+        plus host-concatenated aux rows (steps, ...) when aux_fn is set."""
         import numpy as np
 
         all_ts = np.arange(t_start, t_end - 1, -1)
+        aux_chunks = []
         if len(all_ts) == 0:
-            return x, key
+            return (x, key, None) if self.aux_fn else (x, key)
         n_full = len(all_ts) // self.chunk
         rem = len(all_ts) - n_full * self.chunk
         idx = 0
+
+        def step_chunk(x, key, ts):
+            out = self._run_chunk(x, key, ts, y)
+            if self.aux_fn is not None:
+                x, key, aux = out
+                aux_chunks.append(jax.device_get(aux))
+                return x, key
+            return out
+
         if rem:  # leading (shorter) remainder compiles once at its own length
-            x, key = self._run_chunk(
-                x, key, jnp.asarray(all_ts[:rem]), y
-            )
+            x, key = step_chunk(x, key, jnp.asarray(all_ts[:rem]))
             idx = rem
         for i in range(n_full):
             ts = jnp.asarray(all_ts[idx + i * self.chunk : idx + (i + 1) * self.chunk])
-            x, key = self._run_chunk(x, key, ts, y)
+            x, key = step_chunk(x, key, ts)
+        if self.aux_fn is not None:
+            aux = jax.tree_util.tree_map(
+                lambda *cs: np.concatenate(cs, axis=0), *aux_chunks
+            )
+            return x, key, aux
         return x, key
 
     def sample(self, key, shape, y=None, t_start=None, t_end: int = 0,
                sharding=None):
         t_start = self.schedule.steps - 1 if t_start is None else t_start
         x, key = self.init(key, shape, sharding=sharding)
-        x, _ = self.run(x, key, t_start, t_end, y)
+        out = self.run(x, key, t_start, t_end, y)
+        if self.aux_fn is not None:
+            x, _, aux = out
+            return x, aux
+        x, _ = out
         return x
 
 

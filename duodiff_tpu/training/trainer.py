@@ -473,11 +473,24 @@ class Trainer:
                 out = model.apply({"params": params}, x, t, labels)
                 return out[0] if is_ee else out
 
+            # DeeDiff in-training sampling also logs the per-step probe
+            # outputs — the reference sampler's logging_dict
+            # "classifier_outputs" (ddpm_core.py:158-160) — as stacked scan
+            # outputs instead of host-loop appends.
+            def ee_apply_fn(x, t, bundle):
+                labels, params = bundle
+                out = model.apply({"params": params}, x, t, labels)
+                return out
+
             self._sample_fn = ChunkedDDPMSampler(
-                apply_fn,
+                ee_apply_fn if is_ee else apply_fn,
                 self.schedule,
                 parametrization="predict_noise",
                 variance_mode="beta",
+                aux_fn=(
+                    (lambda out: (out[0], jnp.asarray(out[1])))
+                    if is_ee else None
+                ),
             )
 
         shape = (
@@ -497,7 +510,19 @@ class Trainer:
             if self.state.ema_params is not None
             else self.state.params
         )
-        x = self._sample_fn.sample(key, shape, y=(y, sample_params))
+        out = self._sample_fn.sample(key, shape, y=(y, sample_params))
+        if self._sample_fn.aux_fn is not None:
+            x, probe_rows = out  # (T, depth, B) per-step probe outputs
+            np.save(
+                self.log_path / f"sample_classifier_outputs_step{step}.npy",
+                np.asarray(probe_rows, np.float32),
+            )
+            self.logger.log_scalars(step, {
+                "sample_mean_probe_error":
+                    float(np.asarray(probe_rows).mean()),
+            })
+        else:
+            x = out
         samples = np.asarray((x + 1.0) / 2.0)
         self.logger.log_image(step, "Samples", make_grid(samples))
 

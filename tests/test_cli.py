@@ -215,8 +215,18 @@ def test_main_cli_train_deediff_frozen(tmp_path, tiny_train_config, cifar_data):
         "--log_path", str(logdir),
         "--exp_name", "t2",
         "--num_warmup_steps", "1",
+        "--log_every_n_steps", "2",
+        "--n_samples", "2",
+        "--sample_height", "32",
+        "--sample_width", "32",
     ])
     assert logs and "classifier_train_loss" in logs[-1]
+    # in-training sampling logs per-step probe outputs (the reference
+    # sampler's logging_dict "classifier_outputs", ddpm_core.py:158-160)
+    diag = list((logdir / "t2").glob("sample_classifier_outputs_step*.npy"))
+    assert diag, "missing in-training probe diagnostics"
+    rows = np.load(diag[0])
+    assert rows.shape == (50, 3, 2)  # (T, depth, n_samples)
 
 
 def test_eesampler_cli_static_schedule(tmp_path, tiny_config):

@@ -1,0 +1,237 @@
+"""On-chip trajectory parity for every sampling speed knob.
+
+For each performance knob the framework ships, run the FULL reverse
+trajectory on the real chip and quantify the deviation it introduces
+against the parity baseline — the strongest FID-parity proxy available
+without trained weights (VERDICT round 1, next #5). Knobs:
+
+  - attn_impl: fused / pallas vs xla     (kernel numerics, same RNG stream)
+  - gelu: tanh approx vs exact erf       (activation numerics)
+  - RNG: rbg vs threefry                 (different stream BY DESIGN —
+                                          reported for completeness; the
+                                          meaningful check is per-stream
+                                          determinism, also asserted)
+  - DPM-Solver++ 20 steps vs DDIM-1000   (ODE solver truncation, both
+                                          deterministic from one x_init)
+  - static-exit buckets vs dynamic thr.  (algorithmic early-exit change)
+
+Metrics: max-abs-err at every 100-step chunk boundary (trajectory), plus
+terminal max-abs-err and PSNR (peak-to-peak 2.0 in model output space).
+Weights are seed-0 random init — kernel/activation deviations are weight-
+independent numerics measurements; solver/exit rows measure truncation on
+that model's vector field (flagged in the table).
+
+Run on TPU (compiles hit the persistent cache from bench_matrix shapes):
+
+    python tools/trajectory_parity.py [--batch 128] [--steps 1000]
+
+Writes trajectory_parity.json next to this file and prints a markdown
+table for the README.
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def psnr(a, b) -> float:
+    import numpy as np
+
+    mse = float(np.mean((np.asarray(a, np.float64)
+                         - np.asarray(b, np.float64)) ** 2))
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(4.0 / mse)  # peak-to-peak 2.0 ([-1, 1] space)
+
+
+def max_err(a, b) -> float:
+    import numpy as np
+
+    return float(np.max(np.abs(np.asarray(a, np.float64)
+                               - np.asarray(b, np.float64))))
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=128)
+    parser.add_argument("--steps", type=int, default=1000)
+    parser.add_argument("--chunk", type=int, default=100)
+    parser.add_argument("--threshold", type=float, default=0.08)
+    parser.add_argument("--smoke", action="store_true",
+                        help="CPU smoke mode: xla baseline, no fused/pallas "
+                             "kernel rows (they run interpret-mode off-TPU "
+                             "and would take hours at flagship shapes)")
+    args = parser.parse_args(argv)
+
+    from duodiff_tpu.utils.runtime import setup_compilation_cache
+
+    setup_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from duodiff_tpu.config import UViTConfig, flagship_config, load_config
+    from duodiff_tpu.diffusion import (
+        ChunkedDDPMSampler,
+        ChunkedEarlyExitSampler,
+        NoiseSchedule,
+        ddim_sample,
+        dpm_solver_sample,
+    )
+    from duodiff_tpu.models.uvit import init_uvit
+
+    cfg = flagship_config()
+    base_attn = "xla" if args.smoke else "fused"
+    ee_attn = "xla" if args.smoke else "fused"
+    schedule = NoiseSchedule.create(steps=args.steps)
+    shape = (args.batch, 64, 64, 3)
+    key = jax.random.PRNGKey(0)
+    results = {}
+    t_wall = time.time()
+
+    def dense_trajectory(attn, gelu_approx, key_impl=None):
+        model, params = init_uvit(
+            cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16,
+            attn_impl=attn, gelu_approx=gelu_approx,
+        )
+        sampler = ChunkedDDPMSampler(
+            lambda x, t, y: model.apply({"params": params}, x, t, y),
+            schedule, parametrization="predict_noise", chunk=args.chunk,
+        )
+        # typed keys carry their impl through split/normal (bench.py flips
+        # the global default instead; same streams)
+        k = (jax.random.key(0, impl=key_impl) if key_impl
+             else jax.random.PRNGKey(0))
+        x, k = sampler.init(k, shape)
+        snaps = []
+        t_hi = args.steps - 1
+        while t_hi >= 0:
+            t_lo = max(0, t_hi - args.chunk + 1)
+            x, k = sampler.run(x, k, t_hi, t_lo)
+            snaps.append(jax.device_get(x))
+            t_hi = t_lo - 1
+        return snaps
+
+    print(f"dense baseline: {base_attn} + exact gelu ...", file=sys.stderr)
+    base = dense_trajectory(base_attn, False)
+    print("repeat (determinism) ...", file=sys.stderr)
+    base2 = dense_trajectory(base_attn, False)
+    results[f"determinism {base_attn}/threefry (rerun)"] = {
+        "traj_max_err": [max_err(a, b) for a, b in zip(base, base2)],
+        "terminal_max_err": max_err(base[-1], base2[-1]),
+        "terminal_psnr": psnr(base[-1], base2[-1]),
+        "kind": "numerics",
+    }
+
+    variant_rows = (
+        ("attn xla vs fused", "xla", False),
+        ("attn pallas vs fused", "pallas", False),
+        ("gelu tanh vs exact (fused)", "fused", True),
+    ) if not args.smoke else (
+        ("gelu tanh vs exact (xla)", "xla", True),
+    )
+    for name, attn, gelu in variant_rows:
+        print(f"{name} ...", file=sys.stderr)
+        traj = dense_trajectory(attn, gelu)
+        results[name] = {
+            "traj_max_err": [max_err(a, b) for a, b in zip(traj, base)],
+            "terminal_max_err": max_err(traj[-1], base[-1]),
+            "terminal_psnr": psnr(traj[-1], base[-1]),
+            "kind": "numerics",
+        }
+
+    print("rbg stream ...", file=sys.stderr)
+    rbg = dense_trajectory(base_attn, False, key_impl="rbg")
+    rbg2 = dense_trajectory(base_attn, False, key_impl="rbg")
+    results["rng rbg vs threefry"] = {
+        "traj_max_err": [max_err(a, b) for a, b in zip(rbg, base)],
+        "terminal_max_err": max_err(rbg[-1], base[-1]),
+        "terminal_psnr": psnr(rbg[-1], base[-1]),
+        "rbg_rerun_bitexact": bool(max_err(rbg[-1], rbg2[-1]) == 0.0),
+        "kind": "stream-change",
+    }
+
+    # ---- solver: DPM-Solver++ 20 vs DDIM-1000, both deterministic ----
+    print("DPM-20 vs DDIM-1000 ...", file=sys.stderr)
+    model, params = init_uvit(
+        cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16,
+        attn_impl=base_attn, gelu_approx=False,
+    )
+    apply_fn = lambda x, t, y: model.apply({"params": params}, x, t, y)  # noqa: E731
+    k0, kx = jax.random.split(jax.random.PRNGKey(0))
+    x_init = jax.random.normal(kx, shape, jnp.float32)
+    ddim = jax.device_get(ddim_sample(
+        apply_fn, k0, schedule=schedule, shape=shape,
+        ddim_steps=args.steps, eta=0.0, x_init=x_init,
+    )[0])
+    dpm = jax.device_get(dpm_solver_sample(
+        apply_fn, k0, schedule=schedule, shape=shape,
+        dpm_steps=20, order=2, x_init=x_init,
+    ))
+    results["DPM-20 vs DDIM-1000 (det., shared x_init)"] = {
+        "terminal_max_err": max_err(dpm, ddim),
+        "terminal_psnr": psnr(dpm, ddim),
+        "kind": "solver-truncation",
+    }
+
+    # ---- early exit: static buckets vs dynamic threshold ----
+    print("static-exit vs dynamic threshold ...", file=sys.stderr)
+    from duodiff_tpu.diffusion.static_exit import make_static_exit_sampler
+    from duodiff_tpu.models.early_exit import init_early_exit_uvit
+
+    raw = load_config("configs/deediff_celeba.yaml")
+    ee_cfg = UViTConfig.from_dict(raw["model_params"])
+    ee_model, ee_params = init_early_exit_uvit(
+        ee_cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16,
+        attn_impl=ee_attn, gelu_approx=True,
+    )
+    dyn_sampler = ChunkedEarlyExitSampler(
+        lambda x, t, y: ee_model.apply({"params": ee_params}, x, t, y),
+        schedule, threshold=args.threshold, chunk=args.chunk,
+    )
+    dyn_x, _, dyn_idx = dyn_sampler.sample(jax.random.PRNGKey(0), shape)
+    t = args.steps
+    buckets = [
+        (t - 1, int(t * 0.7), 3),
+        (int(t * 0.7) - 1, int(t * 0.3), 8),
+        (int(t * 0.3) - 1, 0, 13),
+    ]
+    static_sampler = make_static_exit_sampler(
+        ee_cfg, ee_params, schedule=schedule, buckets=buckets,
+        attn_impl=ee_attn, gelu_approx=True,
+    )
+    static_x = static_sampler(jax.random.PRNGKey(0), shape)
+    import numpy as np
+
+    results[f"static buckets vs dynamic thr={args.threshold}"] = {
+        "terminal_max_err": max_err(static_x, dyn_x),
+        "terminal_psnr": psnr(static_x, dyn_x),
+        "dynamic_mean_exit": float(np.asarray(dyn_idx).mean()),
+        "kind": "algorithmic",
+    }
+
+    wall = time.time() - t_wall
+    out = {
+        "batch": args.batch, "steps": args.steps,
+        "backend": jax.default_backend(), "wall_s": round(wall, 1),
+        "rows": results,
+    }
+    out_path = Path(__file__).parent / "trajectory_parity.json"
+    out_path.write_text(json.dumps(out, indent=2))
+    print(f"\nwrote {out_path} ({wall:.0f}s)\n", file=sys.stderr)
+
+    print("| knob | kind | terminal max-abs-err | terminal PSNR (dB) |")
+    print("|---|---|---|---|")
+    for name, r in results.items():
+        p = r["terminal_psnr"]
+        ps = "inf" if p == float("inf") else f"{p:.1f}"
+        print(f"| {name} | {r['kind']} | {r['terminal_max_err']:.3e} "
+              f"| {ps} |")
+
+
+if __name__ == "__main__":
+    main()
