@@ -1284,9 +1284,19 @@ def _mlp_sublayer_bwd(
     *, eps: float, gelu_approx: bool, interpret: bool,
 ):
     """MLP-sublayer backward dispatch: the monolithic Pallas kernel when its
-    full-width dW residents fit VMEM (D<=512-class models), else the
-    hidden-split variant (D=768/1024: ImageNet-64/256 configs), else the
-    XLA recompute backward. Returns (dx, dg, db, dw1, db1, dw2, db2)."""
+    full-width dW residents fit VMEM (D<=512-class models), else the XLA
+    recompute backward. Returns (dx, dg, db, dw1, db1, dw2, db2).
+
+    The hidden-split Pallas variant is available behind
+    DUODIFF_MLP_BWD_SPLIT=1 but NOT the default: on-chip at D=768
+    (imagenet64, B=128 L=258 bf16) the best compilable split config
+    (splits=4, rt=128, hc=256) measures 11.63 ms vs 10.56 for the XLA
+    recompute backward (tools/probe_mlp_bwd_split.py, 2026-08-17; splits=2
+    fails Mosaic compile at ~20MB residents). The per-split x/dy refetch +
+    fp32 dxn round-trips cost more than XLA's hidden-activation
+    materialization saves at these shapes."""
+    import os
+
     b_, l, d = x.shape
     hidden = w1.shape[1]
     itemsize = jnp.dtype(x.dtype).itemsize
@@ -1295,7 +1305,8 @@ def _mlp_sublayer_bwd(
             x, dy.astype(x.dtype), ln_scale, ln_bias, w1, b1, w2,
             eps=eps, gelu_approx=gelu_approx, interpret=interpret,
         )
-    if _mlp_bwd_split_config(b_, l, d, hidden, itemsize) is not None:
+    if (os.environ.get("DUODIFF_MLP_BWD_SPLIT") == "1"
+            and _mlp_bwd_split_config(b_, l, d, hidden, itemsize) is not None):
         return _mlp_sublayer_bwd_split(
             x, dy.astype(x.dtype), ln_scale, ln_bias, w1, b1, w2,
             eps=eps, gelu_approx=gelu_approx, interpret=interpret,

@@ -19,3 +19,15 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: this 1-CPU host makes the suite
+# compile-bound (~18 min cold); warm reruns skip most XLA compiles.
+from pathlib import Path  # noqa: E402
+
+_cache_dir = os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR",
+    str(Path.home() / ".cache" / "jax_duodiff_cpu_tests"),
+)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -22,6 +22,7 @@ TINY = AutoencoderConfig(
 )
 
 
+@pytest.mark.slow
 def test_autoencoder_shapes_roundtrip():
     model, params = init_autoencoder(TINY, jax.random.PRNGKey(0), image_size=32)
     x = jnp.asarray(np.random.RandomState(0).randn(2, 32, 32, 3), jnp.float32)

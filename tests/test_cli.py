@@ -369,6 +369,7 @@ def test_eesampler_cli_guided(tmp_path):
     assert idx.shape == (8, 2)
 
 
+@pytest.mark.slow
 def test_eesampler_cli_guided_static_schedule(tmp_path):
     """--guidance_scale also composes with --static_schedule (each
     truncated backbone is single-output, wrapped by plain CFG)."""

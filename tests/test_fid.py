@@ -1,6 +1,9 @@
 """FID subsystem tests: Inception graph shapes, Frechet math golden values,
 and the end-to-end fid CLI path with random-init inception weights."""
 
+import sys
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -102,6 +105,7 @@ def test_read_samples_skips_grid(tmp_path):
     assert imgs.max() <= 1.0
 
 
+@pytest.mark.slow
 def test_inception_features_match_torch_graph(tmp_path):
     """Feature-level agreement between the Flax InceptionV3 and a plain-torch
     replica of the pytorch-fid graph (tests/torch_inception_ref.py), with
@@ -117,7 +121,9 @@ def test_inception_features_match_torch_graph(tmp_path):
         convert_inception_weights,
         init_inception,
     )
-    from tests.torch_inception_ref import random_initialized
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from torch_inception_ref import random_initialized
 
     tmodel = random_initialized(seed=0)
     wpath = tmp_path / "fid_inception_random.pth"

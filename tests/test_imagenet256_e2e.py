@@ -12,9 +12,13 @@ import pytest
 from PIL import Image
 
 REFERENCE = Path("/root/reference")
-pytestmark = pytest.mark.skipif(
-    not REFERENCE.exists(), reason="reference checkout (torch AE) unavailable"
-)
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not REFERENCE.exists(),
+        reason="reference checkout (torch AE) unavailable",
+    ),
+]
 if REFERENCE.exists():
     sys.path.insert(0, str(REFERENCE))
 

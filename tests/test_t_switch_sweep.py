@@ -8,6 +8,7 @@ import sys
 from pathlib import Path
 
 import numpy as np
+import pytest
 
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
@@ -28,6 +29,7 @@ TINY = """model_params:
 """
 
 
+@pytest.mark.slow
 def test_t_switch_sweep_smoke(tmp_path):
     import t_switch_sweep
 
