@@ -150,9 +150,15 @@ def convert_early_exit_uvit(sd: Dict[str, np.ndarray]) -> dict:
     # separate in/mid/out classifier ModuleLists instead of the matrix dict.
     if "in_blocks_classifiers.0.classifier.0.weight" in sd or \
        "in_blocks_classifiers.0.q" in sd:
+        # Bug-for-bug legacy compatibility: OldEarlyExitUViT.forward reuses
+        # the loop variable `classifier` for the mid position (reference
+        # models/early_exit.py:171), so the mid probe that actually RUNS is
+        # in_blocks_classifiers[-1] and mid_block_classifier's params are
+        # dead weights. Mapping the live params here makes converted old
+        # checkpoints sample identically to the reference executing them.
         names = (
             [f"in_blocks_classifiers.{i}" for i in range(n_in)]
-            + ["mid_block_classifier"]
+            + [f"in_blocks_classifiers.{n_in - 1}"]
             + [f"out_blocks_classifiers.{i}" for i in range(n_out)]
         )
         if f"{names[0]}.q" in sd:  # attention probes

@@ -174,8 +174,74 @@ def test_old_early_exit_checkpoint_converts(tmp_path):
     np.testing.assert_allclose(
         np.asarray(params["probes"]["classifier"]["kernel"][0]), w0, rtol=1e-6
     )
-    wm = ref.mid_block_classifier.classifier[0].weight.detach().numpy().T
+    # bug-for-bug: the reference's legacy forward runs the LAST in-block
+    # classifier at the mid position (loop-variable leak, reference
+    # models/early_exit.py:171) — the converter maps those live params, not
+    # the dead mid_block_classifier ones
+    n_in = kwargs["depth"] // 2
+    wm = ref.in_blocks_classifiers[n_in - 1].classifier[0].weight
     np.testing.assert_allclose(
-        np.asarray(params["probes"]["classifier"]["kernel"][kwargs["depth"] // 2]),
-        wm, rtol=1e-6,
+        np.asarray(params["probes"]["classifier"]["kernel"][n_in]),
+        wm.detach().numpy().T, rtol=1e-6,
+    )
+
+
+def test_old_early_exit_forward_parity(tmp_path):
+    """Full forward parity against the reference's OldEarlyExitUViT
+    EXECUTION (including its mid-probe loop-variable bug, reference
+    models/early_exit.py:171): converted legacy checkpoints must produce
+    identical backbone, probe, and per-layer head outputs.
+
+    One reference defect must be patched to run it at all: the legacy
+    forward calls ``output_head(x)`` (models/early_exit.py:165,169,176)
+    but OutputHead.forward requires ``extras`` — a TypeError as written.
+    We bind extras=1 (the evidently-intended time-token drop) and keep
+    every other quirk, notably the mid position running the LAST in-block
+    classifier instead of mid_block_classifier. The legacy forward also
+    ignores normalize_timesteps (it re-implements the trunk without the
+    t/1000 branch of models/uvit.py:352-353), so the comparison runs with
+    normalize_timesteps=False; converted old checkpoints should set the
+    flag to whatever their training config used."""
+    import torch
+    from models.early_exit import OldEarlyExitUViT as RefOld
+    from models.early_exit import OutputHead as RefOutputHead
+    from models.uvit import UViT as RefUViT
+
+    kwargs = {**CFG, "mlp_time_embed": False, "normalize_timesteps": False}
+    torch.manual_seed(0)
+    ref = RefOld(RefUViT(**kwargs), classifier_type="mlp_probe")
+    ref.eval()
+    for m in ref.modules():
+        if isinstance(m, RefOutputHead):
+            m.forward = (
+                lambda x, _m=m: RefOutputHead.forward(_m, x, extras=1)
+            )
+    path = tmp_path / "old_ee_fwd.pth"
+    torch.save(ref.state_dict(), path)
+
+    cfg = UViTConfig(**kwargs, classifier_type="mlp_probe_per_layer")
+    model, params0 = init_early_exit_uvit(cfg, jax.random.PRNGKey(0))
+    params = convert_torch_checkpoint(path, params0)
+
+    rng = np.random.RandomState(3)
+    x = rng.randn(2, kwargs["in_chans"], kwargs["img_size"],
+                  kwargs["img_size"]).astype(np.float32)
+    t = np.array([13.0, 777.0], np.float32)
+    with torch.no_grad():
+        ref_bb, ref_u, ref_g = ref(torch.from_numpy(x), torch.from_numpy(t))
+
+    bb, u, g = model.apply(
+        {"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)),
+        jnp.asarray(t),
+    )
+    np.testing.assert_allclose(
+        np.asarray(bb).transpose(0, 3, 1, 2), ref_bb.numpy(),
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(u), torch.stack(ref_u).numpy(), rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(g).transpose(0, 1, 4, 2, 3), torch.stack(ref_g).numpy(),
+        rtol=1e-4, atol=1e-4,
     )
