@@ -140,16 +140,29 @@ def bench_train():
     model_kind = (
         "deediff_uvit" if os.environ.get("MB_MODEL") == "deediff" else "uvit"
     )
-    cfg = flagship_config()
+    # MB_CONFIG=configs/uvit_imagenet64.yaml benches other model scales
+    # (e.g. D=768 depth 17, whose attention/MLP backwards dispatch to the
+    # XLA recompute fallbacks — attn_bwd_fits/mlp_bwd_fits)
+    cfg_path = os.environ.get("MB_CONFIG")
+    if cfg_path:
+        from duodiff_tpu.config import load_model_config
+
+        cfg, _ = load_model_config(cfg_path)
+    else:
+        cfg = flagship_config()
     sched = NoiseSchedule.create(steps=1000)
     tx = make_optimizer(lr=2e-4, weight_decay=0.03, beta1=0.99, beta2=0.999,
                         max_grad_norm=1.0, num_warmup_steps=1500,
                         num_training_steps=500000)
+    bsz = int(os.environ.get("MB_BATCH", "128"))
     batch = {
         "image": jnp.asarray(
-            np.random.RandomState(0).randn(128, 64, 64, 3), jnp.float32
+            np.random.RandomState(0).randn(
+                bsz, cfg.img_size, cfg.img_size, cfg.in_chans
+            ),
+            jnp.float32,
         ),
-        "label": jnp.zeros((128,), jnp.int32),
+        "label": jnp.zeros((bsz,), jnp.int32),
     }
     variants = (
         ("fused", "auto"),     # fused sublayer kernels, hand-written bwds
@@ -179,6 +192,7 @@ def bench_train():
         step = jax.jit(make_train_step(
             lambda p, x, t, y: model.apply({"params": p}, x, t, y),
             sched, model_kind=model_kind, parametrization="predict_noise",
+            has_labels=cfg.num_classes > 0,
         ), donate_argnums=(0,))
         key = jax.random.PRNGKey(1)
         for _ in range(3):

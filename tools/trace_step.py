@@ -22,6 +22,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 def capture(args):
     import jax
+
+    if args.rng != "threefry":
+        jax.config.update("jax_default_prng_impl", args.rng)
     import jax.numpy as jnp
 
     from duodiff_tpu.config import flagship_config, load_model_config
@@ -39,19 +42,24 @@ def capture(args):
     )
     y = jnp.zeros((args.batch,), jnp.int32) if cfg.num_classes > 0 else None
     schedule = NoiseSchedule.create(steps=1000)
+    # params ride through the opaque y bundle as traced ARGUMENTS — closing
+    # over them bakes >200MB of constants into the MLIR for the imagenet
+    # models and the remote-compile endpoint rejects the module (HTTP 413);
+    # bundling also matches bench_matrix's program for compile-cache hits
     sample = make_chunked_ddpm_sampler(
-        lambda x, t, yb: model.apply({"params": params}, x, t, yb),
+        lambda x, t, bundle: model.apply({"params": bundle[1]}, x, t, bundle[0]),
         schedule, parametrization="predict_noise", chunk=args.steps,
     )
     shape = (args.batch, cfg.img_size, cfg.img_size, cfg.in_chans)
     t_start = args.steps - 1  # one chunk's worth of steps
     # warm up / compile outside the trace
     jax.block_until_ready(
-        sample(jax.random.PRNGKey(0), shape, t_start=t_start, y=y)
+        sample(jax.random.PRNGKey(0), shape, t_start=t_start, y=(y, params))
     )
     with jax.profiler.trace(args.out):
         jax.block_until_ready(
-            sample(jax.random.PRNGKey(1), shape, t_start=t_start, y=y)
+            sample(jax.random.PRNGKey(1), shape, t_start=t_start,
+                   y=(y, params))
         )
     print(f"trace written to {args.out}", file=sys.stderr)
 
@@ -168,6 +176,8 @@ if __name__ == "__main__":
     p.add_argument("--out", default="/tmp/duodiff_trace")
     p.add_argument("--summarize_only", action="store_true")
     p.add_argument("--mode", default="sample", choices=["sample", "train"])
+    p.add_argument("--rng", default="threefry", choices=["threefry", "rbg"],
+                   help="rbg matches bench_matrix's compiled programs")
     args = p.parse_args()
     if not args.summarize_only:
         from duodiff_tpu.utils.runtime import setup_compilation_cache

@@ -42,13 +42,19 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def psnr(a, b) -> float:
+    """PSNR with the TRUE peak-to-peak range of the reference side — with
+    random-init weights the reverse process is unbounded (no trained
+    denoiser contracting toward the data manifold), so a fixed [-1, 1]
+    range would misstate agreement by ~50 dB."""
     import numpy as np
 
-    mse = float(np.mean((np.asarray(a, np.float64)
-                         - np.asarray(b, np.float64)) ** 2))
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    mse = float(np.mean((a - b) ** 2))
     if mse == 0:
         return float("inf")
-    return 10.0 * np.log10(4.0 / mse)  # peak-to-peak 2.0 ([-1, 1] space)
+    peak = float(b.max() - b.min()) or 2.0
+    return 10.0 * np.log10(peak * peak / mse)
 
 
 def max_err(a, b) -> float:
@@ -56,6 +62,13 @@ def max_err(a, b) -> float:
 
     return float(np.max(np.abs(np.asarray(a, np.float64)
                                - np.asarray(b, np.float64))))
+
+
+def rel_err(a, b) -> float:
+    import numpy as np
+
+    denom = float(np.max(np.abs(np.asarray(b, np.float64)))) or 1.0
+    return max_err(a, b) / denom
 
 
 def main(argv=None):
@@ -118,16 +131,26 @@ def main(argv=None):
             t_hi = t_lo - 1
         return snaps
 
+    import numpy as np
+
+    def row(a, b, kind, traj=None):
+        return {
+            "traj_max_err": traj,
+            "terminal_max_err": max_err(a, b),
+            "terminal_rel_err": rel_err(a, b),
+            "terminal_psnr": psnr(a, b),
+            "ref_abs_max": float(np.max(np.abs(np.asarray(b, np.float64)))),
+            "kind": kind,
+        }
+
     print(f"dense baseline: {base_attn} + exact gelu ...", file=sys.stderr)
     base = dense_trajectory(base_attn, False)
     print("repeat (determinism) ...", file=sys.stderr)
     base2 = dense_trajectory(base_attn, False)
-    results[f"determinism {base_attn}/threefry (rerun)"] = {
-        "traj_max_err": [max_err(a, b) for a, b in zip(base, base2)],
-        "terminal_max_err": max_err(base[-1], base2[-1]),
-        "terminal_psnr": psnr(base[-1], base2[-1]),
-        "kind": "numerics",
-    }
+    results[f"determinism {base_attn}/threefry (rerun)"] = row(
+        base2[-1], base[-1], "numerics",
+        traj=[max_err(a, b) for a, b in zip(base, base2)],
+    )
 
     variant_rows = (
         ("attn xla vs fused", "xla", False),
@@ -139,22 +162,18 @@ def main(argv=None):
     for name, attn, gelu in variant_rows:
         print(f"{name} ...", file=sys.stderr)
         traj = dense_trajectory(attn, gelu)
-        results[name] = {
-            "traj_max_err": [max_err(a, b) for a, b in zip(traj, base)],
-            "terminal_max_err": max_err(traj[-1], base[-1]),
-            "terminal_psnr": psnr(traj[-1], base[-1]),
-            "kind": "numerics",
-        }
+        results[name] = row(
+            traj[-1], base[-1], "numerics",
+            traj=[max_err(a, b) for a, b in zip(traj, base)],
+        )
 
     print("rbg stream ...", file=sys.stderr)
     rbg = dense_trajectory(base_attn, False, key_impl="rbg")
     rbg2 = dense_trajectory(base_attn, False, key_impl="rbg")
     results["rng rbg vs threefry"] = {
-        "traj_max_err": [max_err(a, b) for a, b in zip(rbg, base)],
-        "terminal_max_err": max_err(rbg[-1], base[-1]),
-        "terminal_psnr": psnr(rbg[-1], base[-1]),
+        **row(rbg[-1], base[-1], "stream-change",
+              traj=[max_err(a, b) for a, b in zip(rbg, base)]),
         "rbg_rerun_bitexact": bool(max_err(rbg[-1], rbg2[-1]) == 0.0),
-        "kind": "stream-change",
     }
 
     # ---- solver: DPM-Solver++ 20 vs the DDPM-1000 ancestral baseline ----
@@ -174,11 +193,9 @@ def main(argv=None):
         apply_fn, k0, schedule=schedule, shape=shape,
         dpm_steps=20, order=2, x_init=x_init,
     ))
-    results["DPM-20 vs DDPM-1000 (shared x_init)"] = {
-        "terminal_max_err": max_err(dpm, base[-1]),
-        "terminal_psnr": psnr(dpm, base[-1]),
-        "kind": "solver+stochasticity",
-    }
+    results["DPM-20 vs DDPM-1000 (shared x_init)"] = row(
+        dpm, base[-1], "solver+stochasticity",
+    )
 
     # ---- early exit: static buckets vs dynamic threshold ----
     print("static-exit vs dynamic threshold ...", file=sys.stderr)
@@ -207,13 +224,9 @@ def main(argv=None):
         attn_impl=ee_attn, gelu_approx=True,
     )
     static_x = static_sampler(jax.random.PRNGKey(0), shape)
-    import numpy as np
-
     results[f"static buckets vs dynamic thr={args.threshold}"] = {
-        "terminal_max_err": max_err(static_x, dyn_x),
-        "terminal_psnr": psnr(static_x, dyn_x),
+        **row(static_x, dyn_x, "algorithmic"),
         "dynamic_mean_exit": float(np.asarray(dyn_idx).mean()),
-        "kind": "algorithmic",
     }
 
     wall = time.time() - t_wall
@@ -226,13 +239,13 @@ def main(argv=None):
     out_path.write_text(json.dumps(out, indent=2))
     print(f"\nwrote {out_path} ({wall:.0f}s)\n", file=sys.stderr)
 
-    print("| knob | kind | terminal max-abs-err | terminal PSNR (dB) |")
-    print("|---|---|---|---|")
+    print("| knob | kind | terminal max-abs-err | rel err | PSNR (dB) |")
+    print("|---|---|---|---|---|")
     for name, r in results.items():
         p = r["terminal_psnr"]
         ps = "inf" if p == float("inf") else f"{p:.1f}"
         print(f"| {name} | {r['kind']} | {r['terminal_max_err']:.3e} "
-              f"| {ps} |")
+              f"| {r['terminal_rel_err']:.3e} | {ps} |")
 
 
 if __name__ == "__main__":
