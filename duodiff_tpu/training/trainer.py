@@ -120,7 +120,12 @@ class Trainer:
             dataset=args.dataset,
             model=args.model,
         )
-        self.logger = MetricsLogger(self.log_path)
+        # multi-host: every process shares the same log_path (common
+        # filesystem — required: Checkpointer.save is an orbax collective
+        # keyed by the directory), but only process 0 writes metrics files
+        self.logger = MetricsLogger(
+            self.log_path, enabled=jax.process_index() == 0
+        )
         self.logger.log_hparams(vars(args))
 
         self.start_step = 0
@@ -233,6 +238,32 @@ class Trainer:
                 self.params, tx, ema_decay=getattr(args, "ema_decay", 0.0) or 0.0
             )
         )
+
+    def _place_batch(self, batch, bshard, lshard):
+        """Commit a host batch to the mesh. Single-process: plain
+        device_put. Multi-process: every process loaded the SAME global
+        batch (the data sampler is seeded identically), so each contributes
+        its local row range of the ("dcn", "data")-sharded batch via
+        make_array_from_process_local_data — the assembled global array is
+        what the jitted step consumes."""
+        if jax.process_count() == 1:
+            return {
+                "image": jax.device_put(batch["image"], bshard),
+                "label": jax.device_put(batch["label"], lshard),
+            }
+        n = jax.process_count()
+        p = jax.process_index()
+        b = batch["image"].shape[0]
+        local = b // n
+        sl = slice(p * local, (p + 1) * local)
+        return {
+            "image": jax.make_array_from_process_local_data(
+                bshard, np.ascontiguousarray(batch["image"][sl])
+            ),
+            "label": jax.make_array_from_process_local_data(
+                lshard, np.ascontiguousarray(batch["label"][sl])
+            ),
+        }
 
     def _place_state(self, state):
         """Commit every train-state leaf to the mesh: params per the partition
@@ -406,10 +437,7 @@ class Trainer:
                     profiler_active = False
                     print(f"profile trace written to {self.log_path / 'profile'}")
             batch = next(batch_iterator)
-            device_batch = {
-                "image": jax.device_put(batch["image"], bshard),
-                "label": jax.device_put(batch["label"], lshard),
-            }
+            device_batch = self._place_batch(batch, bshard, lshard)
             if self.encode_fn is not None:
                 enc_key = jax.random.fold_in(
                     jax.random.fold_in(base_key, step), 7
@@ -513,10 +541,12 @@ class Trainer:
         out = self._sample_fn.sample(key, shape, y=(y, sample_params))
         if self._sample_fn.aux_fn is not None:
             x, probe_rows = out  # (T, depth, B) per-step probe outputs
-            np.save(
-                self.log_path / f"sample_classifier_outputs_step{step}.npy",
-                np.asarray(probe_rows, np.float32),
-            )
+            if self.logger.enabled:
+                np.save(
+                    self.log_path
+                    / f"sample_classifier_outputs_step{step}.npy",
+                    np.asarray(probe_rows, np.float32),
+                )
             self.logger.log_scalars(step, {
                 "sample_mean_probe_error":
                     float(np.asarray(probe_rows).mean()),

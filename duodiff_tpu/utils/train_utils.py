@@ -19,11 +19,19 @@ class MetricsLogger:
     lazily imported) plus an always-on metrics.jsonl for tooling that
     doesn't read TB."""
 
-    def __init__(self, log_dir, use_tensorboard: bool = True):
+    def __init__(self, log_dir, use_tensorboard: bool = True,
+                 enabled: bool = True):
+        """``enabled=False`` (multi-host non-lead processes) makes every
+        method a no-op: all processes share one log dir on a common
+        filesystem, only process 0 writes metrics files."""
+        self.enabled = enabled
         self.log_dir = Path(log_dir)
+        self._jsonl = None
+        self._tb = None
+        if not enabled:
+            return
         self.log_dir.mkdir(parents=True, exist_ok=True)
         self._jsonl = open(self.log_dir / "metrics.jsonl", "a")
-        self._tb = None
         if use_tensorboard:
             try:
                 from torch.utils.tensorboard import SummaryWriter
@@ -33,6 +41,8 @@ class MetricsLogger:
                 print(f"TensorBoard writer unavailable ({e}); jsonl only")
 
     def log_scalars(self, step: int, scalars: dict) -> None:
+        if not self.enabled:
+            return
         rec = {"step": step, **{k: float(v) for k, v in scalars.items()}}
         self._jsonl.write(json.dumps(rec) + "\n")
         self._jsonl.flush()
@@ -50,6 +60,8 @@ class MetricsLogger:
             )
 
     def log_hparams(self, hparams: dict) -> None:
+        if not self.enabled:
+            return
         with open(self.log_dir / "hparams.json", "w") as f:
             json.dump({k: _maybe_str(v) for k, v in hparams.items()}, f, indent=2)
         if self._tb is not None:
@@ -65,7 +77,8 @@ class MetricsLogger:
                 print(f"add_hparams skipped ({e})")
 
     def close(self) -> None:
-        self._jsonl.close()
+        if self._jsonl is not None:
+            self._jsonl.close()
         if self._tb is not None:
             self._tb.close()
 

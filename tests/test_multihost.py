@@ -128,3 +128,85 @@ def test_two_process_dcn_train_step(tmp_path):
         if "loss=" in line
     ]
     assert len(losses) == 2 and losses[0] == losses[1], losses
+
+
+def test_main_cli_multihost_train(tmp_path):
+    """END-TO-END multi-host CLI: two REAL processes run `main.py
+    --multihost` (coordinator from JAX_COORDINATOR_ADDRESS /
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID), the trainer builds the hybrid
+    (dcn=2, data=4, model=1) mesh, each process contributes its local rows
+    of the seeded global batch (_place_batch), and the psum'd losses agree
+    across processes."""
+    import pickle
+
+    import numpy as np
+
+    root = tmp_path / "data" / "cifar10" / "cifar-10-batches-py"
+    root.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    for i in range(1, 6):
+        data = rng.randint(0, 256, (16, 3072), dtype=np.uint8)
+        labels = rng.randint(0, 10, (16,)).tolist()
+        with open(root / f"data_batch_{i}", "wb") as f:
+            pickle.dump({b"data": data, b"labels": labels}, f)
+
+    cfg = tmp_path / "tiny.yaml"
+    cfg.write_text(
+        "model_params:\n  img_size: 32\n  patch_size: 4\n  in_chans: 3\n"
+        "  embed_dim: 32\n  depth: 3\n  num_heads: 4\n  mlp_ratio: 4\n"
+        "  qkv_bias: False\n  mlp_time_embed: False\n  num_classes: -1\n"
+        "  normalize_timesteps: True\n"
+    )
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coordinator = f"127.0.0.1:{port}"
+
+    procs = []
+    for pid in range(2):
+        env = dict(
+            os.environ,
+            PALLAS_AXON_POOL_IPS="",
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=4",
+            PYTHONPATH=str(REPO),
+            JAX_COORDINATOR_ADDRESS=coordinator,
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+        )
+        procs.append(subprocess.Popen(
+            [
+                sys.executable, str(REPO / "main.py"),
+                "--config_path", str(cfg),
+                "--n_steps", "2",
+                "--batch_size", "8",
+                "--num_timesteps", "50",
+                "--dataset", "cifar10",
+                "--data_path", str(tmp_path / "data"),
+                # SHARED log dir: orbax checkpoint saves are collectives
+                # keyed by the directory; only process 0 writes metrics
+                "--log_path", str(tmp_path / "logs"),
+                "--exp_name", "mh",
+                "--num_warmup_steps", "1",
+            ],
+            env=env, cwd=str(REPO), stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True,
+        ))
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=420)
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-4000:]}"
+        assert "dcn" in out, out[-2000:]  # hybrid mesh was built
+    # the collective final checkpoint landed in the shared dir
+    assert (tmp_path / "logs" / "mh" / "cifar10_uvit_last").exists()
+    # both processes must report identical train losses (same global data,
+    # psum'd gradients)
+    import re as _re
+
+    losses = [
+        _re.findall(r"train_loss['\"]?: ([0-9.]+)", out) for out in outs
+    ]
+    assert losses[0] and losses[0] == losses[1], losses
