@@ -747,6 +747,44 @@ def _attn_sublayer_reference(
     return (xv + proj + proj_bias.astype(f32)).astype(bdt)
 
 
+def _attn_sublayer_reference_flash(
+    x, ln_scale, ln_bias, qkv_kernel, qkv_bias, proj_kernel, proj_bias,
+    *, num_heads: int, eps: float, interpret: bool = False,
+):
+    """Like :func:`_attn_sublayer_reference`, but the SDPA core runs the
+    per-head-tiled flash-attention kernel (its custom VJP keeps the
+    (B, H, L, L) score/probability tensors in VMEM instead of
+    materializing them to HBM like XLA's recompute backward). Used as the
+    D>=768 attention-sublayer backward on TPU: the per-head tiling fits
+    VMEM at any embed dim."""
+    from duodiff_tpu.ops.pallas_attention import flash_attention_trainable
+
+    b, l, d = x.shape
+    h = num_heads
+    dh = d // h
+    bdt = x.dtype
+    f32 = jnp.float32
+
+    xv = x.astype(f32)
+    _, _, xn_f = _ln_fwd(xv, ln_scale.astype(f32), ln_bias.astype(f32), eps)
+    xn = xn_f.astype(bdt)
+    qkv = jnp.dot(xn, qkv_kernel.astype(bdt), preferred_element_type=f32)
+    if qkv_bias is not None:
+        qkv = qkv + qkv_bias.astype(f32)
+    qkv = qkv.astype(bdt)
+    # packed (K H Dh) -> (B, H, L, Dh) per tensor; the kernel applies the
+    # dh**-0.5 scale itself
+    q = qkv[..., :d].reshape(b, l, h, dh).transpose(0, 2, 1, 3)
+    k = qkv[..., d:2 * d].reshape(b, l, h, dh).transpose(0, 2, 1, 3)
+    v = qkv[..., 2 * d:].reshape(b, l, h, dh).transpose(0, 2, 1, 3)
+    o = flash_attention_trainable(q, k, v, interpret)
+    merged = o.transpose(0, 2, 1, 3).reshape(b, l, d).astype(bdt)
+    proj = jnp.dot(
+        merged, proj_kernel.astype(bdt), preferred_element_type=f32
+    )
+    return (xv + proj + proj_bias.astype(f32)).astype(bdt)
+
+
 def attn_bwd_fits(b: int, l: int, d: int, itemsize: int,
                   budget_bytes: int = 24 * 2**20) -> bool:
     """Whether the Pallas attention backward's VMEM working set fits.
@@ -775,9 +813,13 @@ def _attn_sublayer_bwd(
     *, num_heads: int, eps: float, interpret: bool,
 ):
     """Attention-sublayer backward dispatch: the hand-written Pallas kernel
-    when its VMEM residents fit (D<=512-class models), else the XLA
-    recompute backward through _attn_sublayer_reference (D>=1024; D=768 is
-    decided by the attn_bwd_fits estimate). Returns
+    when its VMEM residents fit (D<=512-class models), else a recompute
+    backward for D>=768 — on TPU through _attn_sublayer_reference_flash
+    (flash-attention custom VJP inside the XLA LN/projection chain: the
+    per-head tiling fits VMEM at any embed dim and keeps the (B, H, L, L)
+    tensors out of HBM — 11.07 vs 17.63 ms/call isolated at D=768 B=128,
+    tools/probe_attn_bwd.py 2026-08-17), in interpret mode (off-TPU)
+    through the pure-XLA _attn_sublayer_reference. Returns
     (dx, dg, db, dwqkv, dbqkv, dwp, dbp) with dbqkv None iff qkv_bias is."""
     b, l, d = x.shape
     if attn_bwd_fits(b, l, d, jnp.dtype(x.dtype).itemsize):
@@ -785,9 +827,14 @@ def _attn_sublayer_bwd(
             x, dy, ln_scale, ln_bias, qkv_kernel, qkv_bias, proj_kernel,
             num_heads=num_heads, eps=eps, interpret=interpret,
         )
-    ref = functools.partial(
-        _attn_sublayer_reference, num_heads=num_heads, eps=eps
-    )
+    if interpret:
+        ref = functools.partial(
+            _attn_sublayer_reference, num_heads=num_heads, eps=eps
+        )
+    else:
+        ref = functools.partial(
+            _attn_sublayer_reference_flash, num_heads=num_heads, eps=eps
+        )
     zero_bp = jnp.zeros((d,), jnp.float32)  # additive: grads independent
     if qkv_bias is not None:
         _, vjp = jax.vjp(

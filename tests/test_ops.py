@@ -399,3 +399,45 @@ def test_mlp_bwd_dispatch_cascade():
     assert _mlp_bwd_split_config(128, 258, 768, 3072, 2) is not None
     assert not mlp_bwd_fits(128, 258, 1024, 4096, 2)
     assert _mlp_bwd_split_config(128, 258, 1024, 4096, 2) is not None
+
+
+def test_attn_flash_core_reference_matches_xla_reference():
+    """The flash-core attention-sublayer reference (D>=768 backward on TPU:
+    flash-attention custom VJP inside the XLA LN/projection chain) must
+    match the pure-XLA reference in forward AND gradients."""
+    import functools
+
+    from duodiff_tpu.ops import pallas_block as pb
+
+    b, l, d, h = 3, 33, 64, 4
+    keys = jax.random.split(jax.random.PRNGKey(5), 8)
+    x = jax.random.normal(keys[0], (b, l, d))
+    dy = jax.random.normal(keys[1], (b, l, d))
+    ln_s = 1.0 + 0.1 * jax.random.normal(keys[2], (d,))
+    ln_b = 0.1 * jax.random.normal(keys[3], (d,))
+    wqkv = 0.05 * jax.random.normal(keys[4], (d, 3 * d))
+    bqkv = 0.05 * jax.random.normal(keys[5], (3 * d,))
+    wp = 0.05 * jax.random.normal(keys[6], (d, d))
+    bp = 0.05 * jax.random.normal(keys[7], (d,))
+
+    args = (x, ln_s, ln_b, wqkv, bqkv, wp, bp)
+    y_ref = pb._attn_sublayer_reference(*args, num_heads=h, eps=1e-5)
+    y_flash, vjp_flash = jax.vjp(
+        functools.partial(
+            pb._attn_sublayer_reference_flash, num_heads=h, eps=1e-5,
+            interpret=True,
+        ),
+        *args,
+    )
+    np.testing.assert_allclose(
+        np.asarray(y_flash), np.asarray(y_ref), rtol=1e-5, atol=1e-5,
+    )
+    _, vjp_ref = jax.vjp(
+        functools.partial(pb._attn_sublayer_reference, num_heads=h, eps=1e-5),
+        *args,
+    )
+    names = ["dx", "dln_s", "dln_b", "dwqkv", "dbqkv", "dwp", "dbp"]
+    for name, a, r in zip(names, vjp_flash(dy), vjp_ref(dy)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(r), rtol=2e-4, atol=2e-5, err_msg=name,
+        )

@@ -29,6 +29,7 @@ def main():
     from duodiff_tpu.ops.pallas_block import (
         _attn_sublayer_bwd_impl,
         _attn_sublayer_reference,
+        _attn_sublayer_reference_flash,
     )
 
     shape = sys.argv[1] if len(sys.argv) > 1 else "imagenet64"
@@ -89,6 +90,24 @@ def main():
         return vjp(dy)
 
     xla = run("xla recompute bwd", jax.jit(xla_bwd))
+
+    def flash_bwd():
+        _, vjp = jax.vjp(
+            functools.partial(
+                _attn_sublayer_reference_flash, num_heads=heads, eps=1e-5
+            ),
+            x, g, bb, wqkv, bqkv, wp, bp,
+        )
+        return vjp(dy)
+
+    flash = run("flash-core recompute bwd", jax.jit(flash_bwd))
+    if flash is not None and xla is not None:
+        for name, a, bseq in (("dx", flash[0], xla[0]),
+                              ("dwqkv", flash[3], xla[3]),
+                              ("dwp", flash[5], xla[5])):
+            err = float(jnp.max(jnp.abs(
+                a.astype(jnp.float32) - bseq.astype(jnp.float32))))
+            print(f"  flash-vs-xla {name}: max abs err {err:.3e}")
 
     if pallas is not None and xla is not None:
         for name, a, bseq in (
