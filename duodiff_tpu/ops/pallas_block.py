@@ -820,14 +820,23 @@ def _attn_sublayer_bwd(
     tensors out of HBM — 11.07 vs 17.63 ms/call isolated at D=768 B=128,
     tools/probe_attn_bwd.py 2026-08-17), in interpret mode (off-TPU)
     through the pure-XLA _attn_sublayer_reference. Returns
-    (dx, dg, db, dwqkv, dbqkv, dwp, dbp) with dbqkv None iff qkv_bias is."""
+    (dx, dg, db, dwqkv, dbqkv, dwp, dbp) with dbqkv None iff qkv_bias is.
+
+    DUODIFF_ATTN_BWD_FALLBACK={flash,xla} overrides the D>=768 fallback
+    choice (read at TRACE time, like DUODIFF_MLP_BWD_SPLIT): "xla" forces
+    the pure-XLA recompute backward on TPU for end-to-end attribution of
+    the flash-core path (tools/microbench.py --mode train). Other values
+    fall through to the default."""
+    import os
+
     b, l, d = x.shape
     if attn_bwd_fits(b, l, d, jnp.dtype(x.dtype).itemsize):
         return _attn_sublayer_bwd_impl(
             x, dy, ln_scale, ln_bias, qkv_kernel, qkv_bias, proj_kernel,
             num_heads=num_heads, eps=eps, interpret=interpret,
         )
-    if interpret:
+    fallback = os.environ.get("DUODIFF_ATTN_BWD_FALLBACK")
+    if interpret or fallback == "xla":
         ref = functools.partial(
             _attn_sublayer_reference, num_heads=num_heads, eps=eps
         )
