@@ -235,7 +235,10 @@ class ChunkedDDPMSampler:
             out = self._run_chunk(x, key, ts, y)
             if self.aux_fn is not None:
                 x, key, aux = out
-                aux_chunks.append(jax.device_get(aux))
+                # keep the aux rows on device: a device_get here would block
+                # the host between chunks and break the async dispatch
+                # pipeline; one transfer happens after the loop.
+                aux_chunks.append(aux)
                 return x, key
             return out
 
@@ -247,7 +250,8 @@ class ChunkedDDPMSampler:
             x, key = step_chunk(x, key, ts)
         if self.aux_fn is not None:
             aux = jax.tree_util.tree_map(
-                lambda *cs: np.concatenate(cs, axis=0), *aux_chunks
+                lambda *cs: np.concatenate(jax.device_get(list(cs)), axis=0),
+                *aux_chunks,
             )
             return x, key, aux
         return x, key

@@ -703,16 +703,22 @@ def _attn_sublayer_bwd_impl(
 
 def _attn_sublayer_reference(
     x, ln_scale, ln_bias, qkv_kernel, qkv_bias, proj_kernel, proj_bias,
-    *, num_heads: int, eps: float,
+    *, num_heads: int, eps: float, sdpa: str = "xla",
+    interpret: bool = False,
 ):
-    """Pure-XLA replica of the fused attention sublayer's numerics (fp32 LN
-    and softmax, bf16 matmul operands, post-normalized attention output,
-    full-width out-projection). Used as the recompute backward when the
-    Pallas attention backward's VMEM residents don't fit (attn_bwd_fits)."""
+    """Replica of the fused attention sublayer's numerics (fp32 LN and
+    softmax, bf16 matmul operands, post-normalized attention output,
+    full-width out-projection), used as the recompute backward when the
+    Pallas attention backward's VMEM residents don't fit (attn_bwd_fits).
+
+    sdpa selects the attention core inside the shared LN/projection chain:
+    "xla" (pure-XLA einsum softmax) or "flash" (the per-head-tiled
+    flash-attention kernel, whose custom VJP keeps the (B, H, L, L)
+    score/probability tensors in VMEM instead of materializing them to HBM
+    — the D>=768 on-TPU backward path)."""
     b, l, d = x.shape
     h = num_heads
     dh = d // h
-    scale = float(dh) ** -0.5
     bdt = x.dtype
     f32 = jnp.float32
 
@@ -729,56 +735,32 @@ def _attn_sublayer_reference(
     q = qkv[..., :d].reshape(b, l, h, dh)
     k = qkv[..., d:2 * d].reshape(b, l, h, dh)
     v = qkv[..., 2 * d:].reshape(b, l, h, dh)
-    qsc = (q.astype(f32) * scale).astype(bdt)
-    s = jnp.einsum(
-        "blhe,bmhe->bhlm", qsc, k, preferred_element_type=f32
-    )
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    denom = jnp.sum(e, axis=-1, keepdims=True)
-    o = jnp.einsum(
-        "bhlm,bmhe->blhe", e.astype(bdt), v, preferred_element_type=f32
-    )
-    o = (o / jnp.swapaxes(denom, 1, 2)).astype(bdt)
-    merged = o.reshape(b, l, d)
-    proj = jnp.dot(
-        merged, proj_kernel.astype(bdt), preferred_element_type=f32
-    )
-    return (xv + proj + proj_bias.astype(f32)).astype(bdt)
+    if sdpa == "flash":
+        from duodiff_tpu.ops.pallas_attention import (
+            flash_attention_trainable,
+        )
 
-
-def _attn_sublayer_reference_flash(
-    x, ln_scale, ln_bias, qkv_kernel, qkv_bias, proj_kernel, proj_bias,
-    *, num_heads: int, eps: float, interpret: bool = False,
-):
-    """Like :func:`_attn_sublayer_reference`, but the SDPA core runs the
-    per-head-tiled flash-attention kernel (its custom VJP keeps the
-    (B, H, L, L) score/probability tensors in VMEM instead of
-    materializing them to HBM like XLA's recompute backward). Used as the
-    D>=768 attention-sublayer backward on TPU: the per-head tiling fits
-    VMEM at any embed dim."""
-    from duodiff_tpu.ops.pallas_attention import flash_attention_trainable
-
-    b, l, d = x.shape
-    h = num_heads
-    dh = d // h
-    bdt = x.dtype
-    f32 = jnp.float32
-
-    xv = x.astype(f32)
-    _, _, xn_f = _ln_fwd(xv, ln_scale.astype(f32), ln_bias.astype(f32), eps)
-    xn = xn_f.astype(bdt)
-    qkv = jnp.dot(xn, qkv_kernel.astype(bdt), preferred_element_type=f32)
-    if qkv_bias is not None:
-        qkv = qkv + qkv_bias.astype(f32)
-    qkv = qkv.astype(bdt)
-    # packed (K H Dh) -> (B, H, L, Dh) per tensor; the kernel applies the
-    # dh**-0.5 scale itself
-    q = qkv[..., :d].reshape(b, l, h, dh).transpose(0, 2, 1, 3)
-    k = qkv[..., d:2 * d].reshape(b, l, h, dh).transpose(0, 2, 1, 3)
-    v = qkv[..., 2 * d:].reshape(b, l, h, dh).transpose(0, 2, 1, 3)
-    o = flash_attention_trainable(q, k, v, interpret)
-    merged = o.transpose(0, 2, 1, 3).reshape(b, l, d).astype(bdt)
+        # (B, L, H, Dh) -> (B, H, L, Dh); the kernel applies the dh**-0.5
+        # scale itself
+        o = flash_attention_trainable(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), interpret,
+        )
+        merged = o.transpose(0, 2, 1, 3).reshape(b, l, d).astype(bdt)
+    else:
+        scale = float(dh) ** -0.5
+        qsc = (q.astype(f32) * scale).astype(bdt)
+        s = jnp.einsum(
+            "blhe,bmhe->bhlm", qsc, k, preferred_element_type=f32
+        )
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        denom = jnp.sum(e, axis=-1, keepdims=True)
+        o = jnp.einsum(
+            "bhlm,bmhe->blhe", e.astype(bdt), v, preferred_element_type=f32
+        )
+        o = (o / jnp.swapaxes(denom, 1, 2)).astype(bdt)
+        merged = o.reshape(b, l, d)
     proj = jnp.dot(
         merged, proj_kernel.astype(bdt), preferred_element_type=f32
     )
@@ -823,10 +805,12 @@ def _attn_sublayer_bwd(
     (dx, dg, db, dwqkv, dbqkv, dwp, dbp) with dbqkv None iff qkv_bias is.
 
     DUODIFF_ATTN_BWD_FALLBACK={flash,xla} overrides the D>=768 fallback
-    choice (read at TRACE time, like DUODIFF_MLP_BWD_SPLIT): "xla" forces
-    the pure-XLA recompute backward on TPU for end-to-end attribution of
-    the flash-core path (tools/microbench.py --mode train). Other values
-    fall through to the default."""
+    choice in either direction (read at TRACE time, like
+    DUODIFF_MLP_BWD_SPLIT): "xla" forces the pure-XLA recompute backward on
+    TPU for end-to-end attribution of the flash-core path
+    (tools/microbench.py --mode train); "flash" forces the flash core even
+    off-TPU (the kernel runs in interpret mode). Other values fall through
+    to the default (flash on TPU, xla in interpret mode)."""
     import os
 
     b, l, d = x.shape
@@ -836,14 +820,12 @@ def _attn_sublayer_bwd(
             num_heads=num_heads, eps=eps, interpret=interpret,
         )
     fallback = os.environ.get("DUODIFF_ATTN_BWD_FALLBACK")
-    if interpret or fallback == "xla":
-        ref = functools.partial(
-            _attn_sublayer_reference, num_heads=num_heads, eps=eps
-        )
-    else:
-        ref = functools.partial(
-            _attn_sublayer_reference_flash, num_heads=num_heads, eps=eps
-        )
+    if fallback not in ("flash", "xla"):
+        fallback = "xla" if interpret else "flash"
+    ref = functools.partial(
+        _attn_sublayer_reference, num_heads=num_heads, eps=eps,
+        sdpa=fallback, interpret=interpret,
+    )
     zero_bp = jnp.zeros((d,), jnp.float32)  # additive: grads independent
     if qkv_bias is not None:
         _, vjp = jax.vjp(

@@ -111,6 +111,12 @@ def main(argv=None):
             if args.null_class is not None
             else cfg.num_classes - 1
         )
+        if null_class < 1:
+            raise SystemExit(
+                "--guidance_scale needs a class-conditional model with a "
+                f"reserved null slot: num_classes={cfg.num_classes}, "
+                f"null_class={null_class} leaves no real classes"
+            )
         guidance = (args.guidance_scale, null_class)
     if args.class_id is not None:
         key, ykey = jax.random.split(key)

@@ -163,11 +163,29 @@ def maybe_init_distributed(args) -> None:
         return
     import jax
 
-    if coordinator and os.environ.get("JAX_NUM_PROCESSES"):
+    if coordinator:
+        # Explicit multi-process spec: all three env vars or none. Catching
+        # a partial spec here beats a raw KeyError (or a silent fall-through
+        # to auto-detect, which hangs on non-TPU hosts).
+        num_procs = os.environ.get("JAX_NUM_PROCESSES")
+        proc_id = os.environ.get("JAX_PROCESS_ID")
+        if not (num_procs and proc_id):
+            missing = [
+                name for name, val in (
+                    ("JAX_NUM_PROCESSES", num_procs),
+                    ("JAX_PROCESS_ID", proc_id),
+                ) if not val
+            ]
+            raise SystemExit(
+                "JAX_COORDINATOR_ADDRESS is set but "
+                f"{' and '.join(missing)} "
+                "missing — all three are required for an explicit "
+                "multi-host spec (see --multihost help)"
+            )
         jax.distributed.initialize(
             coordinator_address=coordinator,
-            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
-            process_id=int(os.environ["JAX_PROCESS_ID"]),
+            num_processes=int(num_procs),
+            process_id=int(proc_id),
         )
     else:
         jax.distributed.initialize()

@@ -142,6 +142,12 @@ def main(argv=None):
                 if args.null_class is not None
                 else cfg.num_classes - 1
             )
+            if hi < 1:
+                raise SystemExit(
+                    "--guidance_scale needs a class-conditional model with "
+                    f"a reserved null slot: num_classes={cfg.num_classes}, "
+                    f"null_class={hi} leaves no real classes"
+                )
             if args.class_id >= 0:
                 if args.class_id >= hi:
                     raise SystemExit(

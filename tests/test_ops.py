@@ -424,8 +424,8 @@ def test_attn_flash_core_reference_matches_xla_reference():
     y_ref = pb._attn_sublayer_reference(*args, num_heads=h, eps=1e-5)
     y_flash, vjp_flash = jax.vjp(
         functools.partial(
-            pb._attn_sublayer_reference_flash, num_heads=h, eps=1e-5,
-            interpret=True,
+            pb._attn_sublayer_reference, num_heads=h, eps=1e-5,
+            sdpa="flash", interpret=True,
         ),
         *args,
     )

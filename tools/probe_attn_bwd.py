@@ -29,7 +29,6 @@ def main():
     from duodiff_tpu.ops.pallas_block import (
         _attn_sublayer_bwd_impl,
         _attn_sublayer_reference,
-        _attn_sublayer_reference_flash,
     )
 
     shape = sys.argv[1] if len(sys.argv) > 1 else "imagenet64"
@@ -94,7 +93,8 @@ def main():
     def flash_bwd():
         _, vjp = jax.vjp(
             functools.partial(
-                _attn_sublayer_reference_flash, num_heads=heads, eps=1e-5
+                _attn_sublayer_reference, num_heads=heads, eps=1e-5,
+                sdpa="flash",
             ),
             x, g, bb, wqkv, bqkv, wp, bp,
         )
