@@ -186,6 +186,7 @@ class EarlyExitUViT(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
     gelu_approx: bool = False
+    qkv_layout: str = "packed"
 
     @nn.compact
     def __call__(
@@ -206,7 +207,8 @@ class EarlyExitUViT(nn.Module):
 
         uvit = UViT(
             config=cfg, dtype=self.dtype, attn_impl=self.attn_impl,
-            gelu_approx=self.gelu_approx, name="uvit"
+            gelu_approx=self.gelu_approx, qkv_layout=self.qkv_layout,
+            name="uvit"
         )
         tokens = uvit.embed_tokens(x, timesteps, y)
 
@@ -279,11 +281,12 @@ class EarlyExitUViT(nn.Module):
 def init_early_exit_uvit(
     config: UViTConfig, key: jax.Array, dtype=jnp.float32,
     attn_impl: str = "auto", gelu_approx: bool = False,
+    qkv_layout: str = "packed",
 ):
     """Create an EarlyExitUViT and initialize parameters."""
     model = EarlyExitUViT(
         config=config, dtype=dtype, attn_impl=attn_impl,
-        gelu_approx=gelu_approx,
+        gelu_approx=gelu_approx, qkv_layout=qkv_layout,
     )
     x = jnp.zeros((1, config.img_size, config.img_size, config.in_chans), jnp.float32)
     t = jnp.zeros((1,), jnp.float32)

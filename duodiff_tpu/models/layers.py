@@ -133,35 +133,68 @@ class _QKVProj(nn.Module):
     is needed between the projection and the attention kernel — profiling
     showed those copies cost ~20% of a sampling step.
 
-    Param layout matches the reference packed Linear: kernel (D, 3D) with
-    K-major column packing "B L (K H D)" (reference models/uvit.py:150,159).
+    qkv_layout selects the PARAMETER STORAGE (the math is identical):
+      - "packed": kernel (D, 3D) with K-major column packing
+        "B L (K H D)", matching the reference packed Linear
+        (reference models/uvit.py:150,159). The single-chip default.
+      - "heads": kernel (D, 3, H, Dh) — the same values un-flattened. Under
+        tensor parallelism GSPMD can shard the explicit H axis
+        (P(None, None, "model", None)), giving each device whole heads with
+        their q, k AND v columns (Megatron-style); a column shard of the
+        packed (D, 3D) layout crosses the q/k/v boundaries, so GSPMD must
+        all-gather the weight instead.
     """
 
     num_heads: int
     use_bias: bool
     dtype: jnp.dtype
     features: int = 0  # embed dim; only needed when called with raw=True
+    qkv_layout: str = "packed"
 
     @nn.compact
     def __call__(self, x, raw: bool = False):
         d = x.shape[-1] if x is not None else self.features
-        head_dim = d // self.num_heads
-        kernel = self.param("kernel", trunc_normal_init, (d, 3 * d))
-        raw_bias = (
-            self.param("bias", nn.initializers.zeros, (3 * d,))
-            if self.use_bias
-            else None
-        )
+        h = self.num_heads
+        head_dim = d // h
+        if self.qkv_layout == "heads":
+            kernel = self.param(
+                "kernel", trunc_normal_init, (d, 3, h, head_dim)
+            )
+            raw_bias = (
+                self.param("bias", nn.initializers.zeros, (3, h, head_dim))
+                if self.use_bias
+                else None
+            )
+        else:
+            kernel = self.param("kernel", trunc_normal_init, (d, 3 * d))
+            raw_bias = (
+                self.param("bias", nn.initializers.zeros, (3 * d,))
+                if self.use_bias
+                else None
+            )
         if raw:  # fused-kernel path: hand the packed params to pallas_block
+            if self.qkv_layout == "heads":
+                # (D, 3, H, Dh) -> (D, 3D) is exactly the K-major packing;
+                # free single-chip (replicated params), an all-gather under
+                # TP — use a non-fused attn_impl there
+                return kernel.reshape(d, 3 * d), (
+                    raw_bias.reshape(3 * d) if raw_bias is not None else None
+                )
             return kernel, raw_bias
-        b, l, _ = x.shape
-        w = kernel.astype(self.dtype).reshape(d, 3, self.num_heads, head_dim)
-        bias = (
-            raw_bias.astype(self.dtype)
-            .reshape(3, self.num_heads, 1, head_dim)
-            if self.use_bias
-            else None
-        )
+        if self.qkv_layout == "heads":
+            w = kernel.astype(self.dtype)
+            bias = (
+                raw_bias.astype(self.dtype)[:, :, None, :]
+                if self.use_bias
+                else None
+            )
+        else:
+            w = kernel.astype(self.dtype).reshape(d, 3, h, head_dim)
+            bias = (
+                raw_bias.astype(self.dtype).reshape(3, h, 1, head_dim)
+                if self.use_bias
+                else None
+            )
         x = x.astype(self.dtype)
         # three separate einsums so q/k/v land in their own buffers — slicing
         # one stacked (3,B,H,L,Dh) output forced XLA to materialize a copy of
@@ -178,23 +211,36 @@ class _QKVProj(nn.Module):
 
 class _OutProj(nn.Module):
     """Output projection consuming (B, H, L, Dh) directly (the head-merge
-    transpose folds into the matmul). Params match Linear(D, D)."""
+    transpose folds into the matmul). Params match Linear(D, D) in the
+    "packed" layout; "heads" stores the same values as (H, Dh, D) so the H
+    axis shards under tensor parallelism (row-parallel: GSPMD inserts the
+    psum after the contraction)."""
 
     num_heads: int
     dtype: jnp.dtype
     features: int = 0  # embed dim; only needed when called with raw=True
+    qkv_layout: str = "packed"
 
     @nn.compact
     def __call__(self, a, raw: bool = False):
         d = (
             a.shape[1] * a.shape[3] if a is not None else self.features
         )
-        kernel = self.param("kernel", trunc_normal_init, (d, d))
+        h = self.num_heads
+        if self.qkv_layout == "heads":
+            kernel = self.param("kernel", trunc_normal_init, (h, d // h, d))
+        else:
+            kernel = self.param("kernel", trunc_normal_init, (d, d))
         bias = self.param("bias", nn.initializers.zeros, (d,))
         if raw:  # fused-kernel path
+            if self.qkv_layout == "heads":
+                return kernel.reshape(d, d), bias
             return kernel, bias
-        h = self.num_heads
-        w = kernel.astype(self.dtype).reshape(h, d // h, d)
+        w = (
+            kernel.astype(self.dtype)
+            if self.qkv_layout == "heads"
+            else kernel.astype(self.dtype).reshape(h, d // h, d)
+        )
         out = jnp.einsum("bhle,hed->bld", a.astype(self.dtype), w)
         return out + bias.astype(self.dtype)
 
@@ -213,6 +259,7 @@ class Attention(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
     features: int = 0  # embed dim; only needed when called with raw=True
+    qkv_layout: str = "packed"
 
     @nn.compact
     def __call__(self, x, raw: bool = False):
@@ -221,12 +268,14 @@ class Attention(nn.Module):
             use_bias=self.qkv_bias,
             dtype=self.dtype,
             features=self.features,
+            qkv_layout=self.qkv_layout,
             name="qkv",
         )
         proj = _OutProj(
             num_heads=self.num_heads,
             dtype=self.dtype,
             features=self.features,
+            qkv_layout=self.qkv_layout,
             name="proj",
         )
         if raw:  # fused-kernel path: packed (qkv, proj) params, no compute
@@ -258,6 +307,7 @@ class Block(nn.Module):
     # paths: 117.8 vs 119.7 ms/step at CelebA-64 batch 128 with
     # attn_impl="pallas"); "fused" = the fused MLP kernel + Pallas backward.
     mlp_impl: str = "auto"
+    qkv_layout: str = "packed"
 
     @nn.compact
     def __call__(self, x, skip: Optional[jax.Array] = None):
@@ -276,6 +326,7 @@ class Block(nn.Module):
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             features=d,
+            qkv_layout=self.qkv_layout,
             name="attn",
         )
         mlp = Mlp(

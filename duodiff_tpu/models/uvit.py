@@ -49,6 +49,9 @@ class UViT(nn.Module):
     attn_impl: str = "auto"
     gelu_approx: bool = False
     mlp_impl: str = "auto"
+    # "heads" stores qkv/proj kernels with an explicit head axis so tensor
+    # parallelism shards whole heads (Megatron-style; see layers._QKVProj)
+    qkv_layout: str = "packed"
 
     def setup(self):
         cfg = self.config
@@ -76,6 +79,7 @@ class UViT(nn.Module):
             attn_impl=self.attn_impl,
             gelu_approx=self.gelu_approx,
             mlp_impl=self.mlp_impl,
+            qkv_layout=self.qkv_layout,
         )
         self.in_blocks = [Block(**common) for _ in range(cfg.depth // 2)]
         self.mid_block = Block(**common)
@@ -142,7 +146,7 @@ class UViT(nn.Module):
 def init_uvit(
     config: UViTConfig, key: jax.Array, dtype=jnp.float32,
     attn_impl: str = "auto", gelu_approx: bool = False,
-    mlp_impl: str = "auto",
+    mlp_impl: str = "auto", qkv_layout: str = "packed",
 ):
     """Create a UViT module and initialize its parameters.
 
@@ -150,7 +154,7 @@ def init_uvit(
     """
     model = UViT(
         config=config, dtype=dtype, attn_impl=attn_impl,
-        gelu_approx=gelu_approx, mlp_impl=mlp_impl,
+        gelu_approx=gelu_approx, mlp_impl=mlp_impl, qkv_layout=qkv_layout,
     )
     x = jnp.zeros((1, config.img_size, config.img_size, config.in_chans), jnp.float32)
     t = jnp.zeros((1,), jnp.float32)

@@ -89,10 +89,21 @@ def replicate(mesh: Mesh) -> NamedSharding:
 # Column-parallel: qkv + mlp fc1 (shard output features over "model").
 # Row-parallel: attention proj + mlp fc2 (shard input features; XLA inserts
 # the psum on the "model" axis after the matmul).
+#
+# The attention specs are rank-dispatched (see param_sharding_rules) because
+# the attention projections have two storage layouts
+# (models/layers._QKVProj): "packed" qkv (D, 3D) / proj (D, D), and "heads"
+# qkv (D, 3, H, Dh) / proj (H, Dh, D). The heads layout shards the explicit
+# head axis, so every device holds whole heads with their q, k AND v columns
+# — true Megatron-style TP. A column shard of the packed (D, 3D) kernel
+# crosses the q/k/v boundaries, forcing GSPMD to all-gather; it is kept only
+# as the correct-but-slower fallback for packed-layout params on a TP mesh.
 _TP_RULES = (
-    (r".*attn/qkv/kernel$", P(None, "model")),
-    (r".*attn/qkv/bias$", P("model")),
-    (r".*attn/proj/kernel$", P("model", None)),
+    (r".*attn/qkv/kernel$", {2: P(None, "model"),
+                             4: P(None, None, "model", None)}),
+    (r".*attn/qkv/bias$", {1: P("model"), 3: P(None, "model", None)}),
+    (r".*attn/proj/kernel$", {2: P("model", None),
+                              3: P("model", None, None)}),
     (r".*mlp/fc1/kernel$", P(None, "model")),
     (r".*mlp/fc1/bias$", P("model")),
     (r".*mlp/fc2/kernel$", P("model", None)),
@@ -115,13 +126,21 @@ _TP_RULES_STACKED = (
 )
 
 
-def param_sharding_rules(path: str) -> P:
-    """PartitionSpec for one parameter path (joined with '/')."""
+def param_sharding_rules(path: str, ndim: Optional[int] = None) -> P:
+    """PartitionSpec for one parameter path (joined with '/').
+
+    Rank-dispatched rules (dict spec) pick by ``ndim`` — the attention
+    projections exist in two layouts with different ranks; with ndim=None
+    the lowest-rank (packed-layout) spec is returned."""
     for pattern, spec in _TP_RULES_STACKED:
         if re.match(pattern, path):
             return spec
     for pattern, spec in _TP_RULES:
         if re.match(pattern, path):
+            if isinstance(spec, dict):
+                if ndim is not None:
+                    return spec.get(ndim, P())
+                return spec[min(spec)]
             return spec
     return P()  # replicated
 
@@ -135,7 +154,7 @@ def shard_params(params, mesh: Mesh):
         )
 
     def spec_for(path, leaf):
-        spec = param_sharding_rules(path_str(path))
+        spec = param_sharding_rules(path_str(path), ndim=leaf.ndim)
         # guard: rank/divisibility mismatch -> replicate
         if len(spec) > leaf.ndim:
             return NamedSharding(mesh, P())

@@ -147,23 +147,57 @@ class Trainer:
         # — measured 111.9 ms/step vs 117.8 (flash-attn custom VJP, unfused
         # MLP) and 172.1 (pure XLA) at CelebA-64 batch 128
         # (tools/microbench.py train, 2026-08-16).
+        tp = self.mesh.shape.get("model", 1) > 1
         attn_impl = getattr(args, "attn_impl", None) or (
-            "fused" if jax.default_backend() == "tpu" else "auto"
+            "fused" if jax.default_backend() == "tpu" and not tp else "auto"
         )
+        if tp and attn_impl == "fused":
+            # the fused kernels consume the packed (D, 3D) weights, which
+            # under TP means re-packing (all-gathering) the head-sharded
+            # params every step; the XLA path keeps the Megatron sharding
+            print("model_parallel > 1: attn_impl 'fused' repacks sharded "
+                  "weights per step — consider 'auto'")
         gelu_approx = getattr(args, "gelu", "exact") == "tanh"
+        # Tensor parallelism: store attention params in the "heads" layout
+        # (explicit head axis) so the mesh rules shard whole heads —
+        # Megatron-style column/row parallelism with only the proj/fc2 psums
+        # as collectives. The packed layout's column shards cross q/k/v
+        # boundaries and force GSPMD weight all-gathers (parallel/mesh.py).
+        self.qkv_layout = (
+            "heads" if self.mesh.shape.get("model", 1) > 1 else "packed"
+        )
         if args.model == "uvit":
             self.model, params = init_uvit(
                 self.model_config, key, dtype=self.compute_dtype,
                 attn_impl=attn_impl, gelu_approx=gelu_approx,
+                qkv_layout=self.qkv_layout,
             )
         elif args.model == "deediff_uvit":
             self.model, params = init_early_exit_uvit(
                 self.model_config, key, dtype=self.compute_dtype,
                 attn_impl=attn_impl, gelu_approx=gelu_approx,
+                qkv_layout=self.qkv_layout,
             )
             if getattr(args, "load_backbone", None):
                 print(f"Loading backbone from {args.load_backbone}")
-                backbone = load_params_flexible(args.load_backbone, params["uvit"])
+                from duodiff_tpu.utils.param_layout import qkv_heads_to_packed
+
+                ref_tree = params["uvit"]
+                if self.qkv_layout == "heads":
+                    # checkpoints store the packed layout; load against a
+                    # packed template, then un-flatten
+                    ref_tree = qkv_heads_to_packed(
+                        ref_tree, self.model_config.num_heads
+                    )
+                backbone = load_params_flexible(args.load_backbone, ref_tree)
+                if self.qkv_layout == "heads":
+                    from duodiff_tpu.utils.param_layout import (
+                        qkv_packed_to_heads,
+                    )
+
+                    backbone = qkv_packed_to_heads(
+                        backbone, self.model_config.num_heads
+                    )
                 params = dict(params)
                 params["uvit"] = backbone
         else:
