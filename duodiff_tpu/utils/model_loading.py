@@ -22,14 +22,19 @@ def load_model_from_config(
     seed: int = 0,
     attn_impl: Optional[str] = None,
     gelu_approx: bool = False,
+    qkv_layout: str = "packed",
 ) -> Tuple[object, dict, UViTConfig, Optional[AutoencoderConfig]]:
     """Build a (UViT | EarlyExitUViT) from a reference-format YAML and
     optionally load weights from an Orbax dir or torch .pth.
 
     checkpoint_path=None keeps random init (useful for smoke/perf runs).
     attn_impl=None picks the fused Pallas sublayer kernel on TPU and plain
-    XLA elsewhere; gelu_approx swaps the exact-erf GELU for the tanh form
-    (below bf16 rounding; see duodiff_tpu.models.layers.Mlp).
+    XLA elsewhere (and "auto" for the heads layout, whose TP sharding the
+    fused kernels would repack); gelu_approx swaps the exact-erf GELU for
+    the tanh form (below bf16 rounding; see duodiff_tpu.models.layers.Mlp).
+    qkv_layout="heads" stores attention params with an explicit head axis
+    for Megatron-style tensor-parallel sampling (models/layers._QKVProj);
+    packed checkpoints are converted on load.
     """
     raw = load_config(config_path)
     cfg = UViTConfig.from_dict(raw["model_params"])
@@ -39,14 +44,30 @@ def load_model_from_config(
         else None
     )
     if attn_impl is None:
-        attn_impl = "fused" if jax.default_backend() == "tpu" else "auto"
+        attn_impl = (
+            "fused"
+            if jax.default_backend() == "tpu" and qkv_layout == "packed"
+            else "auto"
+        )
     init = init_early_exit_uvit if early_exit else init_uvit
     model, params = init(
         cfg, jax.random.PRNGKey(seed), dtype=dtype,
         attn_impl=attn_impl, gelu_approx=gelu_approx,
+        qkv_layout=qkv_layout,
     )
     if checkpoint_path:
         from duodiff_tpu.training.trainer import load_params_flexible
 
-        params = load_params_flexible(checkpoint_path, params)
+        load_tree = params
+        if qkv_layout == "heads":
+            # checkpoints store the reference-packed attention layout; load
+            # against a packed template and un-flatten (bit-exact reshapes)
+            from duodiff_tpu.utils.param_layout import qkv_heads_to_packed
+
+            load_tree = qkv_heads_to_packed(params, cfg.num_heads)
+        params = load_params_flexible(checkpoint_path, load_tree)
+        if qkv_layout == "heads":
+            from duodiff_tpu.utils.param_layout import qkv_packed_to_heads
+
+            params = qkv_packed_to_heads(params, cfg.num_heads)
     return model, params, cfg, ae_cfg

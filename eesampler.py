@@ -40,6 +40,11 @@ def get_args(argv=None):
                              "num_classes-1)")
     parser.add_argument("--random_init", action="store_true")
     parser.add_argument("--num_timesteps", type=int, default=1000)
+    parser.add_argument("--model_parallel", type=int, default=1,
+                        help="Tensor-parallel degree for the dynamic-"
+                             "threshold sampler: shard attention heads / "
+                             "MLP hidden over a (data, model) mesh "
+                             "(Megatron-style 'heads' layout)")
     parser.add_argument("--attn_impl", type=str, default=None,
                         choices=["auto", "xla", "pallas", "fused"])
     parser.add_argument("--gelu_approx", action="store_true",
@@ -75,6 +80,12 @@ def main(argv=None):
     if args.threshold is None and args.static_schedule is None:
         raise SystemExit("--threshold is required (or pass --static_schedule)")
 
+    mp = max(1, getattr(args, "model_parallel", 1) or 1)
+    if mp > 1 and args.static_schedule:
+        # static_exit_sample builds its own per-bucket truncated models in
+        # the packed layout; TP sampling is the dynamic-threshold path
+        raise SystemExit("--model_parallel does not combine with "
+                         "--static_schedule")
     model, params, cfg, ae_cfg = load_model_from_config(
         args.config_path,
         None if args.random_init else args.checkpoint_path,
@@ -82,6 +93,7 @@ def main(argv=None):
         seed=args.seed,
         attn_impl=args.attn_impl,
         gelu_approx=args.gelu_approx,
+        qkv_layout="heads" if mp > 1 else "packed",
     )
 
     decode_fn = None
@@ -174,13 +186,27 @@ def main(argv=None):
         )
 
         batch_shard = None
-        if (jax.device_count() > 1
-                and args.batch_size % jax.device_count() == 0):
+        n_devices = jax.device_count()
+        if mp > 1:
+            from duodiff_tpu.parallel import (
+                batch_sharding, create_mesh, shard_params,
+            )
+
+            if n_devices % mp or args.batch_size % (n_devices // mp):
+                raise SystemExit(
+                    f"--model_parallel {mp} needs mp | {n_devices} devices "
+                    f"and (devices/mp) | batch_size {args.batch_size}"
+                )
+            mesh = create_mesh(shape=(n_devices // mp, mp))
+            batch_shard = batch_sharding(mesh)
+            params = jax.device_put(params, shard_params(params, mesh))
+            print(f"Sampling on mesh {dict(mesh.shape)}")
+        elif n_devices > 1 and args.batch_size % n_devices == 0:
             from duodiff_tpu.parallel import batch_sharding, create_mesh
 
             batch_shard = batch_sharding(create_mesh())
             print(f"Sharding batch {args.batch_size} over "
-                  f"{jax.device_count()} devices")
+                  f"{n_devices} devices")
         print(f"Early-exit sampling {args.batch_size} images "
               f"(threshold={args.threshold})...")
         tic = time.time()

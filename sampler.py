@@ -49,6 +49,11 @@ def get_args(argv=None):
     parser.add_argument("--null_class", type=int, default=None,
                         help="Null-label index for guidance (default "
                              "num_classes-1)")
+    parser.add_argument("--model_parallel", type=int, default=1,
+                        help="Tensor-parallel degree: shard attention "
+                             "heads / MLP hidden over a (data, model) "
+                             "mesh (Megatron-style 'heads' layout) "
+                             "instead of replicating the model")
     parser.add_argument("--use_ddim", action="store_true")
     parser.add_argument("--ddim_steps", type=int, default=50)
     parser.add_argument("--ddim_eta", type=float, default=0.0)
@@ -95,12 +100,15 @@ def main(argv=None):
     if not args.random_init and args.checkpoint_path is None:
         raise SystemExit("--checkpoint_path is required (or pass --random_init)")
 
+    mp = max(1, args.model_parallel or 1)
+    qkv_layout = "heads" if mp > 1 else "packed"
     model, params, cfg, ae_cfg = load_model_from_config(
         args.config_path,
         None if args.random_init else args.checkpoint_path,
         seed=args.seed,
         attn_impl=args.attn_impl,
         gelu_approx=args.gelu_approx,
+        qkv_layout=qkv_layout,
     )
 
     late = None
@@ -111,6 +119,7 @@ def main(argv=None):
             seed=args.seed + 1,
             attn_impl=args.attn_impl,
             gelu_approx=args.gelu_approx,
+            qkv_layout=qkv_layout,
         )
         late = (late_model, late_params)
 
@@ -191,18 +200,45 @@ def main(argv=None):
     timesteps_save = tuple(args.timesteps_save)
     steps = schedule.steps
 
-    # Multi-chip: shard the sample batch over a data mesh (model replicated;
-    # DDPM sampling is embarrassingly parallel over the batch). jit
-    # propagates the layout through every scan chunk — zero code changes in
-    # the samplers beyond the initial placement.
+    # Multi-chip: shard the sample batch over the mesh "data" axis (DDPM
+    # sampling is embarrassingly parallel over the batch) and, with
+    # --model_parallel N, the attention heads / MLP hidden over "model"
+    # (heads layout: zero-all-gather Megatron sharding). jit propagates the
+    # layouts through every scan chunk — zero code changes in the samplers
+    # beyond the initial placement.
     batch_shard = None
-    if jax.device_count() > 1 and args.batch_size % jax.device_count() == 0:
+    n_devices = jax.device_count()
+    if mp > 1:
+        from duodiff_tpu.parallel import (
+            batch_sharding, create_mesh, shard_params,
+        )
+
+        if n_devices % mp:
+            raise SystemExit(
+                f"--model_parallel {mp} does not divide {n_devices} devices"
+            )
+        data_size = n_devices // mp
+        if args.batch_size % data_size:
+            raise SystemExit(
+                f"batch_size {args.batch_size} must be divisible by the "
+                f"{data_size} data shards"
+            )
+        mesh = create_mesh(shape=(data_size, mp))
+        batch_shard = batch_sharding(mesh)
+        params = jax.device_put(params, shard_params(params, mesh))
+        if late is not None:
+            late_model, late_params = late
+            late = (late_model,
+                    jax.device_put(late_params,
+                                   shard_params(late_params, mesh)))
+        print(f"Sampling on mesh {dict(mesh.shape)}")
+    elif n_devices > 1 and args.batch_size % n_devices == 0:
         from duodiff_tpu.parallel import batch_sharding, create_mesh
 
         mesh = create_mesh()
         batch_shard = batch_sharding(mesh)
         print(f"Sharding batch {args.batch_size} over "
-              f"{jax.device_count()} devices")
+              f"{n_devices} devices")
 
     def run_ddim(key, y):
         x_init = None

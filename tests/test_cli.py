@@ -344,6 +344,50 @@ def test_main_cli_train_tensor_parallel(tmp_path, tiny_train_config,
     np.testing.assert_allclose(losses["tp"], losses["dp"], rtol=2e-4)
 
 
+def test_sampler_cli_tensor_parallel(tmp_path, tiny_config):
+    """sampler.py --model_parallel 2: a 4x2 (data, model) mesh with the
+    head-aligned "heads" layout produces the same samples as the pure-DP
+    run (same seed; TP psum reduction order allows tiny fp drift)."""
+    from PIL import Image
+
+    pixels = {}
+    for tag, extra in (("dp", []), ("tp", ["--model_parallel", "2"])):
+        out = tmp_path / f"out_tp_{tag}"
+        sampler_cli.main([
+            "--config_path", str(tiny_config),
+            "--batch_size", "8",
+            "--parametrization", "predict_noise",
+            "--output_folder", str(out),
+            "--random_init",
+            "--num_timesteps", "8",
+            "--seed", "0",
+        ] + extra)
+        pixels[tag] = np.stack([
+            np.asarray(Image.open(out / f"{i}.png"), np.int32)
+            for i in range(8)
+        ])
+    assert np.max(np.abs(pixels["tp"] - pixels["dp"])) <= 2
+
+
+def test_eesampler_cli_tensor_parallel(tmp_path, tiny_config):
+    """eesampler.py --model_parallel 2 runs the dynamic-threshold sampler
+    on a (data, model) mesh and writes finite diagnostics."""
+    out = tmp_path / "out_ee_tp"
+    eesampler_cli.main([
+        "--config_path", str(tiny_config),
+        "--batch_size", "8",
+        "--threshold", "0.5",
+        "--output_folder", str(out),
+        "--random_init",
+        "--num_timesteps", "8",
+        "--model_parallel", "2",
+        "--seed", "0",
+    ])
+    assert (out / "0.png").exists()
+    err = np.load(out / "error_prediction_by_timestep.npy")
+    assert np.all(np.isfinite(err))
+
+
 TINY_COND_YAML = TINY_YAML.replace("num_classes: -1", "num_classes: 11")
 
 
