@@ -245,3 +245,93 @@ def test_old_early_exit_forward_parity(tmp_path):
         np.asarray(g).transpose(0, 1, 4, 2, 3), torch.stack(ref_g).numpy(),
         rtol=1e-4, atol=1e-4,
     )
+
+
+def _load_ref_sampler_module():
+    """Load /root/reference/sampler.py under a non-clashing name (our repo
+    root has its own sampler.py). Its module-level schedule tensors
+    (reference sampler.py:40-44) and the three postprocessing closures
+    (sampler.py:47-79) are the objects under test."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_sampler", REFERENCE / "sampler.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.parametrize(
+    "parametrization",
+    ["predict_noise", "predict_original", "predict_previous"],
+)
+def test_ddpm_trajectory_parity_vs_reference(tmp_path, parametrization):
+    """END-TO-END sampling parity: run the reference's own DDPM reverse
+    loop (its postprocessing fns + its schedule, torch CPU) and our
+    schedule.step chain on the SAME converted weights and the SAME
+    per-step gaussian draws, and compare the full trajectory. This is the
+    strongest FID-parity proxy available without trained weights — it
+    covers the model forward, the converter, AND the reverse-process math
+    jointly over hundreds of composed steps (reference sampler.py:129-139).
+
+    Noise injection: the reference draws z inside the postprocessing via
+    torch.randn_like (sampler.py:52); seeding torch identically before
+    each side's step makes both draws bit-equal.
+    """
+    import torch
+
+    ref_sampler = _load_ref_sampler_module()
+    post_fn = getattr(ref_sampler, f"{parametrization}_postprocessing")
+
+    ref, path, kwargs = _save_ref_uvit(tmp_path)
+    cfg = UViTConfig(**kwargs)
+    model, params0 = init_uvit(cfg, jax.random.PRNGKey(0))
+    params = convert_torch_checkpoint(path, params0)
+
+    from duodiff_tpu.diffusion import NoiseSchedule
+
+    schedule = NoiseSchedule.create(steps=1000)
+
+    @jax.jit
+    def our_step(x, t, z):
+        out = model.apply(
+            {"params": params}, x, jnp.full((x.shape[0],), t, jnp.float32)
+        )
+        return schedule.step(
+            parametrization, out, x, jnp.asarray(t), z,
+            variance_mode="beta_tilde",
+        )
+
+    rng = np.random.RandomState(0)
+    x0 = rng.randn(2, 3, 16, 16).astype(np.float32)
+    x_ref = torch.from_numpy(x0)
+    x_ours = jnp.asarray(x0.transpose(0, 2, 3, 1))
+
+    # a contiguous high-t slice plus the final steps (t=0 zeroes z on both
+    # sides); stepwise parity composes, so the slice stands in for the full
+    # 1000-step run at a fraction of the CPU cost
+    ts = list(range(999, 899, -1)) + [1, 0]
+    max_err = 0.0
+    for t in ts:
+        with torch.no_grad():
+            eps = ref(x_ref, torch.full((2,), float(t)))
+            torch.manual_seed(t)
+            x_ref = post_fn(eps, x_ref, t)
+        torch.manual_seed(t)
+        z = (
+            torch.randn(x_ref.shape).numpy()
+            if t > 0
+            else np.zeros(x_ref.shape, np.float32)
+        )
+        x_ours = our_step(
+            x_ours, t, jnp.asarray(z.transpose(0, 2, 3, 1))
+        )
+        step_err = float(
+            np.abs(
+                np.asarray(x_ours).transpose(0, 3, 1, 2) - x_ref.numpy()
+            ).max()
+        )
+        max_err = max(max_err, step_err)
+
+    assert max_err < 5e-4, f"trajectory max abs err {max_err}"
