@@ -111,6 +111,7 @@ def ddpm_scan(
     y: Optional[jax.Array] = None,
     variance_mode: str = "beta_tilde",
     aux_fn: Optional[Callable] = None,
+    noise_table: Optional[jax.Array] = None,
 ):
     """Scan the ancestral DDPM update over a (dynamic) descending timestep
     vector ``ts``. The scan body — model forward + elementwise posterior
@@ -126,6 +127,11 @@ def ddpm_scan(
     sampler's logging dict (ddpm_core.py:106-214 appends classifier
     outputs per host-loop step). With aux_fn set, returns (x, key, aux
     rows (len(ts), ...)).
+
+    ``noise_table`` (steps, *x.shape) replaces the per-step gaussian draw
+    with row t — an injected external noise stream (row 0 should be zeros;
+    used by the cross-framework trajectory parity tests to feed the
+    reference's torch draws through the production scan).
     """
     batch = x.shape[0]
 
@@ -137,7 +143,10 @@ def ddpm_scan(
         aux = None
         if aux_fn is not None:
             model_output, aux = aux_fn(model_output)
-        z = _step_noise(zkey, t, x.shape)
+        if noise_table is not None:
+            z = noise_table[jnp.asarray(t, jnp.int32)]
+        else:
+            z = _step_noise(zkey, t, x.shape)
         x = schedule.step(parametrization, model_output, x, t, z, variance_mode)
         return (x, key), aux
 
@@ -157,6 +166,7 @@ def _ddpm_segment(
     t_end: int,
     y: Optional[jax.Array],
     variance_mode: str = "beta_tilde",
+    noise_table: Optional[jax.Array] = None,
 ):
     """Static-bounds wrapper over :func:`ddpm_scan` for t_start..t_end incl."""
     num = t_start - t_end + 1
@@ -164,7 +174,8 @@ def _ddpm_segment(
         return x, key
     ts = jnp.arange(t_start, t_end - 1, -1)
     return ddpm_scan(
-        apply_fn, schedule, parametrization, x, key, ts, y, variance_mode
+        apply_fn, schedule, parametrization, x, key, ts, y, variance_mode,
+        noise_table=noise_table,
     )
 
 
@@ -295,6 +306,7 @@ def ee_scan(
     key: jax.Array,
     ts: jax.Array,
     y: Optional[jax.Array] = None,
+    noise_table: Optional[jax.Array] = None,
 ):
     """Early-exit scan body over a dynamic timestep vector (chunkable twin
     of :func:`early_exit_sample`'s loop). Returns (x, key, err_rows, idx_rows)
@@ -303,7 +315,10 @@ def ee_scan(
     Edge case (reference-identical, eesampler.py:66-68): if NO row satisfies
     ``probe <= threshold`` — possible when threshold < 0 — argmax over the
     all-false mask returns 0, i.e. the SHALLOWEST head, not the backbone
-    fallback. The appended zero row only catches thresholds >= 0."""
+    fallback. The appended zero row only catches thresholds >= 0.
+
+    ``noise_table``: injected external noise stream, row t used at step t
+    (see ddpm_scan)."""
     batch = x.shape[0]
 
     def body(carry, t):
@@ -317,7 +332,10 @@ def ee_scan(
         sel = jnp.take_along_axis(
             outputs, indices[None, :, None, None, None], axis=0
         )[0]
-        z = _step_noise(zkey, t, x.shape)
+        if noise_table is not None:
+            z = noise_table[jnp.asarray(t, jnp.int32)]
+        else:
+            z = _step_noise(zkey, t, x.shape)
         x = schedule.step_predict_noise(sel, x, t, z)
         return (x, key), (jnp.mean(probes[:-1], axis=1), indices)
 
@@ -334,24 +352,32 @@ class ChunkedEarlyExitSampler:
         self.schedule = schedule
         self.chunk = chunk
 
-        def run_chunk(x, key, ts, y):
-            return ee_scan(apply_fn, schedule, threshold, x, key, ts, y)
+        def run_chunk(x, key, ts, y, noise_table=None):
+            return ee_scan(
+                apply_fn, schedule, threshold, x, key, ts, y,
+                noise_table=noise_table,
+            )
 
         self._run_chunk = jax.jit(run_chunk)
 
-    def sample(self, key, shape, y=None, sharding=None):
+    def sample(self, key, shape, y=None, sharding=None, x_init=None,
+               noise_table=None):
         import numpy as np
 
         steps = self.schedule.steps
         key, init_key = jax.random.split(key)
-        x = jax.random.normal(init_key, tuple(shape), dtype=jnp.float32)
+        x = x_init if x_init is not None else jax.random.normal(
+            init_key, tuple(shape), dtype=jnp.float32
+        )
         if sharding is not None:  # data-parallel over chips (see DDPM twin)
             x = jax.device_put(x, sharding)
         all_ts = np.arange(steps - 1, -1, -1)
         errs, idxs = [], []
         for i in range(0, len(all_ts), self.chunk):
             ts = jnp.asarray(all_ts[i : i + self.chunk])
-            x, key, err_rows, idx_rows = self._run_chunk(x, key, ts, y)
+            x, key, err_rows, idx_rows = self._run_chunk(
+                x, key, ts, y, noise_table
+            )
             errs.append(np.asarray(err_rows))
             idxs.append(np.asarray(idx_rows))
         err_by_iter = np.concatenate(errs, axis=0)
@@ -430,6 +456,7 @@ def duodiff_sample(
     y: Optional[jax.Array] = None,
     x_init: Optional[jax.Array] = None,
     variance_mode: str = "beta_tilde",
+    noise_table: Optional[jax.Array] = None,
 ):
     """DuoDiff dual-backbone sampling.
 
@@ -448,11 +475,11 @@ def duodiff_sample(
     handoff = steps - t_switch  # first t handled by the late model is handoff-1
     x, key = _ddpm_segment(
         early_apply_fn, schedule, parametrization, x, key, steps - 1, handoff, y,
-        variance_mode,
+        variance_mode, noise_table=noise_table,
     )
     x, key = _ddpm_segment(
         late_apply_fn, schedule, parametrization, x, key, handoff - 1, 0, y,
-        variance_mode,
+        variance_mode, noise_table=noise_table,
     )
     return x
 

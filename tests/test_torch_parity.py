@@ -335,3 +335,212 @@ def test_ddpm_trajectory_parity_vs_reference(tmp_path, parametrization):
         max_err = max(max_err, step_err)
 
     assert max_err < 5e-4, f"trajectory max abs err {max_err}"
+
+
+def _replay_reference_noise(seed, shape, steps=1000):
+    """Regenerate the reference samplers' gaussian stream: after
+    seed_everything(seed) they draw x0 = randn(shape), then one
+    randn_like(x) per step t = 999..1 from the same global torch generator
+    (z short-circuits to 0 at t = 0). Returns (x0, table) with table[t]
+    = z_t (row 0 zeros), NCHW numpy."""
+    import torch
+
+    sys.path.insert(0, str(REFERENCE))
+    from utils.train_utils import seed_everything
+
+    seed_everything(seed)
+    x0 = torch.randn(*shape).numpy()
+    table = np.zeros((steps,) + tuple(shape), np.float32)
+    for t in range(steps - 1, 0, -1):
+        table[t] = torch.randn(*shape).numpy()
+    return x0, table
+
+
+def _nchw_to_nhwc_table(table):
+    """(steps, B, C, H, W) noise table -> (steps, B, H, W, C)."""
+    return jnp.asarray(table.transpose(0, 1, 3, 4, 2))
+
+
+def test_duodiff_full_sampler_parity_vs_reference(tmp_path):
+    """PRODUCTION-PATH end-to-end parity: the reference's own
+    sampler.get_samples DDPM loop WITH the DuoDiff t_switch handoff
+    (sampler.py:129-139) vs our duodiff_sample two-segment scan, same
+    converted weights for both backbones and the reference's exact noise
+    stream injected via noise_table. Covers the full 1000 composed steps
+    including the handoff boundary semantics."""
+    import torch
+
+    ref_sampler = _load_ref_sampler_module()
+
+    ref_early, path_early, kwargs = _save_ref_uvit(tmp_path)
+    torch.manual_seed(7)
+    from models.uvit import UViT as RefUViT
+
+    shallow_kwargs = {**kwargs, "depth": 3}
+    ref_shallow = RefUViT(**shallow_kwargs)
+    ref_shallow.eval()
+    path_shallow = tmp_path / "ref_shallow.pth"
+    torch.save(ref_shallow.state_dict(), path_shallow)
+
+    # reference run: DuoDiff = shallow model first, full model after
+    # t_switch steps
+    t_switch = 300
+    ref_samples, _ = ref_sampler.get_samples(
+        model=ref_shallow,
+        batch_size=2,
+        postprocessing=ref_sampler.predict_noise_postprocessing,
+        seed=0,
+        num_channels=3,
+        sample_height=16,
+        sample_width=16,
+        use_ddim=False,
+        ddim_steps=0,
+        ddim_eta=0.0,
+        timesteps_save=[],
+        late_model=ref_early,
+        t_switch=t_switch,
+    )
+
+    # ours: same weights (converted), same noise stream
+    from duodiff_tpu.diffusion import NoiseSchedule
+    from duodiff_tpu.diffusion.sampling import duodiff_sample
+
+    cfg_full = UViTConfig(**kwargs)
+    cfg_shallow = UViTConfig(**shallow_kwargs)
+    model_f, p0 = init_uvit(cfg_full, jax.random.PRNGKey(0))
+    params_f = convert_torch_checkpoint(path_early, p0)
+    model_s, p0s = init_uvit(cfg_shallow, jax.random.PRNGKey(1))
+    params_s = convert_torch_checkpoint(path_shallow, p0s)
+
+    x0, table = _replay_reference_noise(0, (2, 3, 16, 16))
+    schedule = NoiseSchedule.create(steps=1000)
+    x = duodiff_sample(
+        lambda x, t, y: model_s.apply({"params": params_s}, x, t),
+        lambda x, t, y: model_f.apply({"params": params_f}, x, t),
+        jax.random.PRNGKey(0),
+        schedule=schedule,
+        shape=(2, 16, 16, 3),
+        t_switch=t_switch,
+        parametrization="predict_noise",
+        x_init=jnp.asarray(x0.transpose(0, 2, 3, 1)),
+        noise_table=_nchw_to_nhwc_table(table),
+    )
+    ours = (np.asarray(x) + 1.0) / 2.0  # reference returns (x+1)/2 BHWC
+    err = np.abs(ours - ref_samples).max()
+    assert err < 5e-3, f"terminal sample max abs err {err}"
+
+
+def test_ddim_sampler_parity_vs_reference(tmp_path):
+    """Reference DDIM loop (sampler.py:103-126) vs our ddim_sample on the
+    same weights and x0 at eta=0 (noise-free: the z term vanishes, so no
+    stream injection is needed and the documented eta-noise deviation is
+    moot)."""
+    ref_sampler = _load_ref_sampler_module()
+    ref, path, kwargs = _save_ref_uvit(tmp_path)
+
+    ref_samples, _ = ref_sampler.get_samples(
+        model=ref,
+        batch_size=2,
+        postprocessing=ref_sampler.predict_noise_postprocessing,
+        seed=3,
+        num_channels=3,
+        sample_height=16,
+        sample_width=16,
+        use_ddim=True,
+        ddim_steps=25,
+        ddim_eta=0.0,
+        timesteps_save=[],
+    )
+
+    import torch
+
+    sys.path.insert(0, str(REFERENCE))
+    from utils.train_utils import seed_everything
+
+    seed_everything(3)
+    x0 = torch.randn(2, 3, 16, 16).numpy()
+
+    from duodiff_tpu.diffusion import NoiseSchedule
+    from duodiff_tpu.diffusion.sampling import ddim_sample
+
+    cfg = UViTConfig(**kwargs)
+    model, p0 = init_uvit(cfg, jax.random.PRNGKey(0))
+    params = convert_torch_checkpoint(path, p0)
+    schedule = NoiseSchedule.create(steps=1000)
+    x, _ = ddim_sample(
+        lambda x, t, y: model.apply({"params": params}, x, t),
+        jax.random.PRNGKey(0),
+        schedule=schedule,
+        shape=(2, 16, 16, 3),
+        ddim_steps=25,
+        eta=0.0,
+        x_init=jnp.asarray(x0.transpose(0, 2, 3, 1)),
+    )
+    ours = (np.asarray(x) + 1.0) / 2.0
+    err = np.abs(ours - ref_samples).max()
+    assert err < 5e-3, f"terminal sample max abs err {err}"
+
+
+def test_eesampler_full_parity_vs_reference(tmp_path):
+    """Reference eesampler.get_samples (threshold argmax selection + DDPM
+    update, eesampler.py:40-89) vs our ChunkedEarlyExitSampler with the
+    same converted weights and injected noise stream: terminal samples,
+    per-timestep probe means AND per-sample exit indices must all agree."""
+    import importlib.util
+
+    import torch
+    from models.early_exit import EarlyExitUViT as RefEE
+    from models.uvit import UViT as RefUViT
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_eesampler", REFERENCE / "eesampler.py"
+    )
+    ref_ee_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_ee_mod)
+
+    kwargs = {**CFG, "mlp_time_embed": False}
+    torch.manual_seed(0)
+    ref = RefEE(RefUViT(**kwargs), classifier_type="mlp_probe_per_layer")
+    ref.eval()
+    path = tmp_path / "ref_ee.pth"
+    torch.save(ref.state_dict(), path)
+
+    threshold = 0.5  # random-init probes sit near sigmoid(0)=0.5: both
+    # branches of the exit rule get exercised across steps
+    ref_samples, ref_err, ref_idx = ref_ee_mod.get_samples(
+        model=ref,
+        batch_size=2,
+        seed=11,
+        num_channels=3,
+        sample_height=16,
+        sample_width=16,
+        threshold=threshold,
+        depth=kwargs["depth"],
+    )
+
+    from duodiff_tpu.diffusion import NoiseSchedule
+    from duodiff_tpu.diffusion.sampling import ChunkedEarlyExitSampler
+
+    cfg = UViTConfig(**kwargs, classifier_type="mlp_probe_per_layer")
+    model, p0 = init_early_exit_uvit(cfg, jax.random.PRNGKey(0))
+    params = convert_torch_checkpoint(path, p0)
+
+    x0, table = _replay_reference_noise(11, (2, 3, 16, 16))
+    schedule = NoiseSchedule.create(steps=1000)
+    sampler = ChunkedEarlyExitSampler(
+        lambda x, t, y: model.apply({"params": params}, x, t),
+        schedule,
+        threshold=threshold,
+        chunk=250,
+    )
+    x, err_by_t, idx_by_t = sampler.sample(
+        jax.random.PRNGKey(0),
+        (2, 16, 16, 3),
+        x_init=jnp.asarray(x0.transpose(0, 2, 3, 1)),
+        noise_table=_nchw_to_nhwc_table(table),
+    )
+    ours = (np.asarray(x) + 1.0) / 2.0
+    err = np.abs(ours - ref_samples).max()
+    assert err < 5e-3, f"terminal sample max abs err {err}"
+    np.testing.assert_array_equal(idx_by_t, np.asarray(ref_idx, np.int64))
+    assert np.abs(err_by_t - ref_err.numpy()).max() < 2e-3
