@@ -17,6 +17,15 @@ timestep axis carrying ``(x_t, rng)`` — zero host round-trips per step:
 
 All samplers take an ``apply_fn(x, t_batch, y) -> model_output`` closure so
 they are agnostic to the model/params packaging and jit cleanly.
+
+Weight passing: the chunked samplers also accept ``params=`` with an
+``apply_fn(params, x, t_batch, y)`` signature. Prefer that form for real
+models — a closure bakes the weight arrays into the compiled executable as
+HLO literals (measured: 385MB serialized vs ~5MB for the flagship chunk,
+~70s of extra compile+load on the remote-compile TPU backend), while a
+traced params argument keeps the executable weight-free and the persistent
+compilation cache small. Closure form remains supported for tiny test
+models and schedule-math tests.
 """
 
 from __future__ import annotations
@@ -51,15 +60,20 @@ def make_guided_apply(
     (backbone, probes, heads) tuple — use :func:`make_guided_apply_ee`.)
     ``w = 1`` reduces to the conditional model; ``w = 0`` to the
     unconditional one. Cost: 2x model compute per step.
+
+    Works for both apply_fn signatures — ``(x, t, y)`` and the
+    params-threaded ``(params, x, t, y)``: any leading arguments are passed
+    through untouched, only the trailing (x, t, y) triple is doubled.
     """
 
-    def guided(x, t, y):
+    def guided(*args):
+        *lead, x, t, y = args
         assert y is not None, "guidance needs class labels"
         b = x.shape[0]
         xx = jnp.concatenate([x, x], axis=0)
         tt = jnp.concatenate([t, t], axis=0)
         yy = jnp.concatenate([y, jnp.full_like(y, null_label)], axis=0)
-        out = apply_fn(xx, tt, yy)
+        out = apply_fn(*lead, xx, tt, yy)
         cond, uncond = out[:b], out[b:]
         return uncond + guidance_scale * (cond - uncond)
 
@@ -82,15 +96,19 @@ def make_guided_apply_ee(
     generated. Returns the same tuple shape on the original batch, so
     :func:`early_exit_sample` / ChunkedEarlyExitSampler compose unchanged.
     Cost: 2x model compute per step.
+
+    Like :func:`make_guided_apply`, leading arguments (e.g. a threaded
+    params tree) pass through untouched.
     """
 
-    def guided(x, t, y):
+    def guided(*args):
+        *lead, x, t, y = args
         assert y is not None, "guidance needs class labels"
         b = x.shape[0]
         xx = jnp.concatenate([x, x], axis=0)
         tt = jnp.concatenate([t, t], axis=0)
         yy = jnp.concatenate([y, jnp.full_like(y, null_label)], axis=0)
-        backbone, probes, heads = apply_fn(xx, tt, yy)
+        backbone, probes, heads = apply_fn(*lead, xx, tt, yy)
         backbone = backbone[b:] + guidance_scale * (
             backbone[:b] - backbone[b:]
         )
@@ -192,6 +210,13 @@ class ChunkedDDPMSampler:
     ``run(x, key, t_start, t_end, y)`` advances an explicit carry so callers
     can compose segments (DuoDiff handoff, intermediate saves) across
     differently-parameterized samplers.
+
+    With ``params=<pytree>``, ``apply_fn`` takes ``(params, x, t, y)`` and
+    the tree is threaded through the jitted chunk as a TRACED argument
+    instead of a closure constant — keeping the weights out of the compiled
+    executable (see module docstring). ``self.params`` may be reassigned
+    between runs (e.g. after a sharded device_put); shape/dtype-identical
+    trees reuse the compiled chunk.
     """
 
     def __init__(
@@ -203,18 +228,34 @@ class ChunkedDDPMSampler:
         variance_mode: str = "beta_tilde",
         chunk: int = 100,
         aux_fn: Optional[Callable] = None,
+        params=None,
     ):
         self.schedule = schedule
         self.chunk = chunk
         self.aux_fn = aux_fn
+        self.params = params
+        self._params_mode = params is not None
 
-        def run_chunk(x, key, ts, y):
-            return ddpm_scan(
-                apply_fn, schedule, parametrization, x, key, ts, y,
-                variance_mode, aux_fn=aux_fn,
-            )
+        if self._params_mode:
+            def run_chunk(params, x, key, ts, y):
+                return ddpm_scan(
+                    lambda xx, tt, yy: apply_fn(params, xx, tt, yy),
+                    schedule, parametrization, x, key, ts, y,
+                    variance_mode, aux_fn=aux_fn,
+                )
+        else:
+            def run_chunk(x, key, ts, y):
+                return ddpm_scan(
+                    apply_fn, schedule, parametrization, x, key, ts, y,
+                    variance_mode, aux_fn=aux_fn,
+                )
 
         self._run_chunk = jax.jit(run_chunk)
+
+    def _call_chunk(self, x, key, ts, y):
+        if self._params_mode:
+            return self._run_chunk(self.params, x, key, ts, y)
+        return self._run_chunk(x, key, ts, y)
 
     def init(self, key, shape, sharding=None):
         """Draw x_T ~ N(0, I). ``sharding`` (e.g. batch_sharding(mesh))
@@ -243,7 +284,7 @@ class ChunkedDDPMSampler:
         idx = 0
 
         def step_chunk(x, key, ts):
-            out = self._run_chunk(x, key, ts, y)
+            out = self._call_chunk(x, key, ts, y)
             if self.aux_fn is not None:
                 x, key, aux = out
                 # keep the aux rows on device: a device_get here would block
@@ -286,6 +327,7 @@ def make_chunked_ddpm_sampler(
     parametrization: str = "predict_noise",
     variance_mode: str = "beta_tilde",
     chunk: int = 100,
+    params=None,
 ):
     """Convenience: ChunkedDDPMSampler(...).sample as a callable."""
     sampler = ChunkedDDPMSampler(
@@ -294,6 +336,7 @@ def make_chunked_ddpm_sampler(
         parametrization=parametrization,
         variance_mode=variance_mode,
         chunk=chunk,
+        params=params,
     )
     return sampler.sample
 
@@ -346,17 +389,31 @@ def ee_scan(
 class ChunkedEarlyExitSampler:
     """Chunked twin of :func:`early_exit_sample` (same rationale as
     ChunkedDDPMSampler). Produces the same exit diagnostics: per-timestep
-    mean probe error (T, depth) and exit indices (T, B), indexed by t."""
+    mean probe error (T, depth) and exit indices (T, B), indexed by t.
 
-    def __init__(self, apply_fn, schedule, threshold: float, chunk: int = 100):
+    ``params=`` threads the weight tree as a traced jit argument with an
+    ``apply_fn(params, x, t, y)`` signature (see ChunkedDDPMSampler)."""
+
+    def __init__(self, apply_fn, schedule, threshold: float, chunk: int = 100,
+                 params=None):
         self.schedule = schedule
         self.chunk = chunk
+        self.params = params
+        self._params_mode = params is not None
 
-        def run_chunk(x, key, ts, y, noise_table=None):
-            return ee_scan(
-                apply_fn, schedule, threshold, x, key, ts, y,
-                noise_table=noise_table,
-            )
+        if self._params_mode:
+            def run_chunk(params, x, key, ts, y, noise_table=None):
+                return ee_scan(
+                    lambda xx, tt, yy: apply_fn(params, xx, tt, yy),
+                    schedule, threshold, x, key, ts, y,
+                    noise_table=noise_table,
+                )
+        else:
+            def run_chunk(x, key, ts, y, noise_table=None):
+                return ee_scan(
+                    apply_fn, schedule, threshold, x, key, ts, y,
+                    noise_table=noise_table,
+                )
 
         self._run_chunk = jax.jit(run_chunk)
 
@@ -375,9 +432,14 @@ class ChunkedEarlyExitSampler:
         errs, idxs = [], []
         for i in range(0, len(all_ts), self.chunk):
             ts = jnp.asarray(all_ts[i : i + self.chunk])
-            x, key, err_rows, idx_rows = self._run_chunk(
-                x, key, ts, y, noise_table
-            )
+            if self._params_mode:
+                x, key, err_rows, idx_rows = self._run_chunk(
+                    self.params, x, key, ts, y, noise_table
+                )
+            else:
+                x, key, err_rows, idx_rows = self._run_chunk(
+                    x, key, ts, y, noise_table
+                )
             errs.append(np.asarray(err_rows))
             idxs.append(np.asarray(idx_rows))
         err_by_iter = np.concatenate(errs, axis=0)

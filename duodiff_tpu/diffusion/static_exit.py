@@ -46,13 +46,18 @@ def truncated_ee_apply(
     dtype=jnp.bfloat16,
     attn_impl: str = "auto",
     gelu_approx: bool = False,
-) -> Callable:
-    """Build apply(x, t, y) that runs an EarlyExitUViT checkpoint truncated
-    at ``exit_layer``: blocks 0..exit_layer-1 + output head ``exit_layer``
-    (exit_layer == depth runs the full backbone + its own decoder).
+) -> Tuple[Callable, dict]:
+    """Build ``(apply(p, x, t, y), p0)`` running an EarlyExitUViT checkpoint
+    truncated at ``exit_layer``: blocks 0..exit_layer-1 + output head
+    ``exit_layer`` (exit_layer == depth runs the full backbone + its own
+    decoder).
 
     ``params`` is the EarlyExitUViT tree ({uvit, heads, probes}); heads are
     stacked with a leading depth axis, so head ``exit_layer`` is a slice.
+    The weights this bucket needs are returned as ``p0`` and threaded
+    through the apply_fn's first argument, so the samplers can pass them as
+    a traced jit argument instead of a baked-in closure constant (see
+    ChunkedDDPMSampler).
     """
     depth = config.depth
     exit_layer = int(exit_layer)
@@ -63,10 +68,10 @@ def truncated_ee_apply(
     )
 
     if exit_layer == depth:
-        def apply_full(x, t, y):
-            return uvit.apply({"params": params["uvit"]}, x, t, y)
+        def apply_full(p, x, t, y):
+            return uvit.apply({"params": p["uvit"]}, x, t, y)
 
-        return apply_full
+        return apply_full, {"uvit": params["uvit"]}
 
     def run_truncated(mod, x, t, y):
         h = mod.embed_tokens(x, t, y)
@@ -100,13 +105,13 @@ def truncated_ee_apply(
         lambda a: a[exit_layer], params["heads"]
     )
 
-    def apply_truncated(x, t, y):
+    def apply_truncated(p, x, t, y):
         h = uvit.apply(
-            {"params": params["uvit"]}, x, t, y, method=run_truncated
+            {"params": p["uvit"]}, x, t, y, method=run_truncated
         )
-        return head.apply({"params": head_params}, h)
+        return head.apply({"params": p["head"]}, h)
 
-    return apply_truncated
+    return apply_truncated, {"uvit": params["uvit"], "head": head_params}
 
 
 def parse_exit_schedule(spec: str) -> List[Bucket]:
@@ -178,12 +183,13 @@ def make_static_exit_sampler(
     samplers = {}
     for _, _, layer in buckets:
         if layer not in samplers:
-            apply = truncated_ee_apply(
+            apply, bucket_params = truncated_ee_apply(
                 config, params, layer, dtype, attn_impl, gelu_approx
             )
             if guidance is not None:
                 # each truncated backbone is single-output, so plain CFG
-                # wrapping applies per bucket (guidance=(scale, null_label))
+                # wrapping applies per bucket (guidance=(scale, null_label);
+                # the threaded params tree passes through the wrapper)
                 from duodiff_tpu.diffusion.sampling import make_guided_apply
 
                 apply = make_guided_apply(apply, *guidance)
@@ -192,6 +198,7 @@ def make_static_exit_sampler(
                 schedule,
                 parametrization="predict_noise",
                 chunk=chunk,
+                params=bucket_params,
             )
 
     def sample(key, shape, y=None):

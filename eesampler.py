@@ -173,17 +173,16 @@ def main(argv=None):
             idx_by_t[t_lo : t_hi + 1] = layer
         err_by_t = np.full((schedule.steps, cfg.depth), np.nan, np.float32)
     else:
-        def apply_fn(x, t, yy):
-            return model.apply({"params": params}, x, t, yy)
+        # params-first: threaded through the jitted chunk as a traced
+        # argument, not baked into the executable as literals (see
+        # ChunkedDDPMSampler docstring)
+        def apply_fn(p, x, t, yy):
+            return model.apply({"params": p}, x, t, yy)
 
         if guidance is not None:
             from duodiff_tpu.diffusion import make_guided_apply_ee
 
             apply_fn = make_guided_apply_ee(apply_fn, *guidance)
-
-        sampler = ChunkedEarlyExitSampler(
-            apply_fn, schedule, threshold=args.threshold
-        )
 
         batch_shard = None
         n_devices = jax.device_count()
@@ -207,6 +206,11 @@ def main(argv=None):
             batch_shard = batch_sharding(create_mesh())
             print(f"Sharding batch {args.batch_size} over "
                   f"{n_devices} devices")
+        # constructed after the sharding block so the threaded tree is the
+        # (possibly mesh-sharded) placement
+        sampler = ChunkedEarlyExitSampler(
+            apply_fn, schedule, threshold=args.threshold, params=params
+        )
         print(f"Early-exit sampling {args.batch_size} images "
               f"(threshold={args.threshold})...")
         tic = time.time()

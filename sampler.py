@@ -172,12 +172,16 @@ def main(argv=None):
             # is given (reference sampler.py:314-318)
             y = jax.random.randint(ykey, (args.batch_size,), 1, 1001)
 
-    def apply_early(x, t, yy):
-        return model.apply({"params": params}, x, t, yy)
+    # params-first signature: the weight trees are threaded through the
+    # jitted samplers as traced arguments, not closure constants — a closure
+    # would embed them in the compiled executable as HLO literals (385MB
+    # serialized for the flagship; see ChunkedDDPMSampler docstring)
+    def apply_early(p, x, t, yy):
+        return model.apply({"params": p}, x, t, yy)
 
-    def apply_late(x, t, yy):
-        late_model, late_params = late
-        return late_model.apply({"params": late_params}, x, t, yy)
+    def apply_late(p, x, t, yy):
+        late_model, _ = late
+        return late_model.apply({"params": p}, x, t, yy)
 
     if args.guidance_scale is not None:
         from duodiff_tpu.diffusion import make_guided_apply
@@ -247,14 +251,18 @@ def main(argv=None):
             x_init = jax.device_put(
                 jax.random.normal(ik, shape, jnp.float32), batch_shard
             )
-        x, inter = jax.jit(lambda k, yy, xi: ddim_sample(
-            apply_early, k, schedule=schedule, shape=shape,
+        x, inter = jax.jit(lambda p, pl, k, yy, xi: ddim_sample(
+            lambda xx, tt, yy2: apply_early(p, xx, tt, yy2),
+            k, schedule=schedule, shape=shape,
             ddim_steps=args.ddim_steps, eta=args.ddim_eta, y=yy,
             timesteps_save=timesteps_save,
-            late_apply_fn=apply_late if late else None,
+            late_apply_fn=(
+                (lambda xx, tt, yy2: apply_late(pl, xx, tt, yy2))
+                if late else None
+            ),
             t_switch=args.t_switch if late else None,
             x_init=xi,
-        ))(key, y, x_init)
+        ))(params, late[1] if late else None, key, y, x_init)
         return x, list(inter)
 
     def run_dpm(key, y):
@@ -264,14 +272,15 @@ def main(argv=None):
             x_init = jax.device_put(
                 jax.random.normal(ik, shape, jnp.float32), batch_shard
             )
-        x = jax.jit(lambda k, yy, xi: dpm_solver_sample(
-            apply_early, k, schedule=schedule, shape=shape,
+        x = jax.jit(lambda p, k, yy, xi: dpm_solver_sample(
+            lambda xx, tt, yy2: apply_early(p, xx, tt, yy2),
+            k, schedule=schedule, shape=shape,
             dpm_steps=args.dpm_steps, order=args.dpm_order,
             parametrization=args.parametrization
             if args.parametrization != "predict_previous"
             else "predict_noise",
             y=yy, x_init=xi,
-        ))(key, y, x_init)
+        ))(params, key, y, x_init)
         return x, []
 
     def run_ddpm(key, y):
@@ -281,10 +290,12 @@ def main(argv=None):
         and at each intermediate-save point (sampler.py:138)."""
         early_sampler = ChunkedDDPMSampler(
             apply_early, schedule, parametrization=args.parametrization,
+            params=params,
         )
         late_sampler = (
             ChunkedDDPMSampler(
                 apply_late, schedule, parametrization=args.parametrization,
+                params=late[1],
             )
             if late is not None and args.t_switch is not None
             else None

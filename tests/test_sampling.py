@@ -437,3 +437,110 @@ def test_guided_apply_ee_identities():
         np.asarray(heads3), np.asarray(null[2] + 3.0 * (cond[2] - null[2])),
         rtol=1e-5, atol=1e-5,
     )
+
+
+def test_params_mode_matches_closure_and_keeps_executable_weight_free():
+    """``params=`` threads the weight tree through the jitted chunk as a
+    traced argument: results are bit-identical to the closure form, and the
+    weights stay OUT of the compiled executable (a closure bakes them in as
+    HLO literals — 385MB serialized for the flagship chunk, measured; the
+    driver-visible compile+first-run cost of bench.py/sampler.py)."""
+    from duodiff_tpu.config import UViTConfig
+    from duodiff_tpu.diffusion.sampling import ChunkedDDPMSampler
+    from duodiff_tpu.models.uvit import init_uvit
+
+    cfg = UViTConfig(
+        img_size=8, patch_size=4, in_chans=3, embed_dim=128, depth=3,
+        num_heads=4, mlp_ratio=4, num_classes=-1, normalize_timesteps=True,
+    )
+    model, params = init_uvit(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    sched = NoiseSchedule.create(steps=12)
+    key = jax.random.PRNGKey(5)
+    shape = (2, 8, 8, 3)
+
+    closure = ChunkedDDPMSampler(
+        lambda x, t, y: model.apply({"params": params}, x, t, y),
+        sched, chunk=6,
+    )
+    threaded = ChunkedDDPMSampler(
+        lambda p, x, t, y: model.apply({"params": p}, x, t, y),
+        sched, chunk=6, params=params,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(closure.sample(key, shape)),
+        np.asarray(threaded.sample(key, shape)),
+    )
+
+    param_bytes = sum(
+        a.size * a.dtype.itemsize for a in jax.tree_util.tree_leaves(params)
+    )
+    x = jnp.zeros(shape, jnp.float32)
+    ts = jnp.arange(11, 5, -1)
+
+    def serialized_size(jitted, *args):
+        compiled = jitted.lower(*args).compile()
+        return len(compiled.runtime_executable().serialize())
+
+    size_closure = serialized_size(closure._run_chunk, x, key, ts, None)
+    size_threaded = serialized_size(threaded._run_chunk, params, x, key, ts, None)
+    # closure form embeds the ~800KB of weights; threaded form must not
+    assert size_closure > param_bytes, (size_closure, param_bytes)
+    assert size_threaded < size_closure - param_bytes // 2, (
+        size_threaded, size_closure, param_bytes,
+    )
+
+
+def test_params_mode_early_exit_matches_closure():
+    """ChunkedEarlyExitSampler params threading: identical samples and exit
+    diagnostics vs the closure form (incl. through the CFG-EE wrapper's
+    leading-argument passthrough)."""
+    from duodiff_tpu.config import UViTConfig
+    from duodiff_tpu.diffusion import make_guided_apply_ee
+    from duodiff_tpu.diffusion.sampling import ChunkedEarlyExitSampler
+    from duodiff_tpu.models.early_exit import init_early_exit_uvit
+
+    cfg = UViTConfig(
+        img_size=8, patch_size=4, in_chans=3, embed_dim=64, depth=3,
+        num_heads=4, mlp_ratio=2, num_classes=5, normalize_timesteps=True,
+    )
+    model, params = init_early_exit_uvit(
+        cfg, jax.random.PRNGKey(1), dtype=jnp.float32
+    )
+    sched = NoiseSchedule.create(steps=10)
+    key = jax.random.PRNGKey(6)
+    shape = (2, 8, 8, 3)
+    y = jnp.array([1, 2])
+
+    closure = ChunkedEarlyExitSampler(
+        lambda x, t, yy: model.apply({"params": params}, x, t, yy),
+        sched, threshold=0.08, chunk=4,
+    )
+    threaded = ChunkedEarlyExitSampler(
+        lambda p, x, t, yy: model.apply({"params": p}, x, t, yy),
+        sched, threshold=0.08, chunk=4, params=params,
+    )
+    xc, errc, idxc = closure.sample(key, shape, y=y)
+    xt, errt, idxt = threaded.sample(key, shape, y=y)
+    np.testing.assert_array_equal(np.asarray(xc), np.asarray(xt))
+    np.testing.assert_array_equal(errc, errt)
+    np.testing.assert_array_equal(idxc, idxt)
+
+    # CFG-EE wrapper passes the threaded params tree through untouched
+    guided_closure = ChunkedEarlyExitSampler(
+        make_guided_apply_ee(
+            lambda x, t, yy: model.apply({"params": params}, x, t, yy),
+            2.0, 4,
+        ),
+        sched, threshold=0.08, chunk=4,
+    )
+    guided_threaded = ChunkedEarlyExitSampler(
+        make_guided_apply_ee(
+            lambda p, x, t, yy: model.apply({"params": p}, x, t, yy),
+            2.0, 4,
+        ),
+        sched, threshold=0.08, chunk=4, params=params,
+    )
+    xgc, _, idxgc = guided_closure.sample(key, shape, y=y)
+    xgt, _, idxgt = guided_threaded.sample(key, shape, y=y)
+    np.testing.assert_array_equal(np.asarray(xgc), np.asarray(xgt))
+    np.testing.assert_array_equal(idxgc, idxgt)

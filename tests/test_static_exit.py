@@ -38,8 +38,8 @@ def test_truncated_matches_full_head_outputs(ee_model, exit_layer):
     t = jnp.array([100.0, 100.0])
     bb, u, g = model.apply({"params": params}, x, t)
 
-    apply_fn = truncated_ee_apply(CFG, params, exit_layer, dtype=jnp.float32)
-    out = apply_fn(x, t, None)
+    apply_fn, p0 = truncated_ee_apply(CFG, params, exit_layer, dtype=jnp.float32)
+    out = apply_fn(p0, x, t, None)
     want = np.asarray(bb) if exit_layer == CFG.depth else np.asarray(g[exit_layer])
     np.testing.assert_allclose(np.asarray(out), want, rtol=1e-4, atol=1e-5)
 
