@@ -187,6 +187,8 @@ class EarlyExitUViT(nn.Module):
     attn_impl: str = "auto"
     gelu_approx: bool = False
     qkv_layout: str = "packed"
+    # per-block activation checkpointing of the backbone (see UViT)
+    use_checkpoint: bool = False
 
     @nn.compact
     def __call__(
@@ -208,7 +210,7 @@ class EarlyExitUViT(nn.Module):
         uvit = UViT(
             config=cfg, dtype=self.dtype, attn_impl=self.attn_impl,
             gelu_approx=self.gelu_approx, qkv_layout=self.qkv_layout,
-            name="uvit"
+            use_checkpoint=self.use_checkpoint, name="uvit"
         )
         tokens = uvit.embed_tokens(x, timesteps, y)
 
@@ -281,12 +283,13 @@ class EarlyExitUViT(nn.Module):
 def init_early_exit_uvit(
     config: UViTConfig, key: jax.Array, dtype=jnp.float32,
     attn_impl: str = "auto", gelu_approx: bool = False,
-    qkv_layout: str = "packed",
+    qkv_layout: str = "packed", use_checkpoint: bool = False,
 ):
     """Create an EarlyExitUViT and initialize parameters."""
     model = EarlyExitUViT(
         config=config, dtype=dtype, attn_impl=attn_impl,
         gelu_approx=gelu_approx, qkv_layout=qkv_layout,
+        use_checkpoint=use_checkpoint,
     )
     x = jnp.zeros((1, config.img_size, config.img_size, config.in_chans), jnp.float32)
     t = jnp.zeros((1,), jnp.float32)

@@ -52,6 +52,12 @@ class UViT(nn.Module):
     # "heads" stores qkv/proj kernels with an explicit head axis so tensor
     # parallelism shards whole heads (Megatron-style; see layers._QKVProj)
     qkv_layout: str = "packed"
+    # Per-block activation checkpointing (reference models/uvit.py:197-201's
+    # torch.utils.checkpoint, off by default there too). On TPU this is the
+    # remat memory lever: only block-boundary activations are kept live for
+    # the backward; everything inside a block is recomputed. Identical
+    # params/grads either way (tested), ~N x block-activation HBM saved.
+    use_checkpoint: bool = False
 
     def setup(self):
         cfg = self.config
@@ -81,9 +87,14 @@ class UViT(nn.Module):
             mlp_impl=self.mlp_impl,
             qkv_layout=self.qkv_layout,
         )
-        self.in_blocks = [Block(**common) for _ in range(cfg.depth // 2)]
-        self.mid_block = Block(**common)
-        self.out_blocks = [Block(**common, skip=cfg.skip) for _ in range(cfg.depth // 2)]
+        # nn.remat preserves the param structure, so checkpoints are
+        # interchangeable between the two settings
+        block_cls = nn.remat(Block) if self.use_checkpoint else Block
+        self.in_blocks = [block_cls(**common) for _ in range(cfg.depth // 2)]
+        self.mid_block = block_cls(**common)
+        self.out_blocks = [
+            block_cls(**common, skip=cfg.skip) for _ in range(cfg.depth // 2)
+        ]
 
         self.norm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
         self.decoder_pred = nn.Dense(
@@ -147,6 +158,7 @@ def init_uvit(
     config: UViTConfig, key: jax.Array, dtype=jnp.float32,
     attn_impl: str = "auto", gelu_approx: bool = False,
     mlp_impl: str = "auto", qkv_layout: str = "packed",
+    use_checkpoint: bool = False,
 ):
     """Create a UViT module and initialize its parameters.
 
@@ -155,6 +167,7 @@ def init_uvit(
     model = UViT(
         config=config, dtype=dtype, attn_impl=attn_impl,
         gelu_approx=gelu_approx, mlp_impl=mlp_impl, qkv_layout=qkv_layout,
+        use_checkpoint=use_checkpoint,
     )
     x = jnp.zeros((1, config.img_size, config.img_size, config.in_chans), jnp.float32)
     t = jnp.zeros((1,), jnp.float32)

@@ -166,17 +166,18 @@ class Trainer:
         self.qkv_layout = (
             "heads" if self.mesh.shape.get("model", 1) > 1 else "packed"
         )
+        use_checkpoint = bool(getattr(args, "use_checkpoint", False))
         if args.model == "uvit":
             self.model, params = init_uvit(
                 self.model_config, key, dtype=self.compute_dtype,
                 attn_impl=attn_impl, gelu_approx=gelu_approx,
-                qkv_layout=self.qkv_layout,
+                qkv_layout=self.qkv_layout, use_checkpoint=use_checkpoint,
             )
         elif args.model == "deediff_uvit":
             self.model, params = init_early_exit_uvit(
                 self.model_config, key, dtype=self.compute_dtype,
                 attn_impl=attn_impl, gelu_approx=gelu_approx,
-                qkv_layout=self.qkv_layout,
+                qkv_layout=self.qkv_layout, use_checkpoint=use_checkpoint,
             )
             if getattr(args, "load_backbone", None):
                 print(f"Loading backbone from {args.load_backbone}")

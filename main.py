@@ -40,6 +40,14 @@ def get_args(argv=None):
                              "skips the VPU-bound erf in the Pallas kernels)")
     parser.add_argument("--max_grad_norm", type=float, default=1.0,
                         help="Max gradient norm")
+    parser.add_argument("--use_checkpoint", action="store_true", default=False,
+                        help="Per-block activation checkpointing (remat): "
+                             "only block-boundary activations stay live for "
+                             "the backward, everything inside a block is "
+                             "recomputed — trades ~30%% more FLOPs for HBM, "
+                             "enabling larger batches. Identical params and "
+                             "numerics. (The reference has the same knob at "
+                             "models/uvit.py:197-201, unwired from its CLI)")
 
     # Logging
     parser.add_argument("--log_path", type=str, default="logs")

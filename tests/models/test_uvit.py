@@ -123,3 +123,70 @@ def test_uvit_timestep_normalization_changes_embedding():
     a = model.apply({"params": params}, x, jnp.array([999.0]))
     b = model.apply({"params": params}, x, jnp.array([0.0]))
     assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_use_checkpoint_same_params_outputs_and_grads():
+    """--use_checkpoint (per-block remat, reference models/uvit.py:197-201)
+    must be a pure memory/FLOPs trade: identical param structure (checkpoints
+    interchangeable), identical forward, and matching gradients."""
+    config = CIFAR10_CONFIG
+    model, params = init_uvit(config, jax.random.PRNGKey(0))
+    model_r, params_r = init_uvit(
+        config, jax.random.PRNGKey(0), use_checkpoint=True
+    )
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+        params_r
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(params_r)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    x = jnp.asarray(np.random.RandomState(1).randn(2, 32, 32, 3), jnp.float32)
+    t = jnp.full((2,), 417.0)
+    out = model.apply({"params": params}, x, t)
+    out_r = model_r.apply({"params": params}, x, t)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_r), atol=1e-6)
+
+    def loss(m):
+        def f(p):
+            return jnp.mean(m.apply({"params": p}, x, t) ** 2)
+        return f
+
+    g = jax.jit(jax.grad(loss(model)))(params)
+    g_r = jax.jit(jax.grad(loss(model_r)))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g), jax.tree_util.tree_leaves(g_r)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
+
+
+def test_use_checkpoint_early_exit_grads():
+    """Remat composes with the EarlyExitUViT wrapper (probes/heads read
+    block-boundary activations, which remat keeps live)."""
+    from duodiff_tpu.models.early_exit import init_early_exit_uvit
+
+    cfg = UViTConfig(
+        img_size=8, patch_size=4, in_chans=3, embed_dim=64, depth=3,
+        num_heads=4, mlp_ratio=2, num_classes=-1, normalize_timesteps=True,
+        classifier_type="mlp_probe_per_layer",
+    )
+    model, params = init_early_exit_uvit(cfg, jax.random.PRNGKey(0))
+    model_r, _ = init_early_exit_uvit(
+        cfg, jax.random.PRNGKey(0), use_checkpoint=True
+    )
+    x = jnp.asarray(np.random.RandomState(2).randn(2, 8, 8, 3), jnp.float32)
+    t = jnp.full((2,), 100.0)
+
+    def loss(m):
+        def f(p):
+            bb, u, g = m.apply({"params": p}, x, t)
+            return jnp.mean(bb**2) + jnp.mean(u) + jnp.mean(g**2)
+        return f
+
+    g0 = jax.jit(jax.grad(loss(model)))(params)
+    g1 = jax.jit(jax.grad(loss(model_r)))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g0), jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )

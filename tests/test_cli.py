@@ -128,6 +128,32 @@ def test_eesampler_cli(tmp_path, tiny_config):
     assert idx.shape == (8, 2)
 
 
+def test_main_cli_use_checkpoint_matches(tmp_path, tiny_train_config, cifar_data):
+    """--use_checkpoint (per-block remat) trains through the CLI and the loss
+    curve matches the non-remat run step for step — same data order, same
+    RNG, remat only changes what the backward recomputes."""
+    logs = {}
+    for name, extra in (("base", []), ("remat", ["--use_checkpoint"])):
+        logs[name] = main_cli.main([
+            "--config_path", str(tiny_train_config),
+            "--n_steps", "3",
+            "--batch_size", "4",
+            "--num_timesteps", "50",
+            "--dataset", "cifar10",
+            "--data_path", str(cifar_data),
+            "--log_path", str(tmp_path / f"logs_{name}"),
+            "--exp_name", "ck",
+            "--num_warmup_steps", "1",
+        ] + extra)
+    # the trainer logs the first and last steps of a 3-step run
+    base = [(m["step"], m["train_loss"]) for m in logs["base"]]
+    remat = [(m["step"], m["train_loss"]) for m in logs["remat"]]
+    assert [s for s, _ in base] == [s for s, _ in remat] == [1, 3]
+    np.testing.assert_allclose(
+        [l for _, l in remat], [l for _, l in base], rtol=1e-5
+    )
+
+
 def test_main_cli_train_and_resume(tmp_path, tiny_train_config, cifar_data):
     logdir = tmp_path / "logs"
     common = [

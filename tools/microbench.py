@@ -174,6 +174,8 @@ def bench_train():
     if only:
         variants = tuple(v for v in variants if v[0] in only.split(","))
     gelu_approx = os.environ.get("MB_GELU", "exact") == "tanh"
+    # MB_REMAT=1 benches --use_checkpoint (per-block activation remat)
+    use_checkpoint = os.environ.get("MB_REMAT") == "1"
     for impl, mlp_impl in variants:
         if model_kind == "deediff_uvit":
             from dataclasses import replace
@@ -181,12 +183,13 @@ def bench_train():
             model, params = init_early_exit_uvit(
                 replace(cfg, classifier_type="mlp_probe_per_layer"),
                 jax.random.PRNGKey(0), dtype=jnp.bfloat16, attn_impl=impl,
-                gelu_approx=gelu_approx,
+                gelu_approx=gelu_approx, use_checkpoint=use_checkpoint,
             )
         else:
             model, params = init_uvit(
                 cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16, attn_impl=impl,
                 mlp_impl=mlp_impl, gelu_approx=gelu_approx,
+                use_checkpoint=use_checkpoint,
             )
         state = create_train_state(params, tx)
         step = jax.jit(make_train_step(
