@@ -44,6 +44,19 @@ def _step_noise(key: jax.Array, t: jax.Array, shape) -> jax.Array:
     return jnp.where(t > 0, z, jnp.zeros_like(z))
 
 
+def _double_batch_for_cfg(args, null_label: int):
+    """Split leading (pass-through) args from the trailing (x, t, y) triple
+    and double the batch: conditional half first, null-label half second —
+    the one CFG input convention both guided wrappers share."""
+    *lead, x, t, y = args
+    assert y is not None, "guidance needs class labels"
+    b = x.shape[0]
+    xx = jnp.concatenate([x, x], axis=0)
+    tt = jnp.concatenate([t, t], axis=0)
+    yy = jnp.concatenate([y, jnp.full_like(y, null_label)], axis=0)
+    return lead, b, xx, tt, yy
+
+
 def make_guided_apply(
     apply_fn: Callable, guidance_scale: float, null_label: int
 ) -> Callable:
@@ -67,12 +80,7 @@ def make_guided_apply(
     """
 
     def guided(*args):
-        *lead, x, t, y = args
-        assert y is not None, "guidance needs class labels"
-        b = x.shape[0]
-        xx = jnp.concatenate([x, x], axis=0)
-        tt = jnp.concatenate([t, t], axis=0)
-        yy = jnp.concatenate([y, jnp.full_like(y, null_label)], axis=0)
+        lead, b, xx, tt, yy = _double_batch_for_cfg(args, null_label)
         out = apply_fn(*lead, xx, tt, yy)
         cond, uncond = out[:b], out[b:]
         return uncond + guidance_scale * (cond - uncond)
@@ -102,12 +110,7 @@ def make_guided_apply_ee(
     """
 
     def guided(*args):
-        *lead, x, t, y = args
-        assert y is not None, "guidance needs class labels"
-        b = x.shape[0]
-        xx = jnp.concatenate([x, x], axis=0)
-        tt = jnp.concatenate([t, t], axis=0)
-        yy = jnp.concatenate([y, jnp.full_like(y, null_label)], axis=0)
+        lead, b, xx, tt, yy = _double_batch_for_cfg(args, null_label)
         backbone, probes, heads = apply_fn(*lead, xx, tt, yy)
         backbone = backbone[b:] + guidance_scale * (
             backbone[:b] - backbone[b:]
@@ -162,7 +165,11 @@ def ddpm_scan(
         if aux_fn is not None:
             model_output, aux = aux_fn(model_output)
         if noise_table is not None:
-            z = noise_table[jnp.asarray(t, jnp.int32)]
+            # same t==0 zero-noise guard as _step_noise — the table contract
+            # says row 0 is zeros, but don't rely on callers honoring it
+            z = jnp.where(
+                t > 0, noise_table[jnp.asarray(t, jnp.int32)], 0.0
+            )
         else:
             z = _step_noise(zkey, t, x.shape)
         x = schedule.step(parametrization, model_output, x, t, z, variance_mode)
@@ -278,7 +285,19 @@ class ChunkedDDPMSampler:
         all_ts = np.arange(t_start, t_end - 1, -1)
         aux_chunks = []
         if len(all_ts) == 0:
-            return (x, key, None) if self.aux_fn else (x, key)
+            if self.aux_fn is None:
+                return x, key
+            # keep the aux contract total: a (0, ...)-rowed tree matching
+            # one chunk's aux structure (eval_shape traces without running)
+            ts1 = jnp.zeros((1,), jnp.asarray(all_ts).dtype)
+            args = (x, key, ts1, y)
+            if self._params_mode:
+                args = (self.params,) + args
+            aux_shapes = jax.eval_shape(self._run_chunk, *args)[2]
+            aux = jax.tree_util.tree_map(
+                lambda s: np.zeros((0,) + s.shape[1:], s.dtype), aux_shapes
+            )
+            return x, key, aux
         n_full = len(all_ts) // self.chunk
         rem = len(all_ts) - n_full * self.chunk
         idx = 0
@@ -376,7 +395,10 @@ def ee_scan(
             outputs, indices[None, :, None, None, None], axis=0
         )[0]
         if noise_table is not None:
-            z = noise_table[jnp.asarray(t, jnp.int32)]
+            # t==0 zero-noise guard, as in ddpm_scan
+            z = jnp.where(
+                t > 0, noise_table[jnp.asarray(t, jnp.int32)], 0.0
+            )
         else:
             z = _step_noise(zkey, t, x.shape)
         x = schedule.step_predict_noise(sel, x, t, z)
@@ -440,10 +462,14 @@ class ChunkedEarlyExitSampler:
                 x, key, err_rows, idx_rows = self._run_chunk(
                     x, key, ts, y, noise_table
                 )
-            errs.append(np.asarray(err_rows))
-            idxs.append(np.asarray(idx_rows))
-        err_by_iter = np.concatenate(errs, axis=0)
-        idx_by_iter = np.concatenate(idxs, axis=0)
+            # keep diagnostics on device — a device_get here would block the
+            # host between chunks and break the async dispatch pipeline
+            # (same rationale as ChunkedDDPMSampler.run's aux path); one
+            # transfer happens after the loop
+            errs.append(err_rows)
+            idxs.append(idx_rows)
+        err_by_iter = np.concatenate([np.asarray(e) for e in errs], axis=0)
+        idx_by_iter = np.concatenate([np.asarray(i) for i in idxs], axis=0)
         # rows are ordered t = T-1 .. 0; reference logs indexed by t ascending
         return x, err_by_iter[::-1].copy(), idx_by_iter[::-1].copy()
 

@@ -5,6 +5,7 @@ from duodiff_tpu.parallel.mesh import (
     param_sharding_rules,
     shard_params,
     opt_state_shardings,
+    setup_sampling_sharding,
     replicate,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "batch_sharding",
     "param_sharding_rules",
     "shard_params",
+    "setup_sampling_sharding",
     "replicate",
 ]

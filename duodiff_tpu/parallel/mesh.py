@@ -197,3 +197,37 @@ def opt_state_shardings(opt_state, params, param_shardings, mesh: Mesh):
         return rep
 
     return go(opt_state)
+
+
+def setup_sampling_sharding(model_parallel: int, batch_size: int, param_trees):
+    """Shared CLI setup for sharded sampling (sampler.py / eesampler.py).
+
+    With ``model_parallel > 1`` builds the (data, model) mesh, validates
+    divisibility, and re-places every tree in ``param_trees`` under the
+    Megatron partition specs; otherwise falls back to pure data-parallel
+    batch sharding when the batch divides the device count. Returns
+    ``(batch_sharding_or_None, [re-placed param trees])``.
+    """
+    n = jax.device_count()
+    if model_parallel > 1:
+        if n % model_parallel:
+            raise SystemExit(
+                f"--model_parallel {model_parallel} does not divide "
+                f"{n} devices"
+            )
+        data_size = n // model_parallel
+        if batch_size % data_size:
+            raise SystemExit(
+                f"batch_size {batch_size} must be divisible by the "
+                f"{data_size} data shards"
+            )
+        mesh = create_mesh(shape=(data_size, model_parallel))
+        trees = [
+            jax.device_put(p, shard_params(p, mesh)) for p in param_trees
+        ]
+        print(f"Sampling on mesh {dict(mesh.shape)}")
+        return batch_sharding(mesh), trees
+    if n > 1 and batch_size % n == 0:
+        print(f"Sharding batch {batch_size} over {n} devices")
+        return batch_sharding(create_mesh()), list(param_trees)
+    return None, list(param_trees)

@@ -618,6 +618,24 @@ def load_params_flexible(path: str, template: Any):
             # early-exit checkpoint providing the backbone subtree
             params = params["uvit"]
         chex_assert_same_structure(params, template)
+        # --model_parallel training saves the heads attention layout;
+        # single-chip checkpoints save packed. Accept either.
+        from duodiff_tpu.utils.param_layout import match_attention_layout
+
+        params = match_attention_layout(params, template)
+        mismatched = [
+            (jax.tree_util.keystr(kp), a.shape, t.shape)
+            for (kp, a), t in zip(
+                jax.tree_util.tree_flatten_with_path(params)[0],
+                jax.tree_util.tree_leaves(template),
+            )
+            if tuple(a.shape) != tuple(t.shape)
+        ]
+        if mismatched:
+            raise ValueError(
+                "checkpoint param shapes do not match the model "
+                f"(first 5): {mismatched[:5]}"
+            )
         return jax.tree_util.tree_map(
             lambda a, t: jnp.asarray(a, dtype=t.dtype), params, template
         )

@@ -75,5 +75,38 @@ def qkv_packed_to_heads(params, num_heads: int):
 
 
 def qkv_heads_to_packed(params, num_heads: int):
-    """heads-layout attention params -> packed layout (pure reshapes)."""
+    """heads-layout attention params -> packed layout (pure reshapes).
+    (``num_heads`` is unused in this direction; kept for symmetry.)"""
     return _convert(params, num_heads, to_heads=False)
+
+
+def _find_qkv_kernel(params):
+    """First attn/qkv kernel in the tree, or None."""
+    if not isinstance(params, Mapping):
+        return None
+    for k, v in params.items():
+        if k == "attn" and isinstance(v, Mapping):
+            qkv = v.get("qkv")
+            if isinstance(qkv, Mapping) and "kernel" in qkv:
+                return qkv["kernel"]
+        found = _find_qkv_kernel(v)
+        if found is not None:
+            return found
+    return None
+
+
+def match_attention_layout(params, template):
+    """Convert ``params``' attention layout (packed or heads) to whatever
+    layout ``template`` uses. Checkpoints saved by --model_parallel training
+    store the heads layout; single-chip checkpoints (and all torch converts)
+    store packed — loaders must accept either regardless of how the
+    in-memory model was built. No-op when the layouts already agree."""
+    t_kernel = _find_qkv_kernel(template)
+    p_kernel = _find_qkv_kernel(params)
+    if t_kernel is None or p_kernel is None:
+        return params
+    if p_kernel.ndim == t_kernel.ndim:
+        return params
+    if t_kernel.ndim == 4:  # template is heads: (D, 3, H, Dh)
+        return qkv_packed_to_heads(params, num_heads=t_kernel.shape[2])
+    return qkv_heads_to_packed(params, num_heads=0)

@@ -184,28 +184,11 @@ def main(argv=None):
 
             apply_fn = make_guided_apply_ee(apply_fn, *guidance)
 
-        batch_shard = None
-        n_devices = jax.device_count()
-        if mp > 1:
-            from duodiff_tpu.parallel import (
-                batch_sharding, create_mesh, shard_params,
-            )
+        from duodiff_tpu.parallel import setup_sampling_sharding
 
-            if n_devices % mp or args.batch_size % (n_devices // mp):
-                raise SystemExit(
-                    f"--model_parallel {mp} needs mp | {n_devices} devices "
-                    f"and (devices/mp) | batch_size {args.batch_size}"
-                )
-            mesh = create_mesh(shape=(n_devices // mp, mp))
-            batch_shard = batch_sharding(mesh)
-            params = jax.device_put(params, shard_params(params, mesh))
-            print(f"Sampling on mesh {dict(mesh.shape)}")
-        elif n_devices > 1 and args.batch_size % n_devices == 0:
-            from duodiff_tpu.parallel import batch_sharding, create_mesh
-
-            batch_shard = batch_sharding(create_mesh())
-            print(f"Sharding batch {args.batch_size} over "
-                  f"{n_devices} devices")
+        batch_shard, (params,) = setup_sampling_sharding(
+            mp, args.batch_size, [params]
+        )
         # constructed after the sharding block so the threaded tree is the
         # (possibly mesh-sharded) placement
         sampler = ChunkedEarlyExitSampler(

@@ -210,39 +210,13 @@ def main(argv=None):
     # (heads layout: zero-all-gather Megatron sharding). jit propagates the
     # layouts through every scan chunk — zero code changes in the samplers
     # beyond the initial placement.
-    batch_shard = None
-    n_devices = jax.device_count()
-    if mp > 1:
-        from duodiff_tpu.parallel import (
-            batch_sharding, create_mesh, shard_params,
-        )
+    from duodiff_tpu.parallel import setup_sampling_sharding
 
-        if n_devices % mp:
-            raise SystemExit(
-                f"--model_parallel {mp} does not divide {n_devices} devices"
-            )
-        data_size = n_devices // mp
-        if args.batch_size % data_size:
-            raise SystemExit(
-                f"batch_size {args.batch_size} must be divisible by the "
-                f"{data_size} data shards"
-            )
-        mesh = create_mesh(shape=(data_size, mp))
-        batch_shard = batch_sharding(mesh)
-        params = jax.device_put(params, shard_params(params, mesh))
-        if late is not None:
-            late_model, late_params = late
-            late = (late_model,
-                    jax.device_put(late_params,
-                                   shard_params(late_params, mesh)))
-        print(f"Sampling on mesh {dict(mesh.shape)}")
-    elif n_devices > 1 and args.batch_size % n_devices == 0:
-        from duodiff_tpu.parallel import batch_sharding, create_mesh
-
-        mesh = create_mesh()
-        batch_shard = batch_sharding(mesh)
-        print(f"Sharding batch {args.batch_size} over "
-              f"{n_devices} devices")
+    trees = [params] + ([late[1]] if late is not None else [])
+    batch_shard, trees = setup_sampling_sharding(mp, args.batch_size, trees)
+    params = trees[0]
+    if late is not None:
+        late = (late[0], trees[1])
 
     def run_ddim(key, y):
         x_init = None

@@ -166,3 +166,57 @@ def test_heads_layout_tp_has_zero_all_gathers(cfg, packed):
         "packed layout unexpectedly gather-free — if GSPMD learned to "
         "shard it head-aligned, the heads layout may be retired"
     )
+
+
+def test_tp_saved_checkpoint_loads_single_chip(cfg, packed, tmp_path):
+    """--model_parallel training saves params in the heads layout; a
+    single-chip (packed) sampler must load that checkpoint transparently
+    (load_params_flexible normalizes via match_attention_layout)."""
+    import orbax.checkpoint as ocp
+
+    from duodiff_tpu.training.trainer import load_params_flexible
+
+    model_p, params_p = packed
+    params_h = qkv_packed_to_heads(params_p, cfg.num_heads)
+    ckpt = tmp_path / "tp_ckpt"
+    ocp.Checkpointer(ocp.PyTreeCheckpointHandler()).save(
+        ckpt.resolve(), {"params": params_h, "step": 7}
+    )
+
+    loaded = load_params_flexible(str(ckpt), params_p)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(loaded), jax.tree_util.tree_leaves(params_p)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # and the reverse: a packed checkpoint loads into a heads template
+    ckpt2 = tmp_path / "packed_ckpt"
+    ocp.Checkpointer(ocp.PyTreeCheckpointHandler()).save(
+        ckpt2.resolve(), {"params": params_p, "step": 7}
+    )
+    loaded_h = load_params_flexible(str(ckpt2), params_h)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(loaded_h), jax.tree_util.tree_leaves(params_h)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_load_rejects_shape_mismatch(cfg, packed, tmp_path):
+    """Leaf-shape validation (the docstring's promise): loading a checkpoint
+    of a different geometry must raise a clear error, not defer to an
+    obscure apply-time failure."""
+    import dataclasses
+
+    import orbax.checkpoint as ocp
+
+    from duodiff_tpu.training.trainer import load_params_flexible
+
+    _, params_p = packed
+    ckpt = tmp_path / "ckpt"
+    ocp.Checkpointer(ocp.PyTreeCheckpointHandler()).save(
+        ckpt.resolve(), {"params": params_p}
+    )
+    other_cfg = dataclasses.replace(cfg, embed_dim=64, num_heads=2)
+    _, other_params = init_uvit(other_cfg, jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="shapes do not match"):
+        load_params_flexible(str(ckpt), other_params)

@@ -544,3 +544,70 @@ def test_params_mode_early_exit_matches_closure():
     xgt, _, idxgt = guided_threaded.sample(key, shape, y=y)
     np.testing.assert_array_equal(np.asarray(xgc), np.asarray(xgt))
     np.testing.assert_array_equal(idxgc, idxgt)
+
+
+def test_aux_mode_empty_range_returns_empty_rows():
+    """run() with an empty timestep range must keep the aux contract total:
+    a (0, ...)-rowed tree, not None (the trainer consumes aux rows
+    unconditionally)."""
+    from duodiff_tpu.diffusion.sampling import ChunkedDDPMSampler
+
+    sched = NoiseSchedule.create(steps=8)
+
+    def f(x, t, y):
+        return x * 0.9
+
+    sampler = ChunkedDDPMSampler(
+        f, sched, chunk=4, aux_fn=lambda out: (out, jnp.mean(out, axis=(1, 2, 3)))
+    )
+    x = jnp.zeros((2, 4, 4, 3), jnp.float32)
+    x2, key, aux = sampler.run(x, jax.random.PRNGKey(0), t_start=3, t_end=4)
+    assert aux.shape == (0, 2)
+    np.testing.assert_array_equal(np.asarray(x2), np.asarray(x))
+    # non-empty range still stacks one row per step
+    _, _, aux2 = sampler.run(x, jax.random.PRNGKey(0), t_start=3, t_end=1)
+    assert aux2.shape == (3, 2)
+
+
+def test_noise_table_row0_guard():
+    """The t==0 step adds NO noise even if the injected table's row 0 is
+    non-zero (same guard as the internal draw) — in both scan flavors."""
+    from duodiff_tpu.diffusion.sampling import ddpm_scan, ee_scan
+
+    sched = NoiseSchedule.create(steps=4)
+    shape = (2, 4, 4, 3)
+    rng = np.random.RandomState(0)
+    table_clean = jnp.asarray(rng.randn(4, *shape), jnp.float32)
+    table_clean = table_clean.at[0].set(0.0)
+    table_dirty = table_clean.at[0].set(99.0)
+    x0 = jnp.asarray(rng.randn(*shape), jnp.float32)
+    ts = jnp.arange(3, -1, -1)
+    key = jax.random.PRNGKey(0)
+
+    def f(x, t, y):
+        return x * 0.1
+
+    for table in (table_clean, table_dirty):
+        out, _ = ddpm_scan(
+            f, sched, "predict_noise", x0, key, ts, None,
+            noise_table=table,
+        )
+        if table is table_clean:
+            want = np.asarray(out)
+        else:
+            np.testing.assert_array_equal(np.asarray(out), want)
+
+    def f_ee(x, t, y):
+        bb = x * 0.1
+        u = jnp.zeros((2, x.shape[0]))
+        g = jnp.stack([bb, bb], axis=0)
+        return bb, u, g
+
+    for table in (table_clean, table_dirty):
+        out, _, _, _ = ee_scan(
+            f_ee, sched, 0.5, x0, key, ts, None, noise_table=table
+        )
+        if table is table_clean:
+            want_ee = np.asarray(out)
+        else:
+            np.testing.assert_array_equal(np.asarray(out), want_ee)

@@ -34,6 +34,7 @@ table for the README.
 
 import argparse
 import json
+import math
 import sys
 import time
 from pathlib import Path
@@ -236,7 +237,18 @@ def main(argv=None):
         "rows": results,
     }
     out_path = Path(__file__).parent / "trajectory_parity.json"
-    out_path.write_text(json.dumps(out, indent=2))
+    # RFC 8259 has no Infinity token (psnr() is inf for bit-exact reruns);
+    # encode non-finite floats as strings so jq/JSON.parse can read the file
+    def _finite(o):
+        if isinstance(o, dict):
+            return {k: _finite(v) for k, v in o.items()}
+        if isinstance(o, list):
+            return [_finite(v) for v in o]
+        if isinstance(o, float) and not math.isfinite(o):
+            return repr(o)  # "inf" / "nan"
+        return o
+
+    out_path.write_text(json.dumps(_finite(out), indent=2, allow_nan=False))
     print(f"\nwrote {out_path} ({wall:.0f}s)\n", file=sys.stderr)
 
     print("| knob | kind | terminal max-abs-err | rel err | PSNR (dB) |")
