@@ -43,11 +43,21 @@ class Checkpointer:
         save_name: Optional[str] = None,
         dataset: str = "",
         model: str = "",
+        use_async: bool = False,
     ):
         self.log_path = Path(log_path) / exp_name
         self.save_name = save_name or f"{dataset}_{model}"
         self.log_path.mkdir(parents=True, exist_ok=True)
-        self._ckptr = _tree_checkpointer()
+        # async: orbax copies the state to host and commits (tmp-dir +
+        # atomic rename) on a background thread, so the train loop only
+        # pays the device->host transfer, not the filesystem write
+        self._async = use_async
+        self._pending_args: Optional[tuple] = None
+        self._ckptr = (
+            ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+            if use_async
+            else _tree_checkpointer()
+        )
 
     # ---------------- save ----------------
 
@@ -71,11 +81,33 @@ class Checkpointer:
             state["ema_params"] = ema_params
         if sampler_state is not None:
             state["sampler_state"] = dict(sampler_state)
+        if self._async:
+            # one save in flight at a time (successive saves may target the
+            # same rolling "last" dir)
+            self.wait_until_finished()
         self._ckptr.save(path.resolve(), state, force=True)
         if args is not None:
-            with open(path / "run_args.json", "w") as f:
-                json.dump(_jsonable(args), f, indent=2)
+            if self._async:
+                # the checkpoint dir only exists after the background
+                # commit (tmp-dir rename); write the args then
+                self._pending_args = (path, _jsonable(args))
+            else:
+                with open(path / "run_args.json", "w") as f:
+                    json.dump(_jsonable(args), f, indent=2)
         return path
+
+    def wait_until_finished(self) -> None:
+        """Block until any in-flight async save has committed (no-op for
+        sync checkpointers). Call before shutdown and before reading
+        checkpoints that may still be in flight."""
+        if self._async:
+            self._ckptr.wait_until_finished()
+            if self._pending_args is not None:
+                path, args = self._pending_args
+                self._pending_args = None
+                if path.is_dir():
+                    with open(path / "run_args.json", "w") as f:
+                        json.dump(args, f, indent=2)
 
     # ---------------- discovery ----------------
 
@@ -91,6 +123,7 @@ class Checkpointer:
     def last_checkpoint(self) -> Optional[Path]:
         """Newest restorable checkpoint; skips corrupted ones
         (reference checkpointer.py:135-148)."""
+        self.wait_until_finished()
         candidates = self.tracked_checkpoints()
         last = self.log_path / f"{self.save_name}_last"
         if last.is_dir():
@@ -112,6 +145,7 @@ class Checkpointer:
     def restore(self, path, template: Any) -> Any:
         """Restore a state pytree. ``template`` supplies structure/dtypes/
         shardings (e.g. a freshly created state); pass None leaves to skip."""
+        self.wait_until_finished()
         restore_args = ocp.checkpoint_utils.construct_restore_args(template)
         return self._ckptr.restore(
             Path(path).resolve(),

@@ -119,6 +119,7 @@ class Trainer:
             save_name=getattr(args, "save_checkpoint_path", None),
             dataset=args.dataset,
             model=args.model,
+            use_async=bool(getattr(args, "async_checkpoint", False)),
         )
         # multi-host: every process shares the same log_path (common
         # filesystem — required: Checkpointer.save is an orbax collective
@@ -513,6 +514,8 @@ class Trainer:
             ):
                 self._save(step, new_checkpoint=True)
 
+        # commit any in-flight async save before returning
+        self.checkpointer.wait_until_finished()
         return logs
 
     def _log_samples(self, step: int):

@@ -74,6 +74,12 @@ def get_args(argv=None):
     parser.add_argument("--save_checkpoint_path", type=str, default=None)
     parser.add_argument("--save_every_n_steps", type=int, default=None)
     parser.add_argument("--save_new_every_n_steps", type=int, default=None)
+    parser.add_argument("--async_checkpoint", action="store_true",
+                        default=False,
+                        help="Commit checkpoints on a background thread "
+                             "(orbax AsyncCheckpointer): the train loop "
+                             "only pays the device->host transfer, the "
+                             "filesystem write overlaps the next steps")
     parser.add_argument("--resume", action="store_true", default=False)
 
     # Optimizer

@@ -96,3 +96,32 @@ def test_params_only_restore(tmp_path):
     for x, y in zip(jax.tree_util.tree_leaves(state.params),
                     jax.tree_util.tree_leaves(params)):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_async_checkpointer_roundtrip(tmp_path):
+    """AsyncCheckpointer mode: save returns immediately, wait commits (incl.
+    the deferred run_args.json), and the restored state matches."""
+    import json
+
+    import jax.numpy as jnp
+
+    from duodiff_tpu.training.checkpointer import Checkpointer
+
+    ck = Checkpointer(tmp_path, "exp", dataset="d", model="m", use_async=True)
+    params = {"w": jnp.arange(6.0).reshape(2, 3)}
+    p1 = ck.save(step=1, params=params, args={"lr": 0.1})
+    # a second rolling save to the SAME path must serialize behind the first
+    p2 = ck.save(step=2, params={"w": params["w"] * 2}, args={"lr": 0.2})
+    assert p1 == p2
+    ck.wait_until_finished()
+    assert (p2 / "run_args.json").exists()
+    assert json.load(open(p2 / "run_args.json"))["lr"] == 0.2
+
+    restored = ck.restore(p2, {"step": np.asarray(0), "params": params})
+    assert int(restored["step"]) == 2
+    np.testing.assert_array_equal(
+        np.asarray(restored["params"]["w"]), np.asarray(params["w"]) * 2
+    )
+    # discovery waits for in-flight saves
+    ck.save(step=3, params=params, new_checkpoint=True)
+    assert ck.last_checkpoint() is not None

@@ -187,6 +187,33 @@ def test_main_cli_train_and_resume(tmp_path, tiny_train_config, cifar_data):
     assert logs2[0]["step"] > 4  # continued from the checkpoint, not step 1
 
 
+def test_main_cli_async_checkpoint_and_resume(tmp_path, tiny_train_config,
+                                              cifar_data):
+    """--async_checkpoint saves on a background thread; the checkpoint is
+    committed by the end of training and resume works."""
+    logdir = tmp_path / "logs_async"
+    common = [
+        "--config_path", str(tiny_train_config),
+        "--n_steps", "4",
+        "--batch_size", "4",
+        "--num_timesteps", "50",
+        "--dataset", "cifar10",
+        "--data_path", str(cifar_data),
+        "--log_path", str(logdir),
+        "--exp_name", "a1",
+        "--save_every_n_steps", "2",
+        "--num_warmup_steps", "1",
+        "--async_checkpoint",
+    ]
+    main_cli.main(common)
+    assert (logdir / "a1" / "cifar10_uvit_last").exists()
+    assert (logdir / "a1" / "cifar10_uvit_last" / "run_args.json").exists()
+    resume_args = list(common)
+    resume_args[resume_args.index("--n_steps") + 1] = "6"
+    logs2 = main_cli.main(resume_args + ["--resume"])
+    assert logs2 and logs2[0]["step"] > 4
+
+
 def test_main_cli_train_ema_and_resume(tmp_path, tiny_train_config, cifar_data):
     """--ema_decay tracks EMA params, checkpoints them, and restores them on
     resume (they must differ from the live params after training)."""
