@@ -129,7 +129,10 @@ def test_use_checkpoint_same_params_outputs_and_grads():
     """--use_checkpoint (per-block remat, reference models/uvit.py:197-201)
     must be a pure memory/FLOPs trade: identical param structure (checkpoints
     interchangeable), identical forward, and matching gradients."""
-    config = CIFAR10_CONFIG
+    config = UViTConfig(
+        img_size=32, patch_size=8, in_chans=3, embed_dim=32, depth=3,
+        num_heads=2, mlp_ratio=2, num_classes=-1, normalize_timesteps=True,
+    )
     model, params = init_uvit(config, jax.random.PRNGKey(0))
     model_r, params_r = init_uvit(
         config, jax.random.PRNGKey(0), use_checkpoint=True
