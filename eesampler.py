@@ -57,6 +57,13 @@ def get_args(argv=None):
              "heads). Derive buckets from a dynamic run's "
              "indices_by_timestep.npy with "
              "duodiff_tpu.diffusion.static_exit.derive_exit_schedule.")
+    parser.add_argument(
+        "--derive_schedule_from", type=str, default=None,
+        help="Path to a dynamic run's indices_by_timestep.npy: derive the "
+             "static bucket schedule from it (--derive_buckets N) and "
+             "sample with truncated backbones — the one-command version of "
+             "the dynamic-run -> derive -> --static_schedule workflow")
+    parser.add_argument("--derive_buckets", type=int, default=4)
     return parser.parse_args(argv)
 
 
@@ -77,6 +84,24 @@ def main(argv=None):
 
     if not args.random_init and args.checkpoint_path is None:
         raise SystemExit("--checkpoint_path is required (or pass --random_init)")
+    if args.derive_schedule_from is not None:
+        if args.static_schedule is not None:
+            raise SystemExit("--derive_schedule_from and --static_schedule "
+                             "are mutually exclusive")
+        from duodiff_tpu.diffusion.static_exit import derive_exit_schedule
+
+        idx = np.load(args.derive_schedule_from)
+        if idx.shape[0] != args.num_timesteps:
+            raise SystemExit(
+                f"--derive_schedule_from table covers {idx.shape[0]} "
+                f"timesteps but --num_timesteps is {args.num_timesteps}"
+            )
+        buckets = derive_exit_schedule(idx, n_buckets=args.derive_buckets)
+        args.static_schedule = ",".join(
+            f"{hi}-{lo}:{layer}" for hi, lo, layer in buckets
+        )
+        print(f"Derived static schedule from {args.derive_schedule_from}: "
+              f"{args.static_schedule}")
     if args.threshold is None and args.static_schedule is None:
         raise SystemExit("--threshold is required (or pass --static_schedule)")
 

@@ -298,6 +298,33 @@ def test_eesampler_cli_static_schedule(tmp_path, tiny_config):
     assert set(np.unique(idx)) == {1, 3}
 
 
+def test_eesampler_cli_derive_schedule_from(tmp_path, tiny_config):
+    """--derive_schedule_from turns a dynamic run's exit-index log into a
+    static bucket schedule in one command (dynamic run -> derive ->
+    --static_schedule, collapsed)."""
+    # a synthetic dynamic-run log, row i = timestep i (the sampler's
+    # convention): exits deepen as t -> 0 (depth-3 model)
+    idx = np.zeros((8, 2), np.int32)
+    idx[:4] = 3  # t in [0, 3]: full depth
+    idx[4:] = 1  # t in [4, 7]: exit at layer 1
+    log = tmp_path / "indices_by_timestep.npy"
+    np.save(log, idx)
+    out = tmp_path / "out_ee_derived"
+    eesampler_cli.main([
+        "--config_path", str(tiny_config),
+        "--batch_size", "2",
+        "--derive_schedule_from", str(log),
+        "--derive_buckets", "2",
+        "--output_folder", str(out),
+        "--random_init",
+        "--num_timesteps", "8",
+    ])
+    assert (out / "0.png").exists()
+    got = np.load(out / "indices_by_timestep.npy")
+    assert got.shape == (8, 2)
+    assert set(np.unique(got)) == {1, 3}
+
+
 def test_sampler_cli_dpm_solver(tmp_path, tiny_config):
     out = tmp_path / "out_dpm"
     sampler_cli.main([
