@@ -1,0 +1,279 @@
+"""Production serving endpoint for trained diffusion models.
+
+TPU-native serving design: requests are padded onto a FIXED batch bucket so
+exactly ONE executable is compiled (XLA static shapes — a new batch size
+would trigger a multi-minute remote compile mid-request), the executable is
+warmed at startup (and lands in the persistent compile cache), weights are
+threaded as traced jit arguments (weight-free executable, cache-friendly),
+and a single worker thread owns the device while stdlib HTTP threads queue
+requests. Defaults to DPM-Solver++ 2M 20-step sampling — measured 37.9 ms
+single-image latency for the CelebA-64 flagship on one v5e chip
+(README "Measured performance").
+
+The reference has no serving story (its samplers are batch CLIs,
+sampler.py:192-252); this is a beyond-parity component.
+
+    python serve.py --config_path configs/uvit_celeba.yaml \
+        --checkpoint_path <ckpt> --port 8861 [--method dpm|ddpm|ddim]
+
+    curl -s localhost:8861/healthz
+    curl -s -X POST localhost:8861/sample -d '{"n": 2, "seed": 7}' \
+        | python -c 'import json,sys,base64; \
+            [open(f"s{i}.png","wb").write(base64.b64decode(im)) \
+             for i, im in enumerate(json.load(sys.stdin)["images"])]'
+"""
+
+import argparse
+import base64
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config_path", type=str, required=True)
+    p.add_argument("--checkpoint_path", type=str, default=None)
+    p.add_argument("--random_init", action="store_true")
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8861)
+    p.add_argument("--method", type=str, default="dpm",
+                   choices=["dpm", "ddpm", "ddim"])
+    p.add_argument("--steps", type=int, default=None,
+                   help="model calls per image (default: 20 dpm / "
+                        "num_timesteps ddpm / 50 ddim)")
+    p.add_argument("--num_timesteps", type=int, default=1000)
+    p.add_argument("--bucket", type=int, default=1,
+                   help="compiled batch size; requests are padded/chunked "
+                        "onto it (one executable, no mid-request compiles)")
+    p.add_argument("--parametrization", type=str, default="predict_noise")
+    p.add_argument("--attn_impl", type=str, default=None,
+                   choices=["auto", "xla", "pallas", "fused"])
+    p.add_argument("--gelu_approx", action="store_true")
+    p.add_argument("--warmup", action=argparse.BooleanOptionalAction,
+                   default=True)
+    return p.parse_args(argv)
+
+
+class SamplerService:
+    """Owns the device: one compiled bucket-sized sampler + a lock."""
+
+    def __init__(self, args):
+        from duodiff_tpu.utils.runtime import setup_compilation_cache
+
+        setup_compilation_cache()
+
+        import jax
+        import jax.numpy as jnp
+
+        from duodiff_tpu.diffusion import (
+            ChunkedDDPMSampler,
+            NoiseSchedule,
+            ddim_sample,
+            dpm_solver_sample,
+        )
+        from duodiff_tpu.utils.model_loading import load_model_from_config
+
+        self.jax, self.jnp = jax, jnp
+        if not args.random_init and args.checkpoint_path is None:
+            raise SystemExit(
+                "--checkpoint_path is required (or pass --random_init)"
+            )
+        model, params, cfg, ae_cfg = load_model_from_config(
+            args.config_path,
+            None if args.random_init else args.checkpoint_path,
+            attn_impl=args.attn_impl,
+            gelu_approx=args.gelu_approx,
+        )
+        self.params = params
+        self.cfg = cfg
+        self.args = args
+        self.bucket = args.bucket
+        self.shape = (args.bucket, cfg.img_size, cfg.img_size, cfg.in_chans)
+        self.lock = threading.Lock()
+        self.requests_served = 0
+
+        self.decode_fn = None
+        if ae_cfg is not None:
+            from duodiff_tpu.models.autoencoder import load_autoencoder
+
+            ae_model, ae_params = load_autoencoder(
+                ae_cfg.autoencoder_checkpoint_path, config=ae_cfg
+            )
+            self.decode_fn = jax.jit(
+                lambda z: ae_model.apply(
+                    {"params": ae_params}, z, method=ae_model.decode
+                )
+            )
+
+        schedule = NoiseSchedule.create(steps=args.num_timesteps)
+
+        def apply_fn(p, x, t, y):
+            return model.apply({"params": p}, x, t, y)
+
+        method = args.method
+        if method == "dpm" and args.parametrization == "predict_previous":
+            raise SystemExit("dpm supports predict_noise/predict_original")
+        if method == "ddim" and args.parametrization != "predict_noise":
+            raise SystemExit("ddim serving supports predict_noise only")
+        if method == "dpm":
+            steps = args.steps or 20
+            self._run = jax.jit(lambda p, k, y: dpm_solver_sample(
+                lambda xx, tt, yy: apply_fn(p, xx, tt, yy), k,
+                schedule=schedule, shape=self.shape, dpm_steps=steps,
+                parametrization=args.parametrization, y=y,
+            ))
+        elif method == "ddim":
+            # ddim_sample is predict_noise-form (reference sampler.py:103-126)
+            steps = args.steps or 50
+            self._run = jax.jit(lambda p, k, y: ddim_sample(
+                lambda xx, tt, yy: apply_fn(p, xx, tt, yy), k,
+                schedule=schedule, shape=self.shape, ddim_steps=steps,
+                eta=0.0, y=y,
+            )[0])
+        else:  # ddpm
+            steps = args.steps or args.num_timesteps
+            sampler = ChunkedDDPMSampler(
+                apply_fn, schedule,
+                parametrization=args.parametrization, params=params,
+            )
+            # params already threaded at construction; sample returns x
+            self._run = lambda p, k, y: sampler.sample(k, self.shape, y=y)
+        self.steps = steps
+        self.method = method
+
+    def warmup(self):
+        tic = time.time()
+        self.sample(n=1, seed=0)
+        return time.time() - tic
+
+    def sample(self, n=1, seed=None, class_id=None):
+        jax, jnp = self.jax, self.jnp
+        if seed is None:
+            seed = int(time.time_ns()) % (2**31)
+        y_val = None
+        if class_id is not None:
+            if self.cfg.num_classes <= 0:
+                raise ValueError("model is unconditional; class_id invalid")
+            if not 0 <= int(class_id) < self.cfg.num_classes:
+                raise ValueError(
+                    f"class_id must be in [0, {self.cfg.num_classes})"
+                )
+            y_val = jnp.full((self.bucket,), int(class_id), jnp.int32)
+        imgs = []
+        with self.lock:
+            done = 0
+            while done < n:
+                key = jax.random.fold_in(jax.random.PRNGKey(seed), done)
+                x = jax.block_until_ready(self._run(self.params, key, y_val))
+                if self.decode_fn is not None:
+                    x = jax.block_until_ready(self.decode_fn(x))
+                import numpy as np
+
+                batch = np.asarray((x + 1.0) / 2.0)
+                take = min(self.bucket, n - done)
+                imgs.extend(batch[:take])
+                done += take
+            self.requests_served += 1
+        return imgs
+
+    def info(self):
+        return {
+            "status": "ok",
+            "backend": self.jax.default_backend(),
+            "method": self.method,
+            "steps": self.steps,
+            "bucket": self.bucket,
+            "img_size": self.cfg.img_size,
+            "num_classes": self.cfg.num_classes,
+            "latent": self.decode_fn is not None,
+            "requests_served": self.requests_served,
+        }
+
+
+def _png_b64(img) -> str:
+    import numpy as np
+    from PIL import Image
+
+    arr = np.clip(np.asarray(img) * 255.0, 0, 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode("ascii")
+
+
+def make_handler(service: SamplerService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *a):  # quiet by default
+            pass
+
+        def _json(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, service.info())
+            else:
+                self._json(200, {
+                    "usage": "POST /sample {n, seed, class_id} ; GET /healthz"
+                })
+
+        def do_POST(self):
+            if self.path != "/sample":
+                self._json(404, {"error": "unknown endpoint"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length") or 0)
+                req = json.loads(self.rfile.read(length) or b"{}")
+                n = int(req.get("n", 1))
+                if not 1 <= n <= 64:
+                    raise ValueError("n must be in [1, 64]")
+                tic = time.time()
+                imgs = service.sample(
+                    n=n, seed=req.get("seed"), class_id=req.get("class_id")
+                )
+                elapsed_ms = (time.time() - tic) * 1e3
+                self._json(200, {
+                    "images": [_png_b64(im) for im in imgs],
+                    "elapsed_ms": round(elapsed_ms, 2),
+                    "method": service.method,
+                    "steps": service.steps,
+                })
+            except (ValueError, KeyError, json.JSONDecodeError) as e:
+                self._json(400, {"error": str(e)})
+
+    return Handler
+
+
+def main(argv=None, *, ready_event=None, server_box=None):
+    args = get_args(argv)
+    service = SamplerService(args)
+    if args.warmup:
+        dt = service.warmup()
+        print(f"warmup: compiled + first {service.method}-{service.steps} "
+              f"bucket-{args.bucket} sample in {dt:.1f}s")
+    httpd = ThreadingHTTPServer(
+        (args.host, args.port), make_handler(service)
+    )
+    if server_box is not None:
+        server_box.append((httpd, service))
+    print(f"serving on http://{args.host}:{httpd.server_address[1]} "
+          f"({service.info()})")
+    if ready_event is not None:
+        ready_event.set()
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.server_close()
+
+
+if __name__ == "__main__":
+    main()

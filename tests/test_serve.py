@@ -1,0 +1,110 @@
+"""serve.py: the HTTP serving endpoint (fixed-bucket compiled sampler)."""
+
+import base64
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+import serve as serve_cli
+
+TINY_YAML = """model_params:
+  img_size: 16
+  patch_size: 2
+  in_chans: 3
+  embed_dim: 32
+  depth: 3
+  num_heads: 4
+  mlp_ratio: 4
+  qkv_bias: False
+  mlp_time_embed: False
+  num_classes: -1
+  normalize_timesteps: True
+"""
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    cfg = tmp_path_factory.mktemp("serve") / "tiny.yaml"
+    cfg.write_text(TINY_YAML)
+    ready = threading.Event()
+    box = []
+    th = threading.Thread(
+        target=serve_cli.main,
+        args=([
+            "--config_path", str(cfg),
+            "--random_init",
+            "--port", "0",           # ephemeral port
+            "--method", "dpm",
+            "--steps", "4",
+            "--num_timesteps", "32",
+            "--bucket", "2",
+        ],),
+        kwargs={"ready_event": ready, "server_box": box},
+        daemon=True,
+    )
+    th.start()
+    assert ready.wait(timeout=300), "server did not come up"
+    httpd, service = box[0]
+    yield f"http://127.0.0.1:{httpd.server_address[1]}", service
+    httpd.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=120) as r:
+        return json.loads(r.read())
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(), method="POST"
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_healthz(server):
+    base, service = server
+    info = _get(base + "/healthz")
+    assert info["status"] == "ok"
+    assert info["method"] == "dpm" and info["steps"] == 4
+    assert info["bucket"] == 2 and info["img_size"] == 16
+
+
+def test_sample_roundtrip(server):
+    from PIL import Image
+
+    base, _ = server
+    code, resp = _post(base + "/sample", {"n": 3, "seed": 7})
+    assert code == 200, resp
+    assert len(resp["images"]) == 3
+    for b64 in resp["images"]:
+        img = Image.open(io.BytesIO(base64.b64decode(b64)))
+        assert img.size == (16, 16)
+        arr = np.asarray(img)
+        assert np.isfinite(arr).all()
+    assert resp["elapsed_ms"] > 0
+
+
+def test_sample_deterministic_per_seed(server):
+    base, _ = server
+    _, r1 = _post(base + "/sample", {"n": 1, "seed": 11})
+    _, r2 = _post(base + "/sample", {"n": 1, "seed": 11})
+    _, r3 = _post(base + "/sample", {"n": 1, "seed": 12})
+    assert r1["images"] == r2["images"]
+    assert r1["images"] != r3["images"]
+
+
+def test_sample_validation(server):
+    base, _ = server
+    code, resp = _post(base + "/sample", {"n": 0})
+    assert code == 400 and "error" in resp
+    # unconditional model rejects class_id
+    code, resp = _post(base + "/sample", {"n": 1, "class_id": 3})
+    assert code == 400 and "error" in resp
