@@ -456,6 +456,21 @@ class Trainer:
         bshard = batch_sharding(self.mesh)
         lshard = batch_sharding(self.mesh, ndim=1)
 
+        # preemption safety: SIGTERM requests a checkpoint-and-exit at the
+        # next step boundary instead of killing the process mid-save
+        # (managed TPU slices are evicted with SIGTERM + a grace window)
+        self._preempted = False
+        prev_handler = None
+        import signal
+        import threading
+
+        def _on_sigterm(signum, frame):
+            self._preempted = True
+
+        in_main_thread = threading.current_thread() is threading.main_thread()
+        if in_main_thread:
+            prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+
         logs = []
         t_last = time.time()
         profiler_active = False
@@ -514,8 +529,22 @@ class Trainer:
             ):
                 self._save(step, new_checkpoint=True)
 
+            if self._preempted:
+                # graceful preemption (SIGTERM, e.g. a TPU-pod eviction):
+                # finish the in-flight step, persist the FULL resumable
+                # state, and return cleanly — `--resume` continues from
+                # exactly this step (mid-epoch data position included)
+                if step % (getattr(args, "save_every_n_steps", None)
+                           or step + 1) != 0 and step != args.n_steps:
+                    self._save(step, new_checkpoint=False)
+                print(f"preempted: saved checkpoint at step {step}, "
+                      "exiting cleanly (resume with --resume)")
+                break
+
         # commit any in-flight async save before returning
         self.checkpointer.wait_until_finished()
+        if in_main_thread:
+            signal.signal(signal.SIGTERM, prev_handler)
         return logs
 
     def _log_samples(self, step: int):
