@@ -49,6 +49,13 @@ def get_args(argv=None):
                    help="compiled batch size; requests are padded/chunked "
                         "onto it (one executable, no mid-request compiles)")
     p.add_argument("--parametrization", type=str, default="predict_noise")
+    p.add_argument("--guidance_scale", type=float, default=None,
+                   help="classifier-free guidance weight (needs a "
+                        "class-conditional model trained with "
+                        "--label_dropout; requests must pass class_id)")
+    p.add_argument("--null_class", type=int, default=None,
+                   help="null-label index for guidance "
+                        "(default num_classes-1)")
     p.add_argument("--attn_impl", type=str, default=None,
                    choices=["auto", "xla", "pallas", "fused"])
     p.add_argument("--gelu_approx", action="store_true")
@@ -113,6 +120,28 @@ class SamplerService:
         def apply_fn(p, x, t, y):
             return model.apply({"params": p}, x, t, y)
 
+        self.guidance_null = None
+        if args.guidance_scale is not None:
+            null_class = (
+                args.null_class if args.null_class is not None
+                else cfg.num_classes - 1
+            )
+            if null_class < 1:
+                raise SystemExit(
+                    "--guidance_scale needs a class-conditional model with "
+                    f"a reserved null slot (num_classes={cfg.num_classes})"
+                )
+            from duodiff_tpu.diffusion.sampling import make_guided_apply
+
+            base_apply = apply_fn
+            self.guidance_null = null_class
+
+            def apply_fn(p, x, t, y):  # noqa: F811 — guided rebind
+                return make_guided_apply(
+                    lambda xx, tt, yy: base_apply(p, xx, tt, yy),
+                    args.guidance_scale, null_class,
+                )(x, t, y)
+
         method = args.method
         if method == "dpm" and args.parametrization == "predict_previous":
             raise SystemExit("dpm supports predict_noise/predict_original")
@@ -146,7 +175,10 @@ class SamplerService:
 
     def warmup(self):
         tic = time.time()
-        self.sample(n=1, seed=0)
+        self.sample(
+            n=1, seed=0,
+            class_id=0 if self.guidance_null is not None else None,
+        )
         return time.time() - tic
 
     def sample(self, n=1, seed=None, class_id=None):
@@ -154,13 +186,15 @@ class SamplerService:
         if seed is None:
             seed = int(time.time_ns()) % (2**31)
         y_val = None
+        if self.guidance_null is not None and class_id is None:
+            raise ValueError("guided server: requests must pass class_id")
         if class_id is not None:
             if self.cfg.num_classes <= 0:
                 raise ValueError("model is unconditional; class_id invalid")
-            if not 0 <= int(class_id) < self.cfg.num_classes:
-                raise ValueError(
-                    f"class_id must be in [0, {self.cfg.num_classes})"
-                )
+            hi = (self.guidance_null if self.guidance_null is not None
+                  else self.cfg.num_classes)
+            if not 0 <= int(class_id) < hi:
+                raise ValueError(f"class_id must be in [0, {hi})")
             y_val = jnp.full((self.bucket,), int(class_id), jnp.int32)
         imgs = []
         with self.lock:
@@ -189,6 +223,7 @@ class SamplerService:
             "img_size": self.cfg.img_size,
             "num_classes": self.cfg.num_classes,
             "latent": self.decode_fn is not None,
+            "guidance_scale": self.args.guidance_scale,
             "requests_served": self.requests_served,
         }
 

@@ -108,3 +108,44 @@ def test_sample_validation(server):
     # unconditional model rejects class_id
     code, resp = _post(base + "/sample", {"n": 1, "class_id": 3})
     assert code == 400 and "error" in resp
+
+
+def test_guided_server(tmp_path):
+    """--guidance_scale serving: class-conditional model, CFG-doubled
+    forward; class_id is required and must be a real (non-null) class."""
+    cfg = tmp_path / "cond.yaml"
+    cfg.write_text(TINY_YAML.replace("num_classes: -1", "num_classes: 10"))
+    ready = threading.Event()
+    box = []
+    th = threading.Thread(
+        target=serve_cli.main,
+        args=([
+            "--config_path", str(cfg),
+            "--random_init",
+            "--port", "0",
+            "--method", "dpm",
+            "--steps", "3",
+            "--num_timesteps", "32",
+            "--guidance_scale", "2.5",
+        ],),
+        kwargs={"ready_event": ready, "server_box": box},
+        daemon=True,
+    )
+    th.start()
+    assert ready.wait(timeout=300), "guided server did not come up"
+    httpd, _ = box[0]
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        info = _get(base + "/healthz")
+        assert info["guidance_scale"] == 2.5
+        code, resp = _post(base + "/sample", {"n": 1, "seed": 3,
+                                              "class_id": 4})
+        assert code == 200, resp
+        assert len(resp["images"]) == 1
+        # guided requests must carry a class_id, and never the null slot
+        code, resp = _post(base + "/sample", {"n": 1})
+        assert code == 400
+        code, resp = _post(base + "/sample", {"n": 1, "class_id": 9})
+        assert code == 400
+    finally:
+        httpd.shutdown()
