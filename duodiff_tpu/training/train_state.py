@@ -63,11 +63,25 @@ def make_optimizer(
     max_grad_norm: float,
     num_warmup_steps: int,
     num_training_steps: int,
+    skip_nonfinite: int = 0,
+    grad_accum: int = 1,
 ) -> optax.GradientTransformation:
     """AdamW + cosine-warmup + global-norm clipping
-    (reference trainer.py:121-130,166-172,210)."""
+    (reference trainer.py:121-130,166-172,210).
+
+    Production knobs beyond the reference (both fully on-device — no
+    per-step host syncs, unlike a host-side ``if not finite`` check):
+      - ``skip_nonfinite > 0``: wrap in ``optax.apply_if_finite`` — a step
+        whose gradients contain inf/NaN leaves params and Adam moments
+        untouched; errors only after that many CONSECUTIVE bad steps.
+      - ``grad_accum > 1``: ``optax.MultiSteps`` micro-batching — gradients
+        average across k data steps and the wrapped update (clip, Adam,
+        LR-schedule position) advances once per k. ``num_warmup_steps`` /
+        ``num_training_steps`` therefore count OPTIMIZER UPDATES, not data
+        steps; callers divide their data-step budget by ``grad_accum``.
+    """
     schedule = cosine_schedule_with_warmup(lr, num_warmup_steps, num_training_steps)
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(max_grad_norm),
         optax.adamw(
             learning_rate=schedule,
@@ -76,6 +90,13 @@ def make_optimizer(
             weight_decay=weight_decay,
         ),
     )
+    if skip_nonfinite:
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=skip_nonfinite)
+    if grad_accum > 1:
+        tx = optax.MultiSteps(
+            tx, every_k_schedule=grad_accum
+        ).gradient_transformation()
+    return tx
 
 
 def create_train_state(

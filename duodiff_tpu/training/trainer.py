@@ -245,14 +245,24 @@ class Trainer:
 
     def _init_optimizer(self):
         args = self.args
+        grad_accum = getattr(args, "grad_accum", 1) or 1
+        if grad_accum > 1 and args.n_steps % grad_accum:
+            raise ValueError(
+                f"--n_steps {args.n_steps} must be a multiple of "
+                f"--grad_accum {grad_accum}"
+            )
         tx = make_optimizer(
             lr=args.lr,
             weight_decay=args.weight_decay,
             beta1=args.beta1,
             beta2=args.beta2,
             max_grad_norm=args.max_grad_norm,
+            # schedule positions count optimizer updates (data steps
+            # divided by the accumulation factor)
             num_warmup_steps=args.num_warmup_steps,
-            num_training_steps=args.n_steps,
+            num_training_steps=max(args.n_steps // grad_accum, 1),
+            skip_nonfinite=getattr(args, "skip_nonfinite", 0) or 0,
+            grad_accum=grad_accum,
         )
         if args.model == "deediff_uvit" and getattr(args, "freeze_backbone", False):
             print("Freezing the backbone...")

@@ -106,6 +106,16 @@ def get_args(argv=None):
     parser.add_argument("--weight_decay", type=float, default=0.03)
     parser.add_argument("--beta1", type=float, default=0.99)
     parser.add_argument("--beta2", type=float, default=0.999)
+    parser.add_argument("--grad_accum", type=int, default=1,
+                        help="Accumulate gradients over N data steps per "
+                             "optimizer update (optax.MultiSteps, fully "
+                             "on-device). --num_warmup_steps counts "
+                             "optimizer updates")
+    parser.add_argument("--skip_nonfinite", type=int, default=0,
+                        help="Skip optimizer updates whose gradients "
+                             "contain inf/NaN, erroring only after N "
+                             "consecutive bad steps (optax.apply_if_finite; "
+                             "no per-step host sync). 0 disables")
 
     # LR scheduler
     parser.add_argument("--num_warmup_steps", type=int, default=1500)

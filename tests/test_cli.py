@@ -187,6 +187,36 @@ def test_main_cli_train_and_resume(tmp_path, tiny_train_config, cifar_data):
     assert logs2[0]["step"] > 4  # continued from the checkpoint, not step 1
 
 
+def test_main_cli_grad_accum_and_resume(tmp_path, tiny_train_config,
+                                        cifar_data):
+    """--grad_accum + --skip_nonfinite through the CLI: trains, checkpoints
+    the MultiSteps/apply_if_finite optimizer state, and resumes from it."""
+    logdir = tmp_path / "logs_accum"
+    common = [
+        "--config_path", str(tiny_train_config),
+        "--n_steps", "4",
+        "--batch_size", "4",
+        "--num_timesteps", "50",
+        "--dataset", "cifar10",
+        "--data_path", str(cifar_data),
+        "--log_path", str(logdir),
+        "--exp_name", "ga",
+        "--save_every_n_steps", "2",
+        "--num_warmup_steps", "1",
+        "--grad_accum", "2",
+        "--skip_nonfinite", "3",
+    ]
+    logs = main_cli.main(common)
+    assert logs and np.isfinite(logs[-1]["train_loss"])
+    assert (logdir / "ga" / "cifar10_uvit_last").exists()
+
+    resume_args = list(common)
+    resume_args[resume_args.index("--n_steps") + 1] = "6"
+    logs2 = main_cli.main(resume_args + ["--resume"])
+    assert logs2 and logs2[0]["step"] > 4
+    assert np.isfinite(logs2[-1]["train_loss"])
+
+
 def test_main_cli_async_checkpoint_and_resume(tmp_path, tiny_train_config,
                                               cifar_data):
     """--async_checkpoint saves on a background thread; the checkpoint is

@@ -351,3 +351,71 @@ def test_train_step_label_dropout():
     nulls = jnp.full((4,), 4)
     assert step_with(1.0, y) == step_with(0.0, nulls)
     assert step_with(0.0, y) != step_with(0.0, nulls)
+
+
+def _opt_kwargs(**over):
+    kw = dict(lr=1e-2, weight_decay=0.0, beta1=0.9, beta2=0.999,
+              max_grad_norm=10.0, num_warmup_steps=0,
+              num_training_steps=1000)
+    kw.update(over)
+    return kw
+
+
+def test_grad_accum_matches_mean_gradient():
+    """optax.MultiSteps wiring: k micro-grads produce ONE update equal to
+    the update a plain optimizer takes on their mean."""
+    params = {"w": jnp.asarray([1.0, -2.0, 3.0])}
+    g1 = {"w": jnp.asarray([0.5, 0.1, -0.3])}
+    g2 = {"w": jnp.asarray([-0.1, 0.3, 0.7])}
+    gmean = jax.tree_util.tree_map(lambda a, b: (a + b) / 2, g1, g2)
+
+    acc = make_optimizer(**_opt_kwargs(grad_accum=2))
+    s = acc.init(params)
+    u1, s = acc.update(g1, s, params)
+    p_mid = optax_apply(params, u1)
+    # first micro-step: accumulate only, zero update
+    np.testing.assert_array_equal(np.asarray(p_mid["w"]),
+                                  np.asarray(params["w"]))
+    u2, s = acc.update(g2, s, params)
+    p_acc = optax_apply(params, u2)
+
+    ref = make_optimizer(**_opt_kwargs())
+    rs = ref.init(params)
+    ur, rs = ref.update(gmean, rs, params)
+    p_ref = optax_apply(params, ur)
+    np.testing.assert_allclose(np.asarray(p_acc["w"]),
+                               np.asarray(p_ref["w"]), rtol=1e-6)
+
+
+def test_skip_nonfinite_guards_updates():
+    """apply_if_finite: a NaN gradient leaves params and Adam moments
+    untouched; the next finite gradient applies normally."""
+    params = {"w": jnp.asarray([1.0, 2.0])}
+    bad = {"w": jnp.asarray([jnp.nan, 1.0])}
+    good = {"w": jnp.asarray([0.2, -0.1])}
+
+    tx = make_optimizer(**_opt_kwargs(skip_nonfinite=3))
+    s = tx.init(params)
+    u, s = tx.update(bad, s, params)
+    p1 = optax_apply(params, u)
+    np.testing.assert_array_equal(np.asarray(p1["w"]),
+                                  np.asarray(params["w"]))
+
+    u, s = tx.update(good, s, params)
+    p2 = optax_apply(p1, u)
+    assert not np.allclose(np.asarray(p2["w"]), np.asarray(p1["w"]))
+    assert np.isfinite(np.asarray(p2["w"])).all()
+
+    # matches the unguarded optimizer applying only the finite grad
+    ref = make_optimizer(**_opt_kwargs())
+    rs = ref.init(params)
+    ur, rs = ref.update(good, rs, params)
+    p_ref = optax_apply(params, ur)
+    np.testing.assert_allclose(np.asarray(p2["w"]),
+                               np.asarray(p_ref["w"]), rtol=1e-6)
+
+
+def optax_apply(params, updates):
+    import optax
+
+    return optax.apply_updates(params, updates)
