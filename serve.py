@@ -188,14 +188,24 @@ class SamplerService:
         y_val = None
         if self.guidance_null is not None and class_id is None:
             raise ValueError("guided server: requests must pass class_id")
-        if class_id is not None:
-            if self.cfg.num_classes <= 0:
-                raise ValueError("model is unconditional; class_id invalid")
+        if class_id is not None and self.cfg.num_classes <= 0:
+            raise ValueError("model is unconditional; class_id invalid")
+        if self.cfg.num_classes > 0:
             hi = (self.guidance_null if self.guidance_null is not None
                   else self.cfg.num_classes)
-            if not 0 <= int(class_id) < hi:
-                raise ValueError(f"class_id must be in [0, {hi})")
-            y_val = jnp.full((self.bucket,), int(class_id), jnp.int32)
+            if class_id is not None:
+                if not 0 <= int(class_id) < hi:
+                    raise ValueError(f"class_id must be in [0, {hi})")
+                y_val = jnp.full((self.bucket,), int(class_id), jnp.int32)
+            else:
+                # conditional model, no class requested: draw random real
+                # labels (skipping a possible reserved null slot) so y is
+                # ALWAYS an array — a None<->array flip would change the
+                # jit signature and trigger a mid-request compile
+                y_val = self.jax.random.randint(
+                    self.jax.random.PRNGKey(seed ^ 0x5EED),
+                    (self.bucket,), 0, max(hi - 1, 1),
+                )
         imgs = []
         with self.lock:
             done = 0

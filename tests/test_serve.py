@@ -110,6 +110,42 @@ def test_sample_validation(server):
     assert code == 400 and "error" in resp
 
 
+def test_conditional_unguided_server(tmp_path):
+    """Conditional model without guidance: class_id optional; omitted ->
+    random real labels (y stays an array either way — a None<->array flip
+    would change the jit signature and force a mid-request compile)."""
+    cfg = tmp_path / "cond_ug.yaml"
+    cfg.write_text(TINY_YAML.replace("num_classes: -1", "num_classes: 10"))
+    ready = threading.Event()
+    box = []
+    th = threading.Thread(
+        target=serve_cli.main,
+        args=([
+            "--config_path", str(cfg),
+            "--random_init",
+            "--port", "0",
+            "--method", "dpm",
+            "--steps", "3",
+            "--num_timesteps", "32",
+        ],),
+        kwargs={"ready_event": ready, "server_box": box},
+        daemon=True,
+    )
+    th.start()
+    assert ready.wait(timeout=300)
+    httpd, service = box[0]
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        code, r1 = _post(base + "/sample", {"n": 1, "seed": 3})
+        assert code == 200, r1
+        code, r2 = _post(base + "/sample", {"n": 1, "seed": 3,
+                                            "class_id": 7})
+        assert code == 200, r2
+        assert r1["images"] != r2["images"]  # different labels, same seed
+    finally:
+        httpd.shutdown()
+
+
 def test_guided_server(tmp_path):
     """--guidance_scale serving: class-conditional model, CFG-doubled
     forward; class_id is required and must be a real (non-null) class."""
