@@ -1,3 +1,4 @@
+from duodiff_tpu.diffusion.pipeline import DuoDiffPipeline
 from duodiff_tpu.diffusion.schedule import NoiseSchedule
 from duodiff_tpu.diffusion.sampling import (
     ChunkedDDPMSampler,
@@ -14,6 +15,7 @@ from duodiff_tpu.diffusion.sampling import (
 )
 
 __all__ = [
+    "DuoDiffPipeline",
     "NoiseSchedule",
     "ddpm_sample",
     "dpm_solver_sample",

@@ -54,6 +54,16 @@ def get_args(argv=None):
                              "heads / MLP hidden over a (data, model) "
                              "mesh (Megatron-style 'heads' layout) "
                              "instead of replicating the model")
+    parser.add_argument("--pipeline_parallel", action="store_true",
+                        help="DuoDiff pipeline parallelism: place the "
+                             "shallow and full models on DISJOINT device "
+                             "submeshes and stream the batch through them "
+                             "as micro-batches (stage 1 of micro-batch i "
+                             "overlaps stage 2 of i-1). Needs --t_switch + "
+                             "the late model and >= 2 devices")
+    parser.add_argument("--pipeline_microbatch", type=int, default=None,
+                        help="Micro-batch size for --pipeline_parallel "
+                             "(default: batch_size / 4)")
     parser.add_argument("--use_ddim", action="store_true")
     parser.add_argument("--ddim_steps", type=int, default=50)
     parser.add_argument("--ddim_eta", type=float, default=0.0)
@@ -306,9 +316,48 @@ def main(argv=None):
         ]
         return x, inter
 
+    def run_pipeline(key, y):
+        """DuoDiff over two disjoint device submeshes (shallow on A, full
+        on B), micro-batched so stage 1 of micro-batch i overlaps stage 2
+        of micro-batch i-1 (duodiff_tpu.diffusion.pipeline)."""
+        from duodiff_tpu.diffusion import DuoDiffPipeline
+
+        mb = args.pipeline_microbatch or max(1, args.batch_size // 4)
+        if args.batch_size % mb:
+            raise SystemExit(
+                f"--batch_size {args.batch_size} must be a multiple of "
+                f"--pipeline_microbatch {mb}"
+            )
+        n_micro = args.batch_size // mb
+        pipe = DuoDiffPipeline(
+            apply_early, params, apply_late, late[1], schedule,
+            t_switch=args.t_switch, parametrization=args.parametrization,
+        )
+        keys = list(jax.random.split(key, n_micro))
+        ys = (
+            [y[i * mb : (i + 1) * mb] for i in range(n_micro)]
+            if y is not None else None
+        )
+        outs = pipe.sample(keys, (mb,) + shape[1:], ys)
+        return jnp.concatenate(outs, axis=0), []
+
+    if args.pipeline_parallel:
+        if late is None or args.t_switch is None:
+            raise SystemExit("--pipeline_parallel needs the DuoDiff pair "
+                             "(--config_path_late/--checkpoint_path_late "
+                             "and --t_switch)")
+        if mp > 1:
+            raise SystemExit("--pipeline_parallel does not combine with "
+                             "--model_parallel")
+        if args.use_ddim or args.use_dpm_solver or timesteps_save:
+            raise SystemExit("--pipeline_parallel supports plain DDPM "
+                             "sampling (no DDIM/DPM/--timesteps_save)")
+
     print(f"Sampling {args.batch_size} images on {jax.devices()[0].platform}...")
     tic = time.time()
-    if args.use_dpm_solver:
+    if args.pipeline_parallel:
+        x, intermediates = run_pipeline(key, y)
+    elif args.use_dpm_solver:
         if args.parametrization == "predict_previous":
             raise SystemExit(
                 "--use_dpm_solver supports predict_noise/predict_original"

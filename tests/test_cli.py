@@ -97,6 +97,26 @@ def test_sampler_cli_duodiff(tmp_path, tiny_config):
     assert (out / "0.png").exists()
 
 
+def test_sampler_cli_pipeline_parallel(tmp_path, tiny_config):
+    """--pipeline_parallel: shallow/full on disjoint submeshes, batch
+    streamed as micro-batches (duodiff_tpu.diffusion.pipeline)."""
+    out = tmp_path / "out_pipe"
+    sampler_cli.main([
+        "--config_path", str(tiny_config),
+        "--config_path_late", str(tiny_config),
+        "--batch_size", "4",
+        "--parametrization", "predict_noise",
+        "--output_folder", str(out),
+        "--random_init",
+        "--num_timesteps", "8",
+        "--t_switch", "3",
+        "--pipeline_parallel",
+        "--pipeline_microbatch", "2",
+    ])
+    for i in range(4):
+        assert (out / f"{i}.png").exists()
+
+
 def test_sampler_cli_ddim(tmp_path, tiny_config):
     out = tmp_path / "out_ddim"
     sampler_cli.main([
