@@ -1,0 +1,144 @@
+"""Quality-vs-speed matrix on a TRAINED checkpoint.
+
+The headline speed knobs (DPM-Solver++ 20-step, DDIM-50, early exit, static
+exit, DuoDiff t_switch) each claim near-DDPM quality; this tool MEASURES it.
+Given a backbone trained on the convergence-probe palette distribution
+(tools/convergence_probe.py — the only trainable distribution available in
+an environment with no downloadable datasets or Inception weights), it runs
+every requested sampler through the production CLIs on the same checkpoint
+and scores the generated distribution: within-image pixel std, mean
+distance to the nearest palette mode, and mode coverage. One JSON line per
+method + a final combined line.
+
+    python tools/quality_matrix.py \
+        --config configs/uvit_cifar10.yaml --checkpoint <backbone> \
+        [--ee_config configs/deediff_cifar10.yaml --ee_checkpoint <probes>] \
+        [--shallow_config configs/uvit_cifar10_3.yaml \
+         --shallow_checkpoint <shallow> --t_switch 300] \
+        --palette_k 4 --batch 32 --out /tmp/quality
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))
+sys.path.insert(0, _HERE)
+
+from convergence_probe import PALETTES, measure  # noqa: E402 (tools/ sibling)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=str, required=True)
+    ap.add_argument("--checkpoint", type=str, required=True)
+    ap.add_argument("--ee_config", type=str, default=None)
+    ap.add_argument("--ee_checkpoint", type=str, default=None)
+    ap.add_argument("--ee_threshold", type=float, default=0.08)
+    ap.add_argument("--shallow_config", type=str, default=None)
+    ap.add_argument("--shallow_checkpoint", type=str, default=None)
+    ap.add_argument("--t_switch", type=int, default=300)
+    ap.add_argument("--palette_k", type=int, default=4, choices=[1, 4, 8])
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--num_timesteps", type=int, default=1000)
+    ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--out", type=str, required=True)
+    ap.add_argument("--methods", type=str, default=None,
+                    help="comma list to restrict (ddpm,ddim50,dpm20,"
+                         "ee_dynamic,ee_static,duodiff)")
+    args = ap.parse_args(argv)
+
+    import eesampler as eesampler_cli
+    import sampler as sampler_cli
+
+    palette = PALETTES[args.palette_k]
+    out_root = Path(args.out)
+    only = set(args.methods.split(",")) if args.methods else None
+
+    def want(name):
+        return only is None or name in only
+
+    rows = {}
+
+    def score(name, elapsed):
+        r = measure(out_root / name, palette)
+        r["elapsed_s"] = round(elapsed, 2)
+        rows[name] = r
+        print(json.dumps({"method": name, **r}))
+
+    def run_sampler(name, extra):
+        t = time.time()
+        sampler_cli.main([
+            "--config_path", args.config,
+            "--checkpoint_path", args.checkpoint,
+            "--batch_size", str(args.batch),
+            "--parametrization", "predict_noise",
+            "--output_folder", str(out_root / name),
+            "--num_timesteps", str(args.num_timesteps),
+            "--seed", str(args.seed),
+        ] + extra)
+        score(name, time.time() - t)
+
+    if want("ddpm"):
+        run_sampler("ddpm", [])
+    if want("ddim50"):
+        run_sampler("ddim50", ["--use_ddim", "--ddim_steps", "50"])
+    if want("dpm20"):
+        run_sampler("dpm20", ["--use_dpm_solver", "--dpm_steps", "20"])
+
+    if args.shallow_config and args.shallow_checkpoint and want("duodiff"):
+        # reference CLI contract: --config_path is the EARLY (shallow)
+        # model, --config_path_late the full one (sampler.py:135-136 there)
+        t = time.time()
+        sampler_cli.main([
+            "--config_path", args.shallow_config,
+            "--checkpoint_path", args.shallow_checkpoint,
+            "--config_path_late", args.config,
+            "--checkpoint_path_late", args.checkpoint,
+            "--t_switch", str(args.t_switch),
+            "--batch_size", str(args.batch),
+            "--parametrization", "predict_noise",
+            "--output_folder", str(out_root / "duodiff"),
+            "--num_timesteps", str(args.num_timesteps),
+            "--seed", str(args.seed),
+        ])
+        score("duodiff", time.time() - t)
+
+    if args.ee_config and args.ee_checkpoint:
+        if want("ee_dynamic"):
+            t = time.time()
+            eesampler_cli.main([
+                "--config_path", args.ee_config,
+                "--checkpoint_path", args.ee_checkpoint,
+                "--threshold", str(args.ee_threshold),
+                "--batch_size", str(args.batch),
+                "--output_folder", str(out_root / "ee_dynamic"),
+                "--num_timesteps", str(args.num_timesteps),
+                "--seed", str(args.seed),
+            ])
+            score("ee_dynamic", time.time() - t)
+        if want("ee_static"):
+            t = time.time()
+            eesampler_cli.main([
+                "--config_path", args.ee_config,
+                "--checkpoint_path", args.ee_checkpoint,
+                "--derive_schedule_from",
+                str(out_root / "ee_dynamic" / "indices_by_timestep.npy"),
+                "--batch_size", str(args.batch),
+                "--output_folder", str(out_root / "ee_static"),
+                "--num_timesteps", str(args.num_timesteps),
+                "--seed", str(args.seed),
+            ])
+            score("ee_static", time.time() - t)
+
+    print(json.dumps(rows))
+    (out_root / "quality_matrix.json").write_text(json.dumps(rows, indent=1))
+    return rows
+
+
+if __name__ == "__main__":
+    main()
