@@ -207,10 +207,13 @@ def test_main_cli_train_and_resume(tmp_path, tiny_train_config, cifar_data):
     assert logs2[0]["step"] > 4  # continued from the checkpoint, not step 1
 
 
+@pytest.mark.slow
 def test_main_cli_grad_accum_and_resume(tmp_path, tiny_train_config,
                                         cifar_data):
     """--grad_accum + --skip_nonfinite through the CLI: trains, checkpoints
-    the MultiSteps/apply_if_finite optimizer state, and resumes from it."""
+    the MultiSteps/apply_if_finite optimizer state, and resumes from it.
+    (slow: two short CLI train runs; the transformation math is unit-tested
+    in test_training.py)"""
     logdir = tmp_path / "logs_accum"
     common = [
         "--config_path", str(tiny_train_config),

@@ -110,6 +110,7 @@ def test_sample_validation(server):
     assert code == 400 and "error" in resp
 
 
+@pytest.mark.slow
 def test_conditional_unguided_server(tmp_path):
     """Conditional model without guidance: class_id optional; omitted ->
     random real labels (y stays an array either way — a None<->array flip
@@ -146,6 +147,7 @@ def test_conditional_unguided_server(tmp_path):
         httpd.shutdown()
 
 
+@pytest.mark.slow
 def test_guided_server(tmp_path):
     """--guidance_scale serving: class-conditional model, CFG-doubled
     forward; class_id is required and must be a real (non-null) class."""
