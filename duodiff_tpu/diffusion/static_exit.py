@@ -136,17 +136,29 @@ def parse_exit_schedule(spec: str) -> List[Bucket]:
 
 
 def derive_exit_schedule(
-    indices_by_timestep: np.ndarray, n_buckets: int = 4
+    indices_by_timestep: np.ndarray, n_buckets: int = 4,
+    quantile: float = 0.5,
 ) -> List[Bucket]:
     """Quantize a logged (T, B) exit-index table into ``n_buckets``
-    contiguous timestep buckets, taking the ceil of the mean exit per bucket
-    (conservative: never exits earlier than the dynamic rule's average)."""
-    mean_exit = np.asarray(indices_by_timestep).mean(axis=1)  # (T,), by t
-    steps = len(mean_exit)
+    contiguous timestep buckets, taking the ceil of the ``quantile`` of the
+    bucket's per-(timestep, sample) exit indices.
+
+    Default is the MEDIAN, not the mean: measured on a trained model
+    (NOTES.md round-2 fourth session), the dynamic rule's per-sample exits
+    are bimodal — most samples exit deep (12-13 of 13) while a minority
+    exits very early (~8), dragging the mean to ~9-10. A mean-derived
+    schedule forces those mid-depth heads on EVERY sample with no per-sample
+    probe gating to catch the bad ones, and the errors compound over the
+    1000-step trajectory into mode collapse (measured: within-image std
+    0.44, 1/4 modes) — while the median-depth static schedule preserves
+    quality (std 0.027, 4/4 modes at layer 12/13 compute). Raise
+    ``quantile`` toward 1.0 for an even more conservative schedule."""
+    idx = np.asarray(indices_by_timestep)
+    steps = idx.shape[0]
     edges = np.linspace(0, steps, n_buckets + 1).astype(int)
     buckets = []
     for lo, hi in zip(edges[:-1], edges[1:]):
-        layer = int(np.ceil(mean_exit[lo:hi].mean()))
+        layer = int(np.ceil(np.quantile(idx[lo:hi], quantile)))
         buckets.append((hi - 1, lo, layer))
     buckets.sort(key=lambda b: -b[0])
     # merge adjacent buckets with identical layers

@@ -64,6 +64,11 @@ def get_args(argv=None):
              "sample with truncated backbones — the one-command version of "
              "the dynamic-run -> derive -> --static_schedule workflow")
     parser.add_argument("--derive_buckets", type=int, default=4)
+    parser.add_argument(
+        "--derive_quantile", type=float, default=0.5,
+        help="Per-bucket exit depth = ceil of this quantile of the logged "
+             "per-sample exits (0.5 = median, the validated default; the "
+             "MEAN is unsafe — see derive_exit_schedule docstring)")
     return parser.parse_args(argv)
 
 
@@ -96,7 +101,10 @@ def main(argv=None):
                 f"--derive_schedule_from table covers {idx.shape[0]} "
                 f"timesteps but --num_timesteps is {args.num_timesteps}"
             )
-        buckets = derive_exit_schedule(idx, n_buckets=args.derive_buckets)
+        buckets = derive_exit_schedule(
+            idx, n_buckets=args.derive_buckets,
+            quantile=args.derive_quantile,
+        )
         args.static_schedule = ",".join(
             f"{hi}-{lo}:{layer}" for hi, lo, layer in buckets
         )
