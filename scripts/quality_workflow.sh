@@ -1,0 +1,42 @@
+#!/bin/bash
+# Reproduce the README "Does it learn?" + quality-vs-speed table end to end
+# on one TPU chip (the exact sequence run on 2026-08-17/18; ~1.5 h total,
+# dominated by first-compiles). Every stage goes through the production
+# CLIs. WORK defaults to /tmp/duodiff_quality.
+set -e
+WORK=${WORK:-/tmp/duodiff_quality}
+STEPS=${STEPS:-12000}
+
+# 1. synthetic palette dataset + backbone training + DDPM sampling + metrics
+python tools/convergence_probe.py --config configs/uvit_cifar10.yaml \
+    --steps $STEPS --batch 128 --lr 3e-4 --warmup 100 \
+    --sample_batch 32 --workdir $WORK
+
+BACKBONE=$WORK/logs/conv/cifar10_uvit_last
+
+# 2. DeeDiff probes/heads on the frozen trained backbone
+python main.py --model deediff_uvit --config_path configs/deediff_cifar10.yaml \
+    --dataset cifar10 --data_path $WORK/data --log_path $WORK/logs \
+    --exp_name ee --load_backbone $BACKBONE --freeze_backbone \
+    --n_steps 3000 --batch_size 128 --lr 5e-4 --num_warmup_steps 50 \
+    --save_every_n_steps 3000 --seed 0
+
+# 3. distilled depth-3 shallow model (DuoDiff's early segment, t >= 700)
+python main.py --config_path configs/uvit_cifar10_3.yaml \
+    --distill_config configs/uvit_cifar10.yaml --distill_from $BACKBONE \
+    --distill_alpha 0.7 --distill_t_min 700 \
+    --dataset cifar10 --data_path $WORK/data --log_path $WORK/logs \
+    --exp_name shallow --n_steps 3000 --batch_size 128 --lr 1e-3 \
+    --num_warmup_steps 50 --save_every_n_steps 3000 --seed 0
+
+# 4. the full matrix: DDPM/DDIM/DPM + dynamic & (median-derived) static
+#    early exit + DuoDiff, each scored against the palette distribution
+python tools/quality_matrix.py \
+    --config configs/uvit_cifar10.yaml --checkpoint $BACKBONE \
+    --ee_config configs/deediff_cifar10.yaml \
+    --ee_checkpoint $WORK/logs/ee/cifar10_deediff_uvit_last \
+    --shallow_config configs/uvit_cifar10_3.yaml \
+    --shallow_checkpoint $WORK/logs/shallow/cifar10_uvit_last \
+    --t_switch 300 --palette_k 4 --batch 32 --out $WORK/qm
+
+cat $WORK/qm/quality_matrix.json
