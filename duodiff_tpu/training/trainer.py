@@ -241,7 +241,15 @@ class Trainer:
             args.dataset, args.batch_size, args.seed, args.data_path,
             cache_data=getattr(args, "cache_data", False),
         )
-        self.has_labels = "imagenet" in args.dataset
+        # the reference only consumes labels for imagenet (trainer.py:311
+        # there: `batch[1] if "imagenet" in dataset else None`) — keep that,
+        # but ALSO feed labels whenever the model is class-conditional: all
+        # loaders return label batches, and a num_classes>0 model on e.g.
+        # CIFAR-10 would otherwise silently train unconditioned (no
+        # reference config hits this case, so parity is unaffected)
+        self.has_labels = (
+            "imagenet" in args.dataset or self.model_config.num_classes > 0
+        )
 
     def _init_optimizer(self):
         args = self.args
@@ -411,9 +419,8 @@ class Trainer:
         if label_dropout > 0.0:
             if not self.has_labels or self.model_config.num_classes <= 0:
                 raise ValueError(
-                    "--label_dropout needs a class-conditional model on a "
-                    "labeled dataset (num_classes > 0, imagenet*); it would "
-                    "silently be a no-op here"
+                    "--label_dropout needs a class-conditional model "
+                    "(num_classes > 0); it would silently be a no-op here"
                 )
             # upstream U-ViT convention: the LAST embedding slot is the
             # null/unconditional token. Only configs that RESERVE it (e.g.
@@ -645,17 +652,28 @@ class Trainer:
         )
 
 
-def load_params_flexible(path: str, template: Any):
+def load_params_flexible(path: str, template: Any, use_ema: bool = False):
     """Load a params pytree from either an Orbax checkpoint directory (raw
     params or a full train-state dict) or a reference torch ``.pth``
     checkpoint via the converter. The result is validated against
-    ``template``'s tree structure and leaf shapes."""
+    ``template``'s tree structure and leaf shapes. ``use_ema`` loads the
+    checkpoint's EMA shadow params (tracked with --ema_decay) instead of
+    the live ones."""
     p = Path(path)
     if p.is_dir():
         import orbax.checkpoint as ocp
 
         raw = ocp.Checkpointer(ocp.PyTreeCheckpointHandler()).restore(p.resolve())
-        params = raw.get("params", raw) if isinstance(raw, dict) else raw
+        if use_ema:
+            ema = raw.get("ema_params") if isinstance(raw, dict) else None
+            if not isinstance(ema, dict):
+                raise ValueError(
+                    f"{path} has no EMA params — the checkpoint was saved "
+                    "without --ema_decay"
+                )
+            params = ema
+        else:
+            params = raw.get("params", raw) if isinstance(raw, dict) else raw
         if "uvit" in params and "uvit" not in template:
             # early-exit checkpoint providing the backbone subtree
             params = params["uvit"]
@@ -682,6 +700,11 @@ def load_params_flexible(path: str, template: Any):
             lambda a, t: jnp.asarray(a, dtype=t.dtype), params, template
         )
     if p.suffix in (".pth", ".pt", ".ckpt", ".bin"):
+        if use_ema:
+            raise ValueError(
+                "--use_ema applies to this framework's Orbax checkpoints; "
+                f"reference torch checkpoints have no EMA shadow ({path})"
+            )
         from duodiff_tpu.utils.torch_convert import convert_torch_checkpoint
 
         return convert_torch_checkpoint(path, template)

@@ -23,6 +23,7 @@ def load_model_from_config(
     attn_impl: Optional[str] = None,
     gelu_approx: bool = False,
     qkv_layout: str = "packed",
+    use_ema: bool = False,
 ) -> Tuple[object, dict, UViTConfig, Optional[AutoencoderConfig]]:
     """Build a (UViT | EarlyExitUViT) from a reference-format YAML and
     optionally load weights from an Orbax dir or torch .pth.
@@ -34,7 +35,8 @@ def load_model_from_config(
     the tanh form (below bf16 rounding; see duodiff_tpu.models.layers.Mlp).
     qkv_layout="heads" stores attention params with an explicit head axis
     for Megatron-style tensor-parallel sampling (models/layers._QKVProj);
-    packed checkpoints are converted on load.
+    packed checkpoints are converted on load. use_ema loads the EMA shadow
+    params from an --ema_decay-trained Orbax checkpoint.
     """
     raw = load_config(config_path)
     cfg = UViTConfig.from_dict(raw["model_params"])
@@ -65,7 +67,8 @@ def load_model_from_config(
             from duodiff_tpu.utils.param_layout import qkv_heads_to_packed
 
             load_tree = qkv_heads_to_packed(params, cfg.num_heads)
-        params = load_params_flexible(checkpoint_path, load_tree)
+        params = load_params_flexible(checkpoint_path, load_tree,
+                                      use_ema=use_ema)
         if qkv_layout == "heads":
             from duodiff_tpu.utils.param_layout import qkv_packed_to_heads
 

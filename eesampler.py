@@ -49,6 +49,9 @@ def get_args(argv=None):
                         choices=["auto", "xla", "pallas", "fused"])
     parser.add_argument("--gelu_approx", action="store_true",
                         help="tanh-approx GELU (below bf16 rounding)")
+    parser.add_argument("--use_ema", action="store_true",
+                        help="Sample with the EMA shadow params from an "
+                             "--ema_decay-trained checkpoint")
     parser.add_argument(
         "--static_schedule", type=str, default=None,
         help="Timestep-bucketed static exits, e.g. '999-700:3,699-300:8,"
@@ -127,6 +130,7 @@ def main(argv=None):
         attn_impl=args.attn_impl,
         gelu_approx=args.gelu_approx,
         qkv_layout="heads" if mp > 1 else "packed",
+        use_ema=args.use_ema,
     )
 
     decode_fn = None

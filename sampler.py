@@ -83,6 +83,10 @@ def get_args(argv=None):
     parser.add_argument("--gelu_approx", action="store_true",
                         help="tanh-approx GELU (below bf16 rounding, ~20%% "
                              "faster steps on TPU)")
+    parser.add_argument("--use_ema", action="store_true",
+                        help="Sample with the EMA shadow params from an "
+                             "--ema_decay-trained checkpoint (both models "
+                             "for DuoDiff)")
     return parser.parse_args(argv)
 
 
@@ -119,6 +123,7 @@ def main(argv=None):
         attn_impl=args.attn_impl,
         gelu_approx=args.gelu_approx,
         qkv_layout=qkv_layout,
+        use_ema=args.use_ema,
     )
 
     late = None
@@ -130,6 +135,7 @@ def main(argv=None):
             attn_impl=args.attn_impl,
             gelu_approx=args.gelu_approx,
             qkv_layout=qkv_layout,
+            use_ema=args.use_ema,
         )
         late = (late_model, late_params)
 

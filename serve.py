@@ -59,6 +59,9 @@ def get_args(argv=None):
     p.add_argument("--attn_impl", type=str, default=None,
                    choices=["auto", "xla", "pallas", "fused"])
     p.add_argument("--gelu_approx", action="store_true")
+    p.add_argument("--use_ema", action="store_true",
+                   help="serve the EMA shadow params from an "
+                        "--ema_decay-trained checkpoint")
     p.add_argument("--warmup", action=argparse.BooleanOptionalAction,
                    default=True)
     return p.parse_args(argv)
@@ -93,6 +96,7 @@ class SamplerService:
             None if args.random_init else args.checkpoint_path,
             attn_impl=args.attn_impl,
             gelu_approx=args.gelu_approx,
+            use_ema=args.use_ema,
         )
         self.params = params
         self.cfg = cfg

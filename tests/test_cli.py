@@ -240,6 +240,50 @@ def test_main_cli_grad_accum_and_resume(tmp_path, tiny_train_config,
     assert np.isfinite(logs2[-1]["train_loss"])
 
 
+@pytest.mark.slow
+def test_sampler_cli_use_ema(tmp_path, tiny_train_config, cifar_data):
+    """--use_ema samples with the checkpoint's EMA shadow params: output
+    differs from the live params, and a checkpoint saved without
+    --ema_decay is rejected with a clear error."""
+    logdir = tmp_path / "logs_ema_sample"
+    common = [
+        "--config_path", str(tiny_train_config),
+        "--n_steps", "3",
+        "--batch_size", "4",
+        "--num_timesteps", "50",
+        "--dataset", "cifar10",
+        "--data_path", str(cifar_data),
+        "--log_path", str(logdir),
+        "--num_warmup_steps", "1",
+        "--save_every_n_steps", "3",
+    ]
+    main_cli.main(common + ["--exp_name", "ema", "--ema_decay", "0.9"])
+    main_cli.main(common + ["--exp_name", "noema"])
+
+    def sample(ckpt, out, extra=()):
+        sampler_cli.main([
+            "--config_path", str(tiny_train_config),
+            "--checkpoint_path", str(ckpt),
+            "--batch_size", "2",
+            "--parametrization", "predict_noise",
+            "--output_folder", str(out),
+            "--num_timesteps", "8",
+            "--seed", "5",
+        ] + list(extra))
+        from PIL import Image
+
+        return np.asarray(Image.open(out / "0.png"))
+
+    ema_ckpt = logdir / "ema" / "cifar10_uvit_last"
+    live = sample(ema_ckpt, tmp_path / "s_live")
+    ema = sample(ema_ckpt, tmp_path / "s_ema", ["--use_ema"])
+    assert not np.array_equal(live, ema)
+
+    with pytest.raises(ValueError, match="no EMA params"):
+        sample(logdir / "noema" / "cifar10_uvit_last",
+               tmp_path / "s_bad", ["--use_ema"])
+
+
 def test_main_cli_async_checkpoint_and_resume(tmp_path, tiny_train_config,
                                               cifar_data):
     """--async_checkpoint saves on a background thread; the checkpoint is
