@@ -1,20 +1,24 @@
 """Pipeline-parallel DuoDiff sampling over two disjoint device submeshes.
 
 DuoDiff's shallow->full handoff (reference sampler.py:135-136) is a temporal
-two-stage pipeline: the shallow model denoises timesteps T-1..T-t_switch,
-the full model t_switch-1..0. On a single device the stages run back to
-back; on a pod, placing each model on its OWN device subset turns a stream
-of micro-batches into a classic software pipeline — stage 1 of micro-batch
-i runs on submesh A concurrently with stage 2 of micro-batch i-1 on submesh
-B, overlapped purely by JAX's async dispatch (the host never blocks between
-dispatching A's and B's work). SURVEY.md §2b flags this handoff as "the one
-place the build can map two models onto disjoint device subsets".
+two-stage pipeline: the shallow model denoises the first ``t_switch``
+reverse steps (timesteps T-1 down to T-t_switch, the high-noise regime),
+the full model the remaining T-t_switch steps (T-t_switch-1 down to 0). On
+a single device the stages run back to back; on a pod, placing each model
+on its OWN device subset turns a stream of micro-batches into a classic
+software pipeline — stage 1 of micro-batch i runs on submesh A concurrently
+with stage 2 of micro-batch i-1 on submesh B, overlapped purely by JAX's
+async dispatch (the host never blocks between dispatching A's and B's
+work). SURVEY.md §2b flags this handoff as "the one place the build can map
+two models onto disjoint device subsets".
 
 Steady-state throughput is set by max(stage_A_time, stage_B_time) instead
-of their sum — with t_switch tuned so the stages balance (shallow is
-~depth/3 the cost but runs 1000-t_switch of the steps), ideal overlap
-approaches 2x the two-submesh sequential rate. Within each submesh the
-micro-batch is data-parallel (batch axis sharded; weights replicated).
+of their sum. Stage A costs ~t_switch x depth_shallow model-calls, stage B
+(T - t_switch) x depth_full — balancing them needs a LARGE t_switch (e.g.
+depth 3 vs 13 at T=1000 balances near t_switch ~= 810); at the paper's
+quality-motivated t_switch=300 the full-model stage dominates and the
+overlap hides the entire shallow stage. Within each submesh the micro-batch
+is data-parallel (batch axis sharded; weights replicated).
 """
 
 from __future__ import annotations

@@ -155,6 +155,11 @@ def derive_exit_schedule(
     ``quantile`` toward 1.0 for an even more conservative schedule."""
     idx = np.asarray(indices_by_timestep)
     steps = idx.shape[0]
+    if not 1 <= n_buckets <= steps:
+        raise ValueError(
+            f"n_buckets must be in [1, {steps}] (the table covers {steps} "
+            f"timesteps), got {n_buckets}"
+        )
     edges = np.linspace(0, steps, n_buckets + 1).astype(int)
     buckets = []
     for lo, hi in zip(edges[:-1], edges[1:]):

@@ -487,7 +487,17 @@ class Trainer:
         in_main_thread = threading.current_thread() is threading.main_thread()
         if in_main_thread:
             prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+        try:
+            return self._train_loop(base_key, bshard, lshard)
+        finally:
+            # restore even when the loop raises — a leaked handler would
+            # make later SIGTERMs set a dead trainer's flag instead of
+            # terminating the process
+            if in_main_thread:
+                signal.signal(signal.SIGTERM, prev_handler)
 
+    def _train_loop(self, base_key, bshard, lshard):
+        args = self.args
         logs = []
         t_last = time.time()
         profiler_active = False
@@ -560,8 +570,6 @@ class Trainer:
 
         # commit any in-flight async save before returning
         self.checkpointer.wait_until_finished()
-        if in_main_thread:
-            signal.signal(signal.SIGTERM, prev_handler)
         return logs
 
     def _log_samples(self, step: int):

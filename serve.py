@@ -137,14 +137,11 @@ class SamplerService:
                 )
             from duodiff_tpu.diffusion.sampling import make_guided_apply
 
-            base_apply = apply_fn
             self.guidance_null = null_class
-
-            def apply_fn(p, x, t, y):  # noqa: F811 — guided rebind
-                return make_guided_apply(
-                    lambda xx, tt, yy: base_apply(p, xx, tt, yy),
-                    args.guidance_scale, null_class,
-                )(x, t, y)
+            # params-first signatures pass through the wrapper untouched
+            apply_fn = make_guided_apply(
+                apply_fn, args.guidance_scale, null_class
+            )
 
         method = args.method
         if method == "dpm" and args.parametrization == "predict_previous":
@@ -167,7 +164,15 @@ class SamplerService:
                 eta=0.0, y=y,
             )[0])
         else:  # ddpm
-            steps = args.steps or args.num_timesteps
+            if args.steps is not None and args.steps != args.num_timesteps:
+                raise SystemExit(
+                    "ddpm runs the full reverse process "
+                    f"(--num_timesteps={args.num_timesteps}); --steps only "
+                    "applies to dpm/ddim — for fewer ddpm steps shorten "
+                    "--num_timesteps (and retrain: the beta range is "
+                    "schedule-length dependent)"
+                )
+            steps = args.num_timesteps
             sampler = ChunkedDDPMSampler(
                 apply_fn, schedule,
                 parametrization=args.parametrization, params=params,
@@ -202,13 +207,17 @@ class SamplerService:
                     raise ValueError(f"class_id must be in [0, {hi})")
                 y_val = jnp.full((self.bucket,), int(class_id), jnp.int32)
             else:
-                # conditional model, no class requested: draw random real
-                # labels (skipping a possible reserved null slot) so y is
-                # ALWAYS an array — a None<->array flip would change the
-                # jit signature and trigger a mid-request compile
+                # conditional model, no class requested: draw random labels
+                # so y is ALWAYS an array — a None<->array flip would change
+                # the jit signature and trigger a mid-request compile. The
+                # draw covers every real class; the top slot is excluded
+                # only when the user declared it reserved via --null_class
+                # (a guided server requires class_id and never gets here)
+                top = (self.args.null_class
+                       if self.args.null_class is not None else hi)
                 y_val = self.jax.random.randint(
                     self.jax.random.PRNGKey(seed ^ 0x5EED),
-                    (self.bucket,), 0, max(hi - 1, 1),
+                    (self.bucket,), 0, max(top, 1),
                 )
         imgs = []
         with self.lock:
@@ -280,12 +289,18 @@ def make_handler(service: SamplerService):
             try:
                 length = int(self.headers.get("Content-Length") or 0)
                 req = json.loads(self.rfile.read(length) or b"{}")
+                if not isinstance(req, dict):
+                    raise ValueError("request body must be a JSON object")
                 n = int(req.get("n", 1))
                 if not 1 <= n <= 64:
                     raise ValueError("n must be in [1, 64]")
+                seed = req.get("seed")
+                class_id = req.get("class_id")
                 tic = time.time()
                 imgs = service.sample(
-                    n=n, seed=req.get("seed"), class_id=req.get("class_id")
+                    n=n,
+                    seed=None if seed is None else int(seed),
+                    class_id=None if class_id is None else int(class_id),
                 )
                 elapsed_ms = (time.time() - tic) * 1e3
                 self._json(200, {
@@ -294,7 +309,8 @@ def make_handler(service: SamplerService):
                     "method": service.method,
                     "steps": service.steps,
                 })
-            except (ValueError, KeyError, json.JSONDecodeError) as e:
+            except (ValueError, KeyError, TypeError,
+                    json.JSONDecodeError) as e:
                 self._json(400, {"error": str(e)})
 
     return Handler

@@ -170,7 +170,10 @@ def main(argv=None):
     tic = time.time()
     logs = main_cli.main(train_argv)
     train_s = time.time() - tic
-    loss0, loss1 = logs[0]["train_loss"], logs[-1]["train_loss"]
+    # empty logs = --resume found the run already at --steps (rerun with
+    # the same horizon): skip straight to sampling/metrics
+    loss0 = logs[0]["train_loss"] if logs else float("nan")
+    loss1 = logs[-1]["train_loss"] if logs else float("nan")
     print(f"train: {args.steps} steps in {train_s:.1f}s, "
           f"loss {loss0:.4f} -> {loss1:.4f}")
 

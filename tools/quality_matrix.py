@@ -62,6 +62,16 @@ def main(argv=None):
     def want(name):
         return only is None or name in only
 
+    if (args.ee_config and args.ee_checkpoint and want("ee_static")
+            and not want("ee_dynamic")
+            and not (out_root / "ee_dynamic"
+                     / "indices_by_timestep.npy").exists()):
+        raise SystemExit(
+            "ee_static derives its schedule from the ee_dynamic run's "
+            "indices_by_timestep.npy — include ee_dynamic in --methods "
+            "(or reuse an --out dir that already has it)"
+        )
+
     rows = {}
 
     def score(name, elapsed):
