@@ -12,6 +12,7 @@ from duodiff_tpu.diffusion.sampling import (
     make_chunked_ddpm_sampler,
     make_guided_apply,
     make_guided_apply_ee,
+    make_interleaved_apply,
 )
 
 __all__ = [
@@ -28,4 +29,5 @@ __all__ = [
     "make_chunked_ddpm_sampler",
     "make_guided_apply",
     "make_guided_apply_ee",
+    "make_interleaved_apply",
 ]

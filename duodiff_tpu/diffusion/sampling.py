@@ -122,6 +122,44 @@ def make_guided_apply_ee(
     return guided
 
 
+def make_interleaved_apply(
+    apply_full: Callable, apply_shallow: Callable, every: int
+) -> Callable:
+    """Interleaved heavy-light denoising (training-free; the dual-rate /
+    timestep-aware-masking family, PAPERS.md): run the FULL model on every
+    ``every``-th reverse step and the shallow model on the rest — a uniform
+    per-step speedup instead of DuoDiff's single switch point, exploiting
+    the same adjacent-step redundancy.
+
+    Both apply_fns take ``(params, x, t, y)``; the returned apply takes
+    ``(params_pair, x, t, y)`` where ``params_pair = {"full": ...,
+    "shallow": ...}`` (threadable through the chunked samplers like any
+    params tree). Model choice is a ``lax.cond`` on the step index — XLA
+    executes only the selected branch per step, so the step costs the
+    chosen model's FLOPs (+ both weight sets resident). The reverse
+    process runs t = T-1..0; the full model anchors t = T-1 and every
+    ``every``-th step after it (T-1-k*every), including always t's final
+    approach — pick ``every`` so quality-critical low-t steps keep enough
+    full-model anchors (measured table in README).
+    """
+    if every < 1:
+        raise ValueError(f"every must be >= 1, got {every}")
+
+    def apply(params_pair, x, t, y):
+        # t is the per-batch broadcast timestep vector; t[0] is the step.
+        # Anchor the full model on t % every == 0 — this always includes
+        # the final t=0 step, where the full model matters most.
+        t0 = jnp.asarray(t, jnp.int32).reshape(-1)[0]
+        use_full = (t0 % every) == 0
+        return jax.lax.cond(
+            use_full,
+            lambda: apply_full(params_pair["full"], x, t, y),
+            lambda: apply_shallow(params_pair["shallow"], x, t, y),
+        )
+
+    return apply
+
+
 def ddpm_scan(
     apply_fn: Callable,
     schedule: NoiseSchedule,

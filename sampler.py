@@ -64,6 +64,15 @@ def get_args(argv=None):
     parser.add_argument("--pipeline_microbatch", type=int, default=None,
                         help="Micro-batch size for --pipeline_parallel "
                              "(default: batch_size / 4)")
+    parser.add_argument("--interleave_every", type=int, default=None,
+                        help="Interleaved heavy-light DDPM (training-free, "
+                             "dual-rate family): run the FULL model on "
+                             "steps with t %% N == 0 (always incl. t=0) "
+                             "and the shallow model (--config_path/"
+                             "--checkpoint_path) elsewhere — a uniform "
+                             "per-step speedup instead of DuoDiff's single "
+                             "switch. Needs the model pair; excludes "
+                             "--t_switch/DDIM/DPM")
     parser.add_argument("--use_ddim", action="store_true")
     parser.add_argument("--ddim_steps", type=int, default=50)
     parser.add_argument("--ddim_eta", type=float, default=0.0)
@@ -347,6 +356,22 @@ def main(argv=None):
         outs = pipe.sample(keys, (mb,) + shape[1:], ys)
         return jnp.concatenate(outs, axis=0), []
 
+    def run_interleaved(key, y):
+        """Heavy-light interleaving: full model on t % N == 0, shallow
+        elsewhere (make_interleaved_apply) — both weight trees threaded
+        through one chunked scan."""
+        from duodiff_tpu.diffusion import make_interleaved_apply
+
+        apply = make_interleaved_apply(
+            apply_late, apply_early, args.interleave_every
+        )
+        sampler = ChunkedDDPMSampler(
+            apply, schedule, parametrization=args.parametrization,
+            params={"full": late[1], "shallow": params},
+        )
+        x = sampler.sample(key, shape, y=y, sharding=batch_shard)
+        return x, []
+
     if args.pipeline_parallel:
         if late is None or args.t_switch is None:
             raise SystemExit("--pipeline_parallel needs the DuoDiff pair "
@@ -358,10 +383,22 @@ def main(argv=None):
         if args.use_ddim or args.use_dpm_solver or timesteps_save:
             raise SystemExit("--pipeline_parallel supports plain DDPM "
                              "sampling (no DDIM/DPM/--timesteps_save)")
+    if args.interleave_every is not None:
+        if late is None:
+            raise SystemExit("--interleave_every needs the model pair "
+                             "(--config_path_late/--checkpoint_path_late)")
+        if (args.t_switch is not None or args.use_ddim
+                or args.use_dpm_solver or args.pipeline_parallel
+                or timesteps_save):
+            raise SystemExit("--interleave_every supports plain DDPM "
+                             "sampling (no --t_switch/DDIM/DPM/pipeline/"
+                             "--timesteps_save)")
 
     print(f"Sampling {args.batch_size} images on {jax.devices()[0].platform}...")
     tic = time.time()
-    if args.pipeline_parallel:
+    if args.interleave_every is not None:
+        x, intermediates = run_interleaved(key, y)
+    elif args.pipeline_parallel:
         x, intermediates = run_pipeline(key, y)
     elif args.use_dpm_solver:
         if args.parametrization == "predict_previous":

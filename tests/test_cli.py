@@ -117,6 +117,22 @@ def test_sampler_cli_pipeline_parallel(tmp_path, tiny_config):
         assert (out / f"{i}.png").exists()
 
 
+def test_sampler_cli_interleaved(tmp_path, tiny_config):
+    """--interleave_every: heavy-light alternation inside one scan."""
+    out = tmp_path / "out_inter"
+    sampler_cli.main([
+        "--config_path", str(tiny_config),
+        "--config_path_late", str(tiny_config),
+        "--batch_size", "2",
+        "--parametrization", "predict_noise",
+        "--output_folder", str(out),
+        "--random_init",
+        "--num_timesteps", "8",
+        "--interleave_every", "2",
+    ])
+    assert (out / "0.png").exists()
+
+
 def test_sampler_cli_ddim(tmp_path, tiny_config):
     out = tmp_path / "out_ddim"
     sampler_cli.main([
