@@ -40,3 +40,16 @@ python tools/quality_matrix.py \
     --t_switch 300 --palette_k 4 --batch 32 --out $WORK/qm
 
 cat $WORK/qm/quality_matrix.json
+
+# 5. optional: all-timestep distilled shallow for the interleaved rows
+python main.py --config_path configs/uvit_cifar10_3.yaml \
+    --distill_config configs/uvit_cifar10.yaml --distill_from $BACKBONE \
+    --distill_alpha 0.7 --distill_t_min 0 \
+    --dataset cifar10 --data_path $WORK/data --log_path $WORK/logs \
+    --exp_name shallow_all --n_steps 3000 --batch_size 128 --lr 1e-3 \
+    --num_warmup_steps 50 --save_every_n_steps 3000 --seed 0
+python tools/quality_matrix.py \
+    --config configs/uvit_cifar10.yaml --checkpoint $BACKBONE \
+    --shallow_config configs/uvit_cifar10_3.yaml \
+    --interleave_shallow_checkpoint $WORK/logs/shallow_all/cifar10_uvit_last \
+    --methods interleave2,interleave4 --palette_k 4 --batch 32 --out $WORK/qm

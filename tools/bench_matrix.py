@@ -35,7 +35,8 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--rows", type=str, default=(
-        "celeba,celeba_duodiff,celeba_ddim,celeba_static_exit,"
+        "celeba,celeba_duodiff,celeba_interleave2,celeba_ddim,"
+        "celeba_static_exit,"
         "celeba_ee_threshold,celeba_dpm20,cifar10,imagenet64,imagenet256,"
         "imagenet256_decoded"
     ))
@@ -146,6 +147,31 @@ def main(argv=None):
         return sample
 
     run("celeba_duodiff", duodiff_fn)
+
+    def interleave_fn():
+        # heavy-light alternation (full on t % 2 == 0): both weight trees
+        # threaded through one chunked scan; see make_interleaved_apply
+        from duodiff_tpu.diffusion import make_interleaved_apply
+
+        m_s, p_s, _, _ = load_model_from_config(
+            "configs/uvit_celeba_3.yaml", None, seed=0, gelu_approx=True
+        )
+        m_f, p_f, _, _ = load_model_from_config(
+            "configs/uvit_celeba.yaml", None, seed=1, gelu_approx=True
+        )
+        apply = make_interleaved_apply(
+            lambda p, x, t, y: m_f.apply({"params": p}, x, t, y),
+            lambda p, x, t, y: m_s.apply({"params": p}, x, t, y),
+            every=2,
+        )
+        sampler = ChunkedDDPMSampler(
+            apply, schedule, parametrization="predict_noise",
+            params={"full": p_f, "shallow": p_s},
+        )
+        shape = (b, 64, 64, 3)
+        return lambda key: sampler.sample(key, shape)
+
+    run("celeba_interleave2", interleave_fn)
 
     def ddim_fn():
         apply_fn, params, cfg = load("uvit_celeba.yaml")

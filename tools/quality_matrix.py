@@ -42,6 +42,12 @@ def main(argv=None):
     ap.add_argument("--shallow_config", type=str, default=None)
     ap.add_argument("--shallow_checkpoint", type=str, default=None)
     ap.add_argument("--t_switch", type=int, default=300)
+    ap.add_argument("--interleave_shallow_checkpoint", type=str,
+                    default=None,
+                    help="Shallow model distilled over ALL timesteps "
+                         "(--distill_t_min 0) — enables the interleave2/"
+                         "interleave4 rows (the DuoDiff shallow is only "
+                         "trained for its t >= T-t_switch regime)")
     ap.add_argument("--palette_k", type=int, default=4, choices=[1, 4, 8])
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--num_timesteps", type=int, default=1000)
@@ -117,6 +123,26 @@ def main(argv=None):
             "--seed", str(args.seed),
         ])
         score("duodiff", time.time() - t)
+
+    if args.shallow_config and args.interleave_shallow_checkpoint:
+        for n in (2, 4):
+            name = f"interleave{n}"
+            if not want(name):
+                continue
+            t = time.time()
+            sampler_cli.main([
+                "--config_path", args.shallow_config,
+                "--checkpoint_path", args.interleave_shallow_checkpoint,
+                "--config_path_late", args.config,
+                "--checkpoint_path_late", args.checkpoint,
+                "--interleave_every", str(n),
+                "--batch_size", str(args.batch),
+                "--parametrization", "predict_noise",
+                "--output_folder", str(out_root / name),
+                "--num_timesteps", str(args.num_timesteps),
+                "--seed", str(args.seed),
+            ])
+            score(name, time.time() - t)
 
     if args.ee_config and args.ee_checkpoint:
         if want("ee_dynamic"):
