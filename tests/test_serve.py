@@ -108,6 +108,26 @@ def test_sample_validation(server):
     # unconditional model rejects class_id
     code, resp = _post(base + "/sample", {"n": 1, "class_id": 3})
     assert code == 400 and "error" in resp
+    # malformed bodies get a 400, not a dropped connection
+    code, resp = _post(base + "/sample", [1, 2])
+    assert code == 400 and "JSON object" in resp["error"]
+    code, resp = _post(base + "/sample", {"n": 1, "seed": "not-an-int"})
+    assert code == 400 and "error" in resp
+    # string numbers are coerced
+    code, resp = _post(base + "/sample", {"n": "1", "seed": "7"})
+    assert code == 200
+
+
+def test_ddpm_steps_contract(tmp_path):
+    """--method ddpm rejects a --steps override (the full reverse process
+    always runs; shortening the schedule changes the beta range)."""
+    cfg = tmp_path / "t.yaml"
+    cfg.write_text(TINY_YAML)
+    with pytest.raises(SystemExit, match="full reverse process"):
+        serve_cli.main([
+            "--config_path", str(cfg), "--random_init",
+            "--method", "ddpm", "--steps", "4", "--num_timesteps", "16",
+        ])
 
 
 @pytest.mark.slow
