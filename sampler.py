@@ -49,6 +49,13 @@ def get_args(argv=None):
     parser.add_argument("--null_class", type=int, default=None,
                         help="Null-label index for guidance (default "
                              "num_classes-1)")
+    parser.add_argument("--fixed_class", type=int, default=None,
+                        help="Unguided class-conditional sampling of THIS "
+                             "class for every sample (the reference's "
+                             "--class_id draws random labels and ignores "
+                             "the value, sampler.py:314-318 there — kept "
+                             "for parity; this flag is the fixed-label "
+                             "variant)")
     parser.add_argument("--model_parallel", type=int, default=1,
                         help="Tensor-parallel degree: shard attention "
                              "heads / MLP hidden over a (data, model) "
@@ -164,6 +171,17 @@ def main(argv=None):
 
     key = jax.random.PRNGKey(args.seed)
     y = None
+    if args.fixed_class is not None:
+        if args.class_id is not None or args.guidance_scale is not None:
+            raise SystemExit("--fixed_class is the unguided fixed-label "
+                             "mode; don't combine with --class_id/"
+                             "--guidance_scale (guided sampling already "
+                             "honors --class_id)")
+        if not 0 <= args.fixed_class < cfg.num_classes:
+            raise SystemExit(
+                f"--fixed_class must be in [0, {cfg.num_classes})"
+            )
+        y = jnp.full((args.batch_size,), args.fixed_class, jnp.int32)
     if args.class_id is not None:
         key, ykey = jax.random.split(key)
         if args.guidance_scale is not None:

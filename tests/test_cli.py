@@ -117,6 +117,35 @@ def test_sampler_cli_pipeline_parallel(tmp_path, tiny_config):
         assert (out / f"{i}.png").exists()
 
 
+def test_sampler_cli_fixed_class(tmp_path, tiny_config):
+    """--fixed_class: unguided conditional sampling with a fixed label
+    (the reference's --class_id draws random labels by design)."""
+    cond = tmp_path / "cond.yaml"
+    cond.write_text(
+        tiny_config.read_text().replace("num_classes: -1", "num_classes: 6")
+    )
+    out = tmp_path / "out_fixed"
+    sampler_cli.main([
+        "--config_path", str(cond),
+        "--batch_size", "2",
+        "--parametrization", "predict_noise",
+        "--output_folder", str(out),
+        "--random_init",
+        "--num_timesteps", "8",
+        "--fixed_class", "3",
+    ])
+    assert (out / "0.png").exists()
+    with pytest.raises(SystemExit, match="fixed_class must be in"):
+        sampler_cli.main([
+            "--config_path", str(cond),
+            "--batch_size", "2",
+            "--parametrization", "predict_noise",
+            "--output_folder", str(tmp_path / "out_bad"),
+            "--random_init", "--num_timesteps", "8",
+            "--fixed_class", "6",
+        ])
+
+
 def test_sampler_cli_interleaved(tmp_path, tiny_config):
     """--interleave_every: heavy-light alternation inside one scan."""
     out = tmp_path / "out_inter"

@@ -82,6 +82,24 @@ def write_palette_cifar(data_dir: Path, palette: np.ndarray, seed: int = 0,
             pickle.dump({b"data": imgs, b"labels": ks.tolist()}, f)
 
 
+def write_palette_imagefolder(data_dir: Path, palette: np.ndarray,
+                              seed: int = 0, per_class: int = 320,
+                              size: int = 64) -> None:
+    """Write solid-color 64x64 PNGs in the ImageFolder layout the imagenet
+    loaders read (data_dir/imagenet/<class>/<img>; class index = palette
+    index, so a class-conditional model learns label -> color)."""
+    from PIL import Image
+
+    rng = np.random.RandomState(seed)
+    for k, color in enumerate(palette):
+        d = data_dir / "imagenet" / f"c{k}"
+        d.mkdir(parents=True, exist_ok=True)
+        for i in range(per_class):
+            img = color[None, None] + rng.randn(size, size, 3) * 6.0
+            img = np.clip(img, 0, 255).astype(np.uint8)
+            Image.fromarray(img).save(d / f"{i:05d}.png")
+
+
 def measure(samples_dir: Path, palette: np.ndarray) -> dict:
     from PIL import Image
 
@@ -126,6 +144,12 @@ def main(argv=None):
     ap.add_argument("--workdir", type=str, default=None)
     ap.add_argument("--gelu", type=str, default=None)
     ap.add_argument("--attn_impl", type=str, default=None)
+    ap.add_argument("--dataset", type=str, default="cifar10",
+                    choices=["cifar10", "imagenet64"],
+                    help="imagenet64 = class-conditional 64x64 palette in "
+                         "ImageFolder layout (labels = palette index; "
+                         "validates the D=768 training path end to end); "
+                         "sampling is then per-class via --fixed_class")
     args = ap.parse_args(argv)
 
     import tempfile
@@ -133,7 +157,10 @@ def main(argv=None):
     work = Path(args.workdir or tempfile.mkdtemp(prefix="duodiff_conv_"))
     work.mkdir(parents=True, exist_ok=True)
     palette = PALETTES[args.palette_k]
-    write_palette_cifar(work / "data", palette, seed=args.seed)
+    if args.dataset == "imagenet64":
+        write_palette_imagefolder(work / "data", palette, seed=args.seed)
+    else:
+        write_palette_cifar(work / "data", palette, seed=args.seed)
 
     if args.config is None:
         cfg_path = work / "tiny.yaml"
@@ -151,7 +178,7 @@ def main(argv=None):
         "--num_timesteps", str(args.num_timesteps),
         "--lr", str(args.lr),
         "--num_warmup_steps", str(args.warmup),
-        "--dataset", "cifar10",
+        "--dataset", args.dataset,
         "--data_path", str(work / "data"),
         "--log_path", str(work / "logs"),
         "--exp_name", "conv",
@@ -177,24 +204,56 @@ def main(argv=None):
     print(f"train: {args.steps} steps in {train_s:.1f}s, "
           f"loss {loss0:.4f} -> {loss1:.4f}")
 
-    sample_argv = [
-        "--config_path", str(cfg_path),
-        "--checkpoint_path", str(work / "logs" / "conv" / "cifar10_uvit_last"),
-        "--batch_size", str(args.sample_batch),
-        "--parametrization", "predict_noise",
-        "--output_folder", str(work / "samples"),
-        "--num_timesteps", str(args.num_timesteps),
-        "--seed", str(args.seed + 1),
-    ]
-    if args.gelu:
-        sample_argv += ["--gelu_approx"] if args.gelu == "tanh" else []
-    if args.attn_impl:
-        sample_argv += ["--attn_impl", args.attn_impl]
-    tic = time.time()
-    sampler_cli.main(sample_argv)
-    sample_s = time.time() - tic
+    ckpt = work / "logs" / "conv" / f"{args.dataset}_uvit_last"
 
-    result = measure(work / "samples", palette)
+    def sample_cmd(out, extra):
+        argv2 = [
+            "--config_path", str(cfg_path),
+            "--checkpoint_path", str(ckpt),
+            "--batch_size", str(args.sample_batch),
+            "--parametrization", "predict_noise",
+            "--output_folder", str(out),
+            "--num_timesteps", str(args.num_timesteps),
+            "--seed", str(args.seed + 1),
+        ] + extra
+        if args.gelu == "tanh":
+            argv2 += ["--gelu_approx"]
+        if args.attn_impl:
+            argv2 += ["--attn_impl", args.attn_impl]
+        sampler_cli.main(argv2)
+
+    tic = time.time()
+    if args.dataset == "imagenet64":
+        # class-conditional: sample each palette class with fixed labels
+        # and require the generated color to match the requested class
+        per_class = {}
+        for k in range(len(palette)):
+            sample_cmd(work / f"samples_c{k}", ["--fixed_class", str(k)])
+            per_class[k] = measure(work / f"samples_c{k}", palette)
+        sample_s = time.time() - tic
+        result = {
+            "per_class": {
+                str(k): {
+                    "within_image_std": r["within_image_std"],
+                    "mean_mode_dist": r["mean_mode_dist"],
+                    "dominant_mode": int(np.argmax(r["mode_counts"])),
+                    "requested_hit_frac": r["mode_counts"][k]
+                    / max(sum(r["mode_counts"]), 1),
+                }
+                for k, r in per_class.items()
+            },
+            "within_image_std": float(np.mean(
+                [r["within_image_std"] for r in per_class.values()]
+            )),
+            "class_adherence": float(np.mean([
+                r["mode_counts"][k] / max(sum(r["mode_counts"]), 1)
+                for k, r in per_class.items()
+            ])),
+        }
+    else:
+        sample_cmd(work / "samples", [])
+        sample_s = time.time() - tic
+        result = measure(work / "samples", palette)
     result.update({
         "steps": args.steps,
         "train_loss_first": float(loss0),
