@@ -606,6 +606,27 @@ def _fb_bwd(num_heads, eps, gelu_approx, interpret, res, dy):
 fused_block_trainable.defvjp(_fb_fwd, _fb_bwd)
 
 
+def _fwd_fits(d: int, itemsize: int) -> bool:
+    """Empirical forward-kernel VMEM fit guard: fp32 activations+weights at
+    D >= 768 blow Mosaic's 16MB scoped-vmem limit (measured: the fused MLP
+    forward at fp32 D=768 L=258 g=1 needs 21.83M per Mosaic's own error;
+    fp32 D=512 and bf16 up to D=1024 all compile and run on-chip —
+    bench_matrix's imagenet256 rows exercise bf16 D=1024 every round).
+    A static byte model can't draw this line: it over-counts actual Mosaic
+    stack allocation by ~1.35x and would wrongly reject the WORKING bf16
+    D=1024 kernels, so gate on the measured failure class instead.
+    _group_size_* returning 1 is a preference, not a fit proof."""
+    return itemsize <= 2 or d < 768
+
+
+def mlp_fwd_fits(l: int, d: int, hidden: int, itemsize: int) -> bool:
+    return _fwd_fits(d, itemsize)
+
+
+def attn_fwd_fits(l: int, d: int, itemsize: int) -> bool:
+    return _fwd_fits(d, itemsize)
+
+
 def _group_size_mlp(b: int, l: int, d: int, hidden: int, itemsize: int,
                     budget_bytes: int = 13 * 2**20) -> int:
     """13MB lands grp=4 at flagship shapes: probed 1.517ms vs 1.617 (grp=1,
@@ -1415,6 +1436,14 @@ def fused_mlp_sublayer(
     dtype = x.dtype
     itemsize = jnp.dtype(dtype).itemsize
 
+    if not interpret and not mlp_fwd_fits(l, d, hidden, itemsize):
+        # even g=1 exceeds VMEM (e.g. fp32 at D>=768): XLA fallback with
+        # the same numerics
+        return _mlp_reference(
+            x, ln_scale, ln_bias, fc1_kernel, fc1_bias, fc2_kernel,
+            fc2_bias, eps=eps, gelu_approx=gelu_approx,
+        )
+
     grp = _group_size_mlp(b, l, d, hidden, itemsize)
     row = pl.BlockSpec((grp, l, d), lambda i: (i, 0, 0))
     vec_d = pl.BlockSpec((1, d), lambda i: (0, 0))
@@ -1486,6 +1515,14 @@ def fused_attn_sublayer(
     scale = float(dh) ** -0.5
     dtype = x.dtype
     itemsize = jnp.dtype(dtype).itemsize
+
+    if not interpret and not attn_fwd_fits(l, d, itemsize):
+        # even g=1 exceeds VMEM (fp32 weights at D>=768): XLA fallback
+        # with the same numerics
+        return _attn_sublayer_reference(
+            x, ln_scale, ln_bias, qkv_kernel, qkv_bias, proj_kernel,
+            proj_bias, num_heads=num_heads, eps=eps,
+        )
 
     bp = proj_bias.astype(jnp.float32).reshape(1, d)
     g2 = ln_scale.reshape(1, d)

@@ -385,6 +385,22 @@ def test_attn_bwd_fits_thresholds():
     assert not attn_bwd_fits(128, 258, 1024, 2)
 
 
+def test_fwd_fits_thresholds():
+    """Forward-kernel VMEM guard: fp32 at D >= 768 must fall back to XLA
+    (Mosaic measured 21.83M > 16M for the fp32 D=768 MLP forward — hit by
+    fp32 model init / --use_amp-less training), while every shipping bf16
+    shape (up to D=1024 imagenet256) and fp32 at D <= 512 stay on the
+    fused kernels."""
+    from duodiff_tpu.ops.pallas_block import attn_fwd_fits, mlp_fwd_fits
+
+    assert mlp_fwd_fits(258, 512, 2048, 4)       # fp32 cifar/celeba-class
+    assert mlp_fwd_fits(258, 1024, 4096, 2)      # bf16 imagenet256
+    assert not mlp_fwd_fits(258, 768, 3072, 4)   # fp32 imagenet64: OOMs
+    assert attn_fwd_fits(257, 512, 4)
+    assert attn_fwd_fits(258, 1024, 2)
+    assert not attn_fwd_fits(258, 768, 4)
+
+
 def test_mlp_bwd_dispatch_cascade():
     """mono -> split -> XLA cascade per model scale (bf16 training shapes)."""
     from duodiff_tpu.ops.pallas_block import (

@@ -144,6 +144,10 @@ def main(argv=None):
     ap.add_argument("--workdir", type=str, default=None)
     ap.add_argument("--gelu", type=str, default=None)
     ap.add_argument("--attn_impl", type=str, default=None)
+    ap.add_argument("--use_amp", action="store_true",
+                    help="bf16 training (the reference parity runs use "
+                         "AMP; also keeps the fused kernels on the fast "
+                         "path at D>=768, where fp32 falls back to XLA)")
     ap.add_argument("--dataset", type=str, default="cifar10",
                     choices=["cifar10", "imagenet64"],
                     help="imagenet64 = class-conditional 64x64 palette in "
@@ -194,6 +198,8 @@ def main(argv=None):
         train_argv += ["--gelu", args.gelu]
     if args.attn_impl:
         train_argv += ["--attn_impl", args.attn_impl]
+    if args.use_amp:
+        train_argv += ["--use_amp"]
     tic = time.time()
     logs = main_cli.main(train_argv)
     train_s = time.time() - tic
