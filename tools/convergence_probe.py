@@ -141,6 +141,10 @@ def main(argv=None):
     ap.add_argument("--palette_k", type=int, default=4, choices=[1, 4, 8])
     ap.add_argument("--sample_batch", type=int, default=32)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--save_every", type=int, default=None,
+                    help="checkpoint cadence (default: only at --steps); "
+                         "set lower on flaky remote backends so a hung run "
+                         "resumes instead of restarting")
     ap.add_argument("--workdir", type=str, default=None)
     ap.add_argument("--gelu", type=str, default=None)
     ap.add_argument("--attn_impl", type=str, default=None)
@@ -188,7 +192,7 @@ def main(argv=None):
         "--exp_name", "conv",
         # no --log_every_n_steps: skips in-training sampling (and its extra
         # sampler compile); scalar metrics still log every 50 steps
-        "--save_every_n_steps", str(args.steps),
+        "--save_every_n_steps", str(args.save_every or args.steps),
         # auto-pickup: rerunning with a bigger --steps and the same
         # --workdir continues the previous run instead of restarting
         "--resume",
