@@ -346,6 +346,26 @@ class Block(nn.Module):
         # trips are already hidden behind async DMA, and shorter programs
         # pipeline better).
         interpret = jax.default_backend() != "tpu"
+        if self.attn_impl == "fused_int8":
+            # W8A8 sampling path (opt-in, value-changing — no VJP): same
+            # param tree, int8 weight matmuls (ops/pallas_block_int8.py)
+            from duodiff_tpu.ops.pallas_block_int8 import (
+                fused_attn_sublayer_int8,
+                fused_mlp_sublayer_int8,
+            )
+
+            ln_scale, ln_bias = _LNParams(name="norm1")(d)
+            (wqkv, bqkv), (wp, bp) = attn(None, raw=True)
+            x = fused_attn_sublayer_int8(
+                x.astype(self.dtype), ln_scale, ln_bias, wqkv, bqkv, wp, bp,
+                num_heads=self.num_heads, eps=1e-5, interpret=interpret,
+            )
+            ln2_scale, ln2_bias = _LNParams(name="norm2")(d)
+            (w1, b1), (w2, b2) = mlp(None, raw=True)
+            return fused_mlp_sublayer_int8(
+                x.astype(self.dtype), ln2_scale, ln2_bias, w1, b1, w2, b2,
+                eps=1e-5, gelu_approx=self.gelu_approx, interpret=interpret,
+            )
         if self.attn_impl == "fused":
             from duodiff_tpu.ops.pallas_block import (
                 fused_attn_sublayer_trainable,

@@ -139,6 +139,15 @@ class Trainer:
     # init pieces
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def _check_attn_impl_for_training(attn_impl: str) -> None:
+        if attn_impl == "fused_int8":
+            raise ValueError(
+                "attn_impl 'fused_int8' is a sampling-only path (no "
+                "backward); train with 'fused'/'pallas'/'xla' and pass "
+                "--attn_impl fused_int8 to the sampling CLIs instead"
+            )
+
     def _init_model(self):
         args = self.args
         key = jax.random.PRNGKey(args.seed)
@@ -152,6 +161,7 @@ class Trainer:
         attn_impl = getattr(args, "attn_impl", None) or (
             "fused" if jax.default_backend() == "tpu" and not tp else "auto"
         )
+        self._check_attn_impl_for_training(attn_impl)
         if tp and attn_impl == "fused":
             # the fused kernels consume the packed (D, 3D) weights, which
             # under TP means re-packing (all-gathering) the head-sharded

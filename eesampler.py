@@ -46,7 +46,7 @@ def get_args(argv=None):
                              "MLP hidden over a (data, model) mesh "
                              "(Megatron-style 'heads' layout)")
     parser.add_argument("--attn_impl", type=str, default=None,
-                        choices=["auto", "xla", "pallas", "fused"])
+                        choices=["auto", "xla", "pallas", "fused", "fused_int8"])
     parser.add_argument("--gelu_approx", action="store_true",
                         help="tanh-approx GELU (below bf16 rounding)")
     parser.add_argument("--use_ema", action="store_true",

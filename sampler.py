@@ -93,7 +93,7 @@ def get_args(argv=None):
                         help="Skip checkpoint loading (random weights)")
     parser.add_argument("--num_timesteps", type=int, default=1000)
     parser.add_argument("--attn_impl", type=str, default=None,
-                        choices=["auto", "xla", "pallas", "fused"],
+                        choices=["auto", "xla", "pallas", "fused", "fused_int8"],
                         help="Attention path (default: fused Pallas sublayer "
                              "kernel on TPU, XLA elsewhere)")
     parser.add_argument("--gelu_approx", action="store_true",

@@ -57,7 +57,7 @@ def get_args(argv=None):
                    help="null-label index for guidance "
                         "(default num_classes-1)")
     p.add_argument("--attn_impl", type=str, default=None,
-                   choices=["auto", "xla", "pallas", "fused"])
+                   choices=["auto", "xla", "pallas", "fused", "fused_int8"])
     p.add_argument("--gelu_approx", action="store_true")
     p.add_argument("--use_ema", action="store_true",
                    help="serve the EMA shadow params from an "

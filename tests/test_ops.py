@@ -457,3 +457,192 @@ def test_attn_flash_core_reference_matches_xla_reference():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(r), rtol=2e-4, atol=2e-5, err_msg=name,
         )
+
+
+# ---------------------------------------------------------------------------
+# Int8 (W8A8) sampling kernels — ops/pallas_block_int8.py
+# ---------------------------------------------------------------------------
+
+
+def _int8_weights(rng, d, hidden):
+    return {
+        "ln_s": jnp.asarray(rng.rand(d) + 0.5, jnp.float32),
+        "ln_b": jnp.asarray(rng.randn(d) * 0.1, jnp.float32),
+        "wqkv": jnp.asarray(rng.randn(d, 3 * d) * 0.05, jnp.float32),
+        "bqkv": jnp.asarray(rng.randn(3 * d) * 0.02, jnp.float32),
+        "wp": jnp.asarray(rng.randn(d, d) * 0.05, jnp.float32),
+        "bp": jnp.asarray(rng.randn(d) * 0.02, jnp.float32),
+        "w1": jnp.asarray(rng.randn(d, hidden) * 0.05, jnp.float32),
+        "b1": jnp.asarray(rng.randn(hidden) * 0.02, jnp.float32),
+        "w2": jnp.asarray(rng.randn(hidden, d) * 0.05, jnp.float32),
+        "b2": jnp.asarray(rng.randn(d) * 0.02, jnp.float32),
+    }
+
+
+def test_quantize_weight_int8_roundtrip():
+    from duodiff_tpu.ops.pallas_block_int8 import quantize_weight_int8
+
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.randn(64, 96), jnp.float32)
+    w8, s = quantize_weight_int8(w)
+    assert w8.dtype == jnp.int8 and s.shape == (1, 96)
+    # dequantized error bounded by half a quantization step per column
+    err = np.abs(np.asarray(w8, np.float32) * np.asarray(s) - np.asarray(w))
+    assert (err <= 0.5 * np.asarray(s) + 1e-7).all()
+    # weights on an exact int8 grid (column absmax pinned to 127 so the
+    # scale is exactly 1) quantize losslessly
+    wi_np = rng.randint(-127, 128, (16, 8)).astype(np.float32)
+    wi_np[0, :] = 127.0
+    wi = jnp.asarray(wi_np)
+    w8i, si = quantize_weight_int8(wi)
+    np.testing.assert_allclose(
+        np.asarray(w8i, np.float32) * np.asarray(si), np.asarray(wi),
+        atol=1e-5,
+    )
+    # extra_col_scale folds into the scale, not the int8 values
+    w8x, sx = quantize_weight_int8(w, extra_col_scale=2.0)
+    np.testing.assert_array_equal(np.asarray(w8x), np.asarray(w8))
+    np.testing.assert_allclose(np.asarray(sx), 2.0 * np.asarray(s))
+
+
+@pytest.mark.parametrize("qkv_bias", [False, True])
+@pytest.mark.parametrize("l", [257, 65])
+def test_int8_attn_kernel_matches_reference(qkv_bias, l):
+    from duodiff_tpu.ops import pallas_block_int8 as pbi
+
+    rng = np.random.RandomState(1)
+    b, d, h = 2, 128, 4
+    w = _int8_weights(rng, d, 4 * d)
+    x = jnp.asarray(rng.randn(b, l, d), jnp.bfloat16)
+    bqkv = w["bqkv"] if qkv_bias else None
+    got = pbi.fused_attn_sublayer_int8(
+        x, w["ln_s"], w["ln_b"], w["wqkv"], bqkv, w["wp"], w["bp"],
+        num_heads=h, interpret=True,
+    )
+    scale = (d // h) ** -0.5
+    col = jnp.concatenate(
+        [jnp.full((1, d), scale), jnp.ones((1, 2 * d))], axis=1
+    ).astype(jnp.float32)
+    wqkv8, sqkv = pbi.quantize_weight_int8(w["wqkv"], extra_col_scale=col)
+    wp8, sp = pbi.quantize_weight_int8(w["wp"])
+    bq = (
+        jnp.concatenate([w["bqkv"][:d] * scale, w["bqkv"][d:]])
+        .reshape(1, 1, 3 * d)
+        if qkv_bias
+        else None
+    )
+    want = pbi._attn_sublayer_int8_reference(
+        x, w["ln_s"], w["ln_b"], wqkv8, sqkv, bq, wp8, sp, w["bp"],
+        num_heads=h, eps=1e-5,
+    )
+    # same math modulo contraction order: bf16-rounding-level agreement
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+
+
+@pytest.mark.parametrize("gelu_approx", [False, True])
+def test_int8_mlp_kernel_matches_reference(gelu_approx):
+    from duodiff_tpu.ops import pallas_block_int8 as pbi
+
+    rng = np.random.RandomState(2)
+    b, l, d = 2, 257, 128
+    w = _int8_weights(rng, d, 4 * d)
+    x = jnp.asarray(rng.randn(b, l, d), jnp.bfloat16)
+    got = pbi.fused_mlp_sublayer_int8(
+        x, w["ln_s"], w["ln_b"], w["w1"], w["b1"], w["w2"], w["b2"],
+        gelu_approx=gelu_approx, interpret=True,
+    )
+    w1_8, s1 = pbi.quantize_weight_int8(w["w1"])
+    w2_8, s2 = pbi.quantize_weight_int8(w["w2"])
+    want = pbi._mlp_int8_reference(
+        x, w["ln_s"], w["ln_b"], w1_8, s1, w["b1"].reshape(1, 1, -1),
+        w2_8, s2, w["b2"].reshape(1, 1, -1), eps=1e-5,
+        gelu_approx=gelu_approx,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+
+
+def test_int8_sublayers_close_to_bf16():
+    """The quantization error vs the bf16 fused path stays small (the knob
+    is value-changing but must remain a faithful approximation)."""
+    from duodiff_tpu.ops import pallas_block as pb
+    from duodiff_tpu.ops import pallas_block_int8 as pbi
+
+    rng = np.random.RandomState(3)
+    b, l, d, h = 2, 257, 128, 4
+    w = _int8_weights(rng, d, 4 * d)
+    x = jnp.asarray(rng.randn(b, l, d), jnp.bfloat16)
+    a8 = pbi.fused_attn_sublayer_int8(
+        x, w["ln_s"], w["ln_b"], w["wqkv"], None, w["wp"], w["bp"],
+        num_heads=h, interpret=True,
+    )
+    abf = pb.fused_attn_sublayer(
+        x, w["ln_s"], w["ln_b"], w["wqkv"], None, w["wp"], w["bp"],
+        num_heads=h, interpret=True,
+    )
+    rel = np.linalg.norm(np.asarray(a8 - abf, np.float32)) / np.linalg.norm(
+        np.asarray(abf, np.float32)
+    )
+    assert rel < 0.02, rel
+    m8 = pbi.fused_mlp_sublayer_int8(
+        x, w["ln_s"], w["ln_b"], w["w1"], w["b1"], w["w2"], w["b2"],
+        interpret=True,
+    )
+    mbf = pb.fused_mlp_sublayer(
+        x, w["ln_s"], w["ln_b"], w["w1"], w["b1"], w["w2"], w["b2"],
+        interpret=True,
+    )
+    rel = np.linalg.norm(np.asarray(m8 - mbf, np.float32)) / np.linalg.norm(
+        np.asarray(mbf, np.float32)
+    )
+    assert rel < 0.03, rel
+
+
+def test_int8_uvit_forward_param_tree_and_error():
+    """attn_impl='fused_int8' declares the identical param tree (checkpoints
+    interchangeable) and its full-model forward stays close to bf16."""
+    import jax.tree_util as jtu
+
+    from duodiff_tpu.config import UViTConfig
+    from duodiff_tpu.models.uvit import init_uvit
+
+    cfg = UViTConfig(
+        img_size=16, patch_size=2, in_chans=3, embed_dim=64, depth=3,
+        num_heads=4, mlp_ratio=4, qkv_bias=False, mlp_time_embed=False,
+        num_classes=-1, normalize_timesteps=True,
+    )
+    m8, p8 = init_uvit(
+        cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16,
+        attn_impl="fused_int8",
+    )
+    mf, pf = init_uvit(
+        cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16, attn_impl="fused"
+    )
+    assert jtu.tree_structure(p8) == jtu.tree_structure(pf)
+    assert jtu.tree_all(jtu.tree_map(lambda a, b: bool(jnp.all(a == b)), p8, pf))
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(2, 16, 16, 3), jnp.float32)
+    t = jnp.full((2,), 500.0, jnp.float32)
+    o8 = m8.apply({"params": p8}, x, t)
+    of = mf.apply({"params": pf}, x, t)
+    assert bool(jnp.all(jnp.isfinite(o8)))
+    rel = float(jnp.linalg.norm(o8 - of) / jnp.linalg.norm(of))
+    assert rel < 0.05, rel
+
+
+def test_int8_training_rejected():
+    """fused_int8 has no backward — the Trainer refuses it up front."""
+    import types
+
+    from duodiff_tpu.training.trainer import Trainer
+
+    args = types.SimpleNamespace(attn_impl="fused_int8")
+    with pytest.raises(ValueError, match="sampling-only"):
+        # _init_model is where the guard lives; reaching it requires a full
+        # Trainer, so call the guard logic directly
+        Trainer._check_attn_impl_for_training("fused_int8")
