@@ -35,7 +35,7 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--rows", type=str, default=(
-        "celeba,celeba_duodiff,celeba_interleave2,celeba_ddim,"
+        "celeba,celeba_int8,celeba_duodiff,celeba_interleave2,celeba_ddim,"
         "celeba_static_exit,"
         "celeba_ee_threshold,celeba_dpm20,cifar10,imagenet64,imagenet256,"
         "imagenet256_decoded"
@@ -61,9 +61,10 @@ def main(argv=None):
     # ARGUMENTS — closing over them bakes the weights into the MLIR as
     # constants, and the remote-compile endpoint rejects >~200MB modules
     # (HTTP 413 on the 131M-param imagenet64 model).
-    def load(cfg_path, seed=0):
+    def load(cfg_path, seed=0, attn_impl=None):
         model, params, cfg, _ = load_model_from_config(
-            f"configs/{cfg_path}", None, seed=seed, gelu_approx=True
+            f"configs/{cfg_path}", None, seed=seed, gelu_approx=True,
+            attn_impl=attn_impl,
         )
 
         def apply_fn(x, t, bundle):
@@ -72,8 +73,8 @@ def main(argv=None):
 
         return apply_fn, params, cfg
 
-    def dense_fn(cfg_name):
-        apply_fn, params, cfg = load(cfg_name)
+    def dense_fn(cfg_name, attn_impl=None):
+        apply_fn, params, cfg = load(cfg_name, attn_impl=attn_impl)
         sampler = ChunkedDDPMSampler(
             apply_fn, schedule, parametrization="predict_noise"
         )
@@ -99,6 +100,11 @@ def main(argv=None):
               f"({b/dt:.2f} samples/s)", file=sys.stderr)
 
     run("celeba", lambda: dense_fn("uvit_celeba.yaml"))
+    # W8A8 int8 weight matmuls (opt-in --attn_impl fused_int8; see
+    # ops/pallas_block_int8.py) — value-changing, quality measured in
+    # trajectory_parity.json + the trained-model quality matrix
+    run("celeba_int8",
+        lambda: dense_fn("uvit_celeba.yaml", attn_impl="fused_int8"))
     run("cifar10", lambda: dense_fn("uvit_cifar10.yaml"))
     run("imagenet64", lambda: dense_fn("uvit_imagenet64.yaml"))
     run("imagenet256", lambda: dense_fn("uvit_imagenet256.yaml"))
@@ -255,7 +261,13 @@ def main(argv=None):
 
     run("celeba_ee_threshold", ee_threshold_fn)
 
-    Path(args.output).write_text(json.dumps(rows, indent=2))
+    out_path = Path(args.output)
+    if out_path.exists():
+        # --rows subsets MERGE into the existing matrix instead of dropping
+        # the unselected rows
+        prior = json.loads(out_path.read_text())
+        rows = {**prior, **rows}
+    out_path.write_text(json.dumps(rows, indent=2))
     print(f"\nwritten {args.output}\n")
     print("| Operating point | ms/image | samples/sec/chip |")
     print("|---|---|---|")

@@ -54,7 +54,7 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--out", type=str, required=True)
     ap.add_argument("--methods", type=str, default=None,
-                    help="comma list to restrict (ddpm,ddim50,dpm20,"
+                    help="comma list to restrict (ddpm,int8,ddim50,dpm20,"
                          "ee_dynamic,ee_static,duodiff)")
     args = ap.parse_args(argv)
 
@@ -101,6 +101,11 @@ def main(argv=None):
 
     if want("ddpm"):
         run_sampler("ddpm", [])
+    if want("int8"):
+        # W8A8 quantized sampling (ops/pallas_block_int8.py): same DDPM-1000
+        # trajectory shape as the ddpm row, int8 weight matmuls — the row
+        # that measures what quantization costs in sample quality
+        run_sampler("int8", ["--attn_impl", "fused_int8"])
     if want("ddim50"):
         run_sampler("ddim50", ["--use_ddim", "--ddim_steps", "50"])
     if want("dpm20"):

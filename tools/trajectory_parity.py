@@ -82,7 +82,14 @@ def main(argv=None):
                         help="CPU smoke mode: xla baseline, no fused/pallas "
                              "kernel rows (they run interpret-mode off-TPU "
                              "and would take hours at flagship shapes)")
+    parser.add_argument("--only", type=str, default=None,
+                        help="substring filter: run only matching rows and "
+                             "MERGE them into the existing json (the dense "
+                             "baseline still runs when a dense row matches)")
     args = parser.parse_args(argv)
+
+    def selected(name: str) -> bool:
+        return args.only is None or args.only.lower() in name.lower()
 
     from duodiff_tpu.utils.runtime import setup_compilation_cache
 
@@ -144,99 +151,117 @@ def main(argv=None):
             "kind": kind,
         }
 
-    print(f"dense baseline: {base_attn} + exact gelu ...", file=sys.stderr)
-    base = dense_trajectory(base_attn, False)
-    print("repeat (determinism) ...", file=sys.stderr)
-    base2 = dense_trajectory(base_attn, False)
-    results[f"determinism {base_attn}/threefry (rerun)"] = row(
-        base2[-1], base[-1], "numerics",
-        traj=[max_err(a, b) for a, b in zip(base, base2)],
-    )
-
     variant_rows = (
-        ("attn xla vs fused", "xla", False),
-        ("attn pallas vs fused", "pallas", False),
-        ("gelu tanh vs exact (fused)", "fused", True),
+        ("attn xla vs fused", "xla", False, "numerics"),
+        ("attn pallas vs fused", "pallas", False, "numerics"),
+        ("gelu tanh vs exact (fused)", "fused", True, "numerics"),
+        # int8 weight+activation quantization: value-changing BY DESIGN;
+        # this row quantifies how far the W8A8 trajectory drifts
+        ("attn fused_int8 vs fused", "fused_int8", False, "quantization"),
     ) if not args.smoke else (
-        ("gelu tanh vs exact (xla)", "xla", True),
+        ("gelu tanh vs exact (xla)", "xla", True, "numerics"),
     )
-    for name, attn, gelu in variant_rows:
+    variant_rows = [r for r in variant_rows if selected(r[0])]
+    det_name = f"determinism {base_attn}/threefry (rerun)"
+    need_base = (bool(variant_rows) or selected(det_name)
+                 or selected("DPM-20") or selected("rng rbg vs threefry"))
+
+    base = None
+    if need_base:
+        print(f"dense baseline: {base_attn} + exact gelu ...", file=sys.stderr)
+        base = dense_trajectory(base_attn, False)
+    if selected(det_name):
+        print("repeat (determinism) ...", file=sys.stderr)
+        base2 = dense_trajectory(base_attn, False)
+        results[det_name] = row(
+            base2[-1], base[-1], "numerics",
+            traj=[max_err(a, b) for a, b in zip(base, base2)],
+        )
+
+    for name, attn, gelu, kind in variant_rows:
         print(f"{name} ...", file=sys.stderr)
         traj = dense_trajectory(attn, gelu)
         results[name] = row(
-            traj[-1], base[-1], "numerics",
+            traj[-1], base[-1], kind,
             traj=[max_err(a, b) for a, b in zip(traj, base)],
         )
 
-    print("rbg stream ...", file=sys.stderr)
-    rbg = dense_trajectory(base_attn, False, key_impl="rbg")
-    rbg2 = dense_trajectory(base_attn, False, key_impl="rbg")
-    results["rng rbg vs threefry"] = {
-        **row(rbg[-1], base[-1], "stream-change",
-              traj=[max_err(a, b) for a, b in zip(rbg, base)]),
-        "rbg_rerun_bitexact": bool(max_err(rbg[-1], rbg2[-1]) == 0.0),
-    }
+    if selected("rng rbg vs threefry"):
+        print("rbg stream ...", file=sys.stderr)
+        rbg = dense_trajectory(base_attn, False, key_impl="rbg")
+        rbg2 = dense_trajectory(base_attn, False, key_impl="rbg")
+        results["rng rbg vs threefry"] = {
+            **row(rbg[-1], base[-1], "stream-change",
+                  traj=[max_err(a, b) for a, b in zip(rbg, base)]),
+            "rbg_rerun_bitexact": bool(max_err(rbg[-1], rbg2[-1]) == 0.0),
+        }
 
-    # ---- solver: DPM-Solver++ 20 vs the DDPM-1000 ancestral baseline ----
-    # (the baseline trajectory is already computed; DPM reuses its x_init —
-    # the same PRNGKey(0) split ChunkedDDPMSampler.init performed. A
-    # DDIM-1000 comparison would need a single un-chunked 1000-step scan,
-    # which cold-compiles for tens of minutes on remote-compile backends.)
-    print("DPM-20 vs DDPM-1000 ...", file=sys.stderr)
-    model, params = init_uvit(
-        cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16,
-        attn_impl=base_attn, gelu_approx=False,
-    )
-    apply_fn = lambda x, t, y: model.apply({"params": params}, x, t, y)  # noqa: E731
-    k0, kx = jax.random.split(jax.random.PRNGKey(0))
-    x_init = jax.random.normal(kx, shape, jnp.float32)
-    dpm = jax.device_get(dpm_solver_sample(
-        apply_fn, k0, schedule=schedule, shape=shape,
-        dpm_steps=20, order=2, x_init=x_init,
-    ))
-    results["DPM-20 vs DDPM-1000 (shared x_init)"] = row(
-        dpm, base[-1], "solver+stochasticity",
-    )
+    if selected("DPM-20"):
+        # ---- solver: DPM-Solver++ 20 vs the DDPM-1000 ancestral baseline ----
+        # (the baseline trajectory is already computed; DPM reuses its x_init —
+        # the same PRNGKey(0) split ChunkedDDPMSampler.init performed. A
+        # DDIM-1000 comparison would need a single un-chunked 1000-step scan,
+        # which cold-compiles for tens of minutes on remote-compile backends.)
+        print("DPM-20 vs DDPM-1000 ...", file=sys.stderr)
+        model, params = init_uvit(
+            cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16,
+            attn_impl=base_attn, gelu_approx=False,
+        )
+        apply_fn = lambda x, t, y: model.apply({"params": params}, x, t, y)  # noqa: E731
+        k0, kx = jax.random.split(jax.random.PRNGKey(0))
+        x_init = jax.random.normal(kx, shape, jnp.float32)
+        dpm = jax.device_get(dpm_solver_sample(
+            apply_fn, k0, schedule=schedule, shape=shape,
+            dpm_steps=20, order=2, x_init=x_init,
+        ))
+        results["DPM-20 vs DDPM-1000 (shared x_init)"] = row(
+            dpm, base[-1], "solver+stochasticity",
+        )
 
-    # ---- early exit: static buckets vs dynamic threshold ----
-    print("static-exit vs dynamic threshold ...", file=sys.stderr)
-    from duodiff_tpu.diffusion.static_exit import make_static_exit_sampler
-    from duodiff_tpu.models.early_exit import init_early_exit_uvit
+    if selected("static buckets"):
+        # ---- early exit: static buckets vs dynamic threshold ----
+        print("static-exit vs dynamic threshold ...", file=sys.stderr)
+        from duodiff_tpu.diffusion.static_exit import make_static_exit_sampler
+        from duodiff_tpu.models.early_exit import init_early_exit_uvit
 
-    raw = load_config("configs/deediff_celeba.yaml")
-    ee_cfg = UViTConfig.from_dict(raw["model_params"])
-    ee_model, ee_params = init_early_exit_uvit(
-        ee_cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16,
-        attn_impl=ee_attn, gelu_approx=True,
-    )
-    dyn_sampler = ChunkedEarlyExitSampler(
-        lambda x, t, y: ee_model.apply({"params": ee_params}, x, t, y),
-        schedule, threshold=args.threshold, chunk=args.chunk,
-    )
-    dyn_x, _, dyn_idx = dyn_sampler.sample(jax.random.PRNGKey(0), shape)
-    t = args.steps
-    buckets = [
-        (t - 1, int(t * 0.7), 3),
-        (int(t * 0.7) - 1, int(t * 0.3), 8),
-        (int(t * 0.3) - 1, 0, 13),
-    ]
-    static_sampler = make_static_exit_sampler(
-        ee_cfg, ee_params, schedule=schedule, buckets=buckets,
-        attn_impl=ee_attn, gelu_approx=True,
-    )
-    static_x = static_sampler(jax.random.PRNGKey(0), shape)
-    results[f"static buckets vs dynamic thr={args.threshold}"] = {
-        **row(static_x, dyn_x, "algorithmic"),
-        "dynamic_mean_exit": float(np.asarray(dyn_idx).mean()),
-    }
+        raw = load_config("configs/deediff_celeba.yaml")
+        ee_cfg = UViTConfig.from_dict(raw["model_params"])
+        ee_model, ee_params = init_early_exit_uvit(
+            ee_cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16,
+            attn_impl=ee_attn, gelu_approx=True,
+        )
+        dyn_sampler = ChunkedEarlyExitSampler(
+            lambda x, t, y: ee_model.apply({"params": ee_params}, x, t, y),
+            schedule, threshold=args.threshold, chunk=args.chunk,
+        )
+        dyn_x, _, dyn_idx = dyn_sampler.sample(jax.random.PRNGKey(0), shape)
+        t = args.steps
+        buckets = [
+            (t - 1, int(t * 0.7), 3),
+            (int(t * 0.7) - 1, int(t * 0.3), 8),
+            (int(t * 0.3) - 1, 0, 13),
+        ]
+        static_sampler = make_static_exit_sampler(
+            ee_cfg, ee_params, schedule=schedule, buckets=buckets,
+            attn_impl=ee_attn, gelu_approx=True,
+        )
+        static_x = static_sampler(jax.random.PRNGKey(0), shape)
+        results[f"static buckets vs dynamic thr={args.threshold}"] = {
+            **row(static_x, dyn_x, "algorithmic"),
+            "dynamic_mean_exit": float(np.asarray(dyn_idx).mean()),
+        }
 
     wall = time.time() - t_wall
+    out_path = Path(__file__).parent / "trajectory_parity.json"
+    rows_out = results
+    if args.only is not None and out_path.exists():
+        prior = json.loads(out_path.read_text())
+        rows_out = {**prior.get("rows", {}), **results}
     out = {
         "batch": args.batch, "steps": args.steps,
         "backend": jax.default_backend(), "wall_s": round(wall, 1),
-        "rows": results,
+        "rows": rows_out,
     }
-    out_path = Path(__file__).parent / "trajectory_parity.json"
     # RFC 8259 has no Infinity token (psnr() is inf for bit-exact reruns);
     # encode non-finite floats as strings so jq/JSON.parse can read the file
     def _finite(o):
@@ -253,9 +278,9 @@ def main(argv=None):
 
     print("| knob | kind | terminal max-abs-err | rel err | PSNR (dB) |")
     print("|---|---|---|---|---|")
-    for name, r in results.items():
+    for name, r in rows_out.items():
         p = r["terminal_psnr"]
-        ps = "inf" if p == float("inf") else f"{p:.1f}"
+        ps = f"{p:.1f}" if isinstance(p, float) and math.isfinite(p) else str(p)
         print(f"| {name} | {r['kind']} | {r['terminal_max_err']:.3e} "
               f"| {r['terminal_rel_err']:.3e} | {ps} |")
 
