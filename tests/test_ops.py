@@ -646,3 +646,27 @@ def test_int8_training_rejected():
         # _init_model is where the guard lives; reaching it requires a full
         # Trainer, so call the guard logic directly
         Trainer._check_attn_impl_for_training("fused_int8")
+
+
+def test_int8_early_exit_forward():
+    """The EE wrapper's backbone blocks run through the int8 path too
+    (eesampler --attn_impl fused_int8)."""
+    from duodiff_tpu.config import UViTConfig
+    from duodiff_tpu.models.early_exit import init_early_exit_uvit
+
+    cfg = UViTConfig(
+        img_size=16, patch_size=2, in_chans=3, embed_dim=64, depth=3,
+        num_heads=4, mlp_ratio=4, qkv_bias=False, mlp_time_embed=False,
+        num_classes=-1, normalize_timesteps=True,
+        classifier_type="mlp_probe_per_layer",
+    )
+    model, params = init_early_exit_uvit(
+        cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16,
+        attn_impl="fused_int8",
+    )
+    x = jnp.zeros((2, 16, 16, 3), jnp.float32)
+    t = jnp.full((2,), 500.0, jnp.float32)
+    out, probes, heads = model.apply({"params": params}, x, t, None)
+    assert out.shape == (2, 16, 16, 3)
+    assert probes.shape[0] == cfg.depth and heads.shape[0] == cfg.depth
+    assert bool(jnp.all(jnp.isfinite(out)))

@@ -38,7 +38,7 @@ def main(argv=None):
         "celeba,celeba_int8,celeba_duodiff,celeba_interleave2,celeba_ddim,"
         "celeba_static_exit,"
         "celeba_ee_threshold,celeba_dpm20,cifar10,imagenet64,imagenet256,"
-        "imagenet256_decoded"
+        "imagenet256_decoded,imagenet256_int8,imagenet64_int8"
     ))
     p.add_argument("--output", type=str, default="bench_matrix.json")
     args = p.parse_args(argv)
@@ -108,6 +108,12 @@ def main(argv=None):
     run("cifar10", lambda: dense_fn("uvit_cifar10.yaml"))
     run("imagenet64", lambda: dense_fn("uvit_imagenet64.yaml"))
     run("imagenet256", lambda: dense_fn("uvit_imagenet256.yaml"))
+    # int8 at D=1024: the weight matmuls are an even larger step fraction
+    # (94% of device time, NOTES trace attribution), so W8A8 pays off more
+    run("imagenet256_int8",
+        lambda: dense_fn("uvit_imagenet256.yaml", attn_impl="fused_int8"))
+    run("imagenet64_int8",
+        lambda: dense_fn("uvit_imagenet64.yaml", attn_impl="fused_int8"))
 
     def imagenet256_decoded_fn():
         # latent sampling + the frozen-KL decode to 256x256 pixels (the
