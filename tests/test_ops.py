@@ -670,3 +670,41 @@ def test_int8_early_exit_forward():
     assert out.shape == (2, 16, 16, 3)
     assert probes.shape[0] == cfg.depth and heads.shape[0] == cfg.depth
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_int8_fallback_matches_kernel():
+    """When the kernel doesn't fit VMEM (fp32 at D>=768) the wrappers fall
+    back to the XLA int8 reference — same quantization semantics as the
+    kernel (checked here at a small D where both paths run)."""
+    from duodiff_tpu.ops import pallas_block_int8 as pbi
+
+    rng = np.random.RandomState(5)
+    b, l, d, h = 1, 33, 768, 4
+    x = jnp.asarray(rng.randn(b, l, d), jnp.float32)  # fp32 -> fallback
+    w = _int8_weights(rng, d, 2 * d)
+    # interpret=False + fp32 at D=768: attn_fwd_fits is False, so this is
+    # the XLA reference path even off-TPU (no pallas_call is built)
+    fb = pbi.fused_attn_sublayer_int8(
+        x, w["ln_s"], w["ln_b"], w["wqkv"], None, w["wp"], w["bp"],
+        num_heads=h, interpret=False,
+    )
+    kern = pbi.fused_attn_sublayer_int8(
+        x, w["ln_s"], w["ln_b"], w["wqkv"], None, w["wp"], w["bp"],
+        num_heads=h, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fb, np.float32), np.asarray(kern, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+    mfb = pbi.fused_mlp_sublayer_int8(
+        x, w["ln_s"], w["ln_b"], w["w1"], w["b1"], w["w2"], w["b2"],
+        interpret=False,
+    )
+    mk = pbi.fused_mlp_sublayer_int8(
+        x, w["ln_s"], w["ln_b"], w["w1"], w["b1"], w["w2"], w["b2"],
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(mfb, np.float32), np.asarray(mk, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
