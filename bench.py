@@ -46,61 +46,87 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     steps = int(os.environ.get("BENCH_STEPS", "1000"))
     chunk = int(os.environ.get("BENCH_CHUNK", "100"))
-    attn = os.environ.get(
-        "BENCH_ATTN", "fused" if jax.default_backend() == "tpu" else "xla"
-    )
+    on_tpu = jax.default_backend() == "tpu"
+    # Default: measure BOTH the int8 W8A8 serving path (the headline; its
+    # quality is validated in README — 67 dB full-trajectory PSNR vs bf16,
+    # indistinguishable trained-model palette stats) and the bf16
+    # parity-numerics path, reported alongside. BENCH_ATTN=<impl> measures
+    # just that impl.
+    if "BENCH_ATTN" in os.environ:
+        attns = [os.environ["BENCH_ATTN"]]
+    elif on_tpu:
+        attns = ["fused_int8", "fused"]
+    else:
+        attns = ["xla"]
     # tanh-approx GELU: below bf16 rounding, saves the VPU-bound erf
     # polynomial (~0.7 ms/block; duodiff_tpu.models.layers.Mlp docstring)
     gelu_approx = os.environ.get("BENCH_GELU", "tanh") == "tanh"
 
     cfg = flagship_config()
-    model, params = init_uvit(
-        cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16, attn_impl=attn,
-        gelu_approx=gelu_approx,
-    )
     schedule = NoiseSchedule.create(steps=steps)
     shape = (batch, 64, 64, 3)
-
-    # params threaded as a traced jit argument (NOT a closure constant):
-    # keeps the ~90MB of weights out of the serialized executable, which
-    # cuts cold compile and the persistent-cache entry from 385MB to a few
-    # MB (see ChunkedDDPMSampler docstring)
-    sample = make_chunked_ddpm_sampler(
-        lambda p, x, t, y: model.apply({"params": p}, x, t, y),
-        schedule,
-        parametrization="predict_noise",
-        chunk=chunk,
-        params=params,
-    )
-
-    print(
-        f"bench: {steps}-step DDPM in {chunk}-step chunks, batch {batch}, "
-        f"attn={attn}, backend {jax.default_backend()}...",
-        file=sys.stderr,
-    )
-    t0 = time.time()
-    jax.block_until_ready(sample(jax.random.PRNGKey(0), shape))
-    print(f"bench: compile+first run {time.time() - t0:.1f}s", file=sys.stderr)
-
-    n_timed = int(os.environ.get("BENCH_REPS", "2"))
-    t0 = time.time()
-    for i in range(n_timed):
-        x = jax.block_until_ready(sample(jax.random.PRNGKey(1 + i), shape))
-    elapsed = (time.time() - t0) / n_timed
-    assert bool(jnp.all(jnp.isfinite(x))), "non-finite samples"
-
-    n_chips = jax.device_count()
-    samples_per_sec_per_chip = batch / elapsed / n_chips
-    # normalize to the 1000-step headline when BENCH_STEPS overrides
-    samples_per_sec_per_chip *= steps / 1000.0
     baseline = 1.0 / 1.92  # s/image from BASELINE.md CelebA dense point
+    n_chips = jax.device_count()
+    n_timed = int(os.environ.get("BENCH_REPS", "2"))
 
-    print(json.dumps({
-        "metric": "samples/sec/chip (U-ViT CelebA-64, 1000-step DDPM)",
-        "value": round(samples_per_sec_per_chip, 4),
+    def measure(attn):
+        model, params = init_uvit(
+            cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16, attn_impl=attn,
+            gelu_approx=gelu_approx,
+        )
+        # params threaded as a traced jit argument (NOT a closure
+        # constant): keeps the ~90MB of weights out of the serialized
+        # executable, which cuts cold compile and the persistent-cache
+        # entry from 385MB to a few MB (see ChunkedDDPMSampler docstring)
+        sample = make_chunked_ddpm_sampler(
+            lambda p, x, t, y: model.apply({"params": p}, x, t, y),
+            schedule,
+            parametrization="predict_noise",
+            chunk=chunk,
+            params=params,
+        )
+        print(
+            f"bench: {steps}-step DDPM in {chunk}-step chunks, "
+            f"batch {batch}, attn={attn}, "
+            f"backend {jax.default_backend()}...",
+            file=sys.stderr,
+        )
+        t0 = time.time()
+        jax.block_until_ready(sample(jax.random.PRNGKey(0), shape))
+        print(f"bench[{attn}]: compile+first run {time.time() - t0:.1f}s",
+              file=sys.stderr)
+        t0 = time.time()
+        for i in range(n_timed):
+            x = jax.block_until_ready(
+                sample(jax.random.PRNGKey(1 + i), shape)
+            )
+        elapsed = (time.time() - t0) / n_timed
+        assert bool(jnp.all(jnp.isfinite(x))), "non-finite samples"
+        sps = batch / elapsed / n_chips
+        # normalize to the 1000-step headline when BENCH_STEPS overrides
+        return sps * steps / 1000.0
+
+    rates = {attns[0]: measure(attns[0])}
+    for attn in attns[1:]:
+        # secondary paths are best-effort: a flaky remote-compile on the
+        # non-headline leg must not lose the headline measurement
+        try:
+            rates[attn] = measure(attn)
+        except Exception as e:  # noqa: BLE001
+            print(f"bench[{attn}]: FAILED ({e!r})", file=sys.stderr)
+    head_attn = attns[0]
+    result = {
+        "metric": "samples/sec/chip (U-ViT CelebA-64, 1000-step DDPM, "
+                  f"attn={head_attn})",
+        "value": round(rates[head_attn], 4),
         "unit": "samples/sec/chip",
-        "vs_baseline": round(samples_per_sec_per_chip / baseline, 3),
-    }))
+        "vs_baseline": round(rates[head_attn] / baseline, 3),
+    }
+    if "fused" in rates and head_attn != "fused":
+        # the bf16 parity-numerics path, for the FID-parity claim
+        result["bf16_value"] = round(rates["fused"], 4)
+        result["bf16_vs_baseline"] = round(rates["fused"] / baseline, 3)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
