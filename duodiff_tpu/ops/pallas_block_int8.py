@@ -24,7 +24,7 @@ Scheme (standard dynamic W8A8, cf. LLM.int8/SmoothQuant-style serving paths):
     them buys little and risks much.
 
 This path changes sampled values (it is NOT the parity path): it is an
-opt-in speed knob (`--quantize int8` on the sampling CLIs), with its
+opt-in speed knob (`--attn_impl fused_int8` on the sampling CLIs), with its
 quality impact measured on-chip rather than assumed. Training is
 unsupported (no VJP) by design.
 

@@ -16,6 +16,16 @@ question is purely whether the MXU int8 rate shows up at these shapes
 (K=64 contractions and lane-padded L=257 operands may not benefit).
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/probe_int8_sdpa.py
+
+RESULT (2026-08-18, real v5e chip): NEGATIVE — int8 sdpa is 0.66x the bf16
+chain (0.818 vs 0.544 ms/call at G=2), with 2.6e-2 rel L2 error (vs ~4e-3
+for the weight-only W8A8 path). The per-row quantization of q/k/e/v is all
+VPU work on (L, 384-padded-lane) tensors and exceeds what the int8 MXU rate
+recovers at these K=64 / K=257 contraction shapes. The W8A8 kernels
+therefore keep their SDPA core in bf16 — do not retry without removing the
+in-loop quantization cost (e.g. quantizing k/v once per kernel invocation
+outside the head loop buys little: q and e must still be quantized per
+head).
 """
 
 import functools
@@ -29,7 +39,7 @@ from jax.experimental import pallas as pl
 
 
 L, DH, H = 257, 64, 8
-G = 4          # samples per grid step (matches _group_size_v2 at flagship)
+G = 2          # samples per grid step (G=4 OOMs scoped VMEM with standalone q,k,v,o io blocks; in the fused kernel qkv is a transient)
 B = 128
 
 
