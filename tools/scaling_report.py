@@ -11,10 +11,21 @@ counterpart of tests/test_qkv_layout.py's zero-all-gather assertion
 
 Usage (self-provisions an 8-device virtual CPU platform):
     python tools/scaling_report.py [--batch 32] [--depth 5] [--embed 256]
+    python tools/scaling_report.py --mode sample   # DDPM sampling schedule
 
 Prints one row per mesh shape: collective counts, all-reduce payload
 MB/step (the DP gradient reduction should track param bytes, TP psums
 track activation bytes), and per-device param bytes.
+
+``--mode sample`` audits the SAMPLING path instead: one compiled chunk of
+the production ChunkedDDPMSampler scan (params threaded as traced
+arguments, x_T batch-sharded over the "data" axis). Counts are per
+reverse-process step (the scan body). Expected shape of the result: pure-DP
+meshes run ZERO collectives — DDPM sampling is embarrassingly parallel over
+the batch (SURVEY.md §2b), every chip denoises its batch shard with
+replicated weights — and (data, model) meshes run the same per-block
+row-parallel psums as the TP forward pass with params/device shrinking
+linearly.
 """
 
 import argparse
@@ -97,6 +108,9 @@ def main():
     ap.add_argument("--meshes", type=str,
                     default="1x1,2x1,4x1,8x1,4x2,2x4",
                     help="comma-separated DPxTP shapes")
+    ap.add_argument("--mode", default="train", choices=["train", "sample"],
+                    help="audit the train step or one chunk of the "
+                         "production DDPM sampling scan")
     args = ap.parse_args()
 
     shapes = []
@@ -135,7 +149,7 @@ def main():
     header = (f"{'mesh':>6} {'all-red':>8} {'MB/step':>8} {'all-gat':>8} "
               f"{'MB/step':>8} {'red-sct':>8} {'perm':>6} "
               f"{'par MB/dev':>11} {'compile s':>10}")
-    print(f"train-step collective schedule (batch={args.batch}, "
+    print(f"{args.mode}-step collective schedule (batch={args.batch}, "
           f"D={args.embed}, depth={args.depth}, img={args.img})")
     print(header)
     rows = []
@@ -148,27 +162,48 @@ def main():
         )
         shardings = shard_params(params, mesh)
         params = jax.device_put(params, shardings)
-        state = create_train_state(params, tx)
-        step = jax.jit(
-            make_train_step(
+        tic = time.time()
+        if args.mode == "train":
+            state = create_train_state(params, tx)
+            step = jax.jit(
+                make_train_step(
+                    lambda p, x, t, y: model.apply({"params": p}, x, t, y),
+                    schedule, model_kind="uvit",
+                    parametrization="predict_noise",
+                ),
+                donate_argnums=(0,),
+            )
+            batch = {
+                "image": jax.device_put(
+                    np.zeros((args.batch, args.img, args.img, 3), np.float32),
+                    batch_sharding(mesh),
+                ),
+                "label": jax.device_put(
+                    np.zeros((args.batch,), np.int32),
+                    batch_sharding(mesh, ndim=1),
+                ),
+            }
+            compiled = step.lower(
+                state, batch, jax.random.PRNGKey(0)
+            ).compile()
+        else:
+            # one chunk of the production sampling scan, exactly as
+            # sampler.py runs it: params traced, x_T batch-sharded
+            from duodiff_tpu.diffusion.sampling import ChunkedDDPMSampler
+
+            sampler = ChunkedDDPMSampler(
                 lambda p, x, t, y: model.apply({"params": p}, x, t, y),
-                schedule, model_kind="uvit",
-                parametrization="predict_noise",
-            ),
-            donate_argnums=(0,),
-        )
-        batch = {
-            "image": jax.device_put(
+                schedule, parametrization="predict_noise", chunk=10,
+                params=params,
+            )
+            x = jax.device_put(
                 np.zeros((args.batch, args.img, args.img, 3), np.float32),
                 batch_sharding(mesh),
-            ),
-            "label": jax.device_put(
-                np.zeros((args.batch,), np.int32),
-                batch_sharding(mesh, ndim=1),
-            ),
-        }
-        tic = time.time()
-        compiled = step.lower(state, batch, jax.random.PRNGKey(0)).compile()
+            )
+            ts = jnp.arange(9, -1, -1)
+            compiled = sampler._run_chunk.lower(
+                params, x, jax.random.PRNGKey(0), ts, None
+            ).compile()
         dt = time.time() - tic
         counts, payload = _collective_stats(compiled.as_text())
         # per-device param residency under the sharding
