@@ -35,8 +35,9 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--rows", type=str, default=(
-        "celeba,celeba_int8,celeba_duodiff,celeba_interleave2,celeba_ddim,"
-        "celeba_static_exit,"
+        "celeba,celeba_int8,celeba_duodiff,celeba_duodiff_int8,"
+        "celeba_interleave2,celeba_ddim,"
+        "celeba_static_exit,celeba_static_exit_int8,"
         "celeba_ee_threshold,celeba_dpm20,cifar10,imagenet64,imagenet256,"
         "imagenet256_decoded,imagenet256_int8,imagenet64_int8"
     ))
@@ -138,9 +139,13 @@ def main(argv=None):
 
     run("imagenet256_decoded", imagenet256_decoded_fn)
 
-    def duodiff_fn():
-        early_apply, early_params, cfg = load("uvit_celeba_3.yaml")
-        late_apply, late_params, _ = load("uvit_celeba.yaml", seed=1)
+    def duodiff_fn(attn_impl=None):
+        early_apply, early_params, cfg = load(
+            "uvit_celeba_3.yaml", attn_impl=attn_impl
+        )
+        late_apply, late_params, _ = load(
+            "uvit_celeba.yaml", seed=1, attn_impl=attn_impl
+        )
         early = ChunkedDDPMSampler(early_apply, schedule,
                                    parametrization="predict_noise")
         late = ChunkedDDPMSampler(late_apply, schedule,
@@ -159,6 +164,9 @@ def main(argv=None):
         return sample
 
     run("celeba_duodiff", duodiff_fn)
+    # knob composition: DuoDiff's shallow/full handoff with int8 weight
+    # matmuls in both models
+    run("celeba_duodiff_int8", lambda: duodiff_fn(attn_impl="fused_int8"))
 
     def interleave_fn():
         # heavy-light alternation (full on t % 2 == 0): both weight trees
@@ -209,7 +217,7 @@ def main(argv=None):
 
     run("celeba_dpm20", dpm_fn)
 
-    def static_exit_fn():
+    def static_exit_fn(attn_impl="fused"):
         from duodiff_tpu.diffusion.static_exit import make_static_exit_sampler
         from duodiff_tpu.models.early_exit import init_early_exit_uvit
         from duodiff_tpu.config import UViTConfig
@@ -221,7 +229,7 @@ def main(argv=None):
 
         _, params = init_early_exit_uvit(
             cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16,
-            attn_impl="fused", gelu_approx=True,
+            attn_impl=attn_impl, gelu_approx=True,
         )
         # the paper's exit-vs-timestep shape: shallow early, deep late
         t = args.steps
@@ -233,11 +241,14 @@ def main(argv=None):
         shape = (b, 64, 64, 3)
         sampler = make_static_exit_sampler(
             cfg, params, schedule=schedule, buckets=buckets,
-            attn_impl="fused", gelu_approx=True,
+            attn_impl=attn_impl, gelu_approx=True,
         )
         return lambda key: sampler(key, shape)
 
     run("celeba_static_exit", static_exit_fn)
+    # knob composition: bucketed static exits + int8 weight matmuls
+    run("celeba_static_exit_int8",
+        lambda: static_exit_fn(attn_impl="fused_int8"))
 
     def ee_threshold_fn():
         # dynamic-threshold AdaDiff parity mode: every layer + every probe/
