@@ -55,7 +55,8 @@ def main(argv=None):
     ap.add_argument("--out", type=str, required=True)
     ap.add_argument("--methods", type=str, default=None,
                     help="comma list to restrict (ddpm,int8,ddim50,dpm20,"
-                         "ee_dynamic,ee_static,duodiff)")
+                         "ee_dynamic,ee_static,ee_static_int8,duodiff,"
+                         "duodiff_int8)")
     args = ap.parse_args(argv)
 
     import eesampler as eesampler_cli
@@ -68,7 +69,8 @@ def main(argv=None):
     def want(name):
         return only is None or name in only
 
-    if (args.ee_config and args.ee_checkpoint and want("ee_static")
+    if (args.ee_config and args.ee_checkpoint
+            and (want("ee_static") or want("ee_static_int8"))
             and not want("ee_dynamic")
             and not (out_root / "ee_dynamic"
                      / "indices_by_timestep.npy").exists()):
@@ -111,23 +113,31 @@ def main(argv=None):
     if want("dpm20"):
         run_sampler("dpm20", ["--use_dpm_solver", "--dpm_steps", "20"])
 
-    if args.shallow_config and args.shallow_checkpoint and want("duodiff"):
+    if args.shallow_config and args.shallow_checkpoint:
         # reference CLI contract: --config_path is the EARLY (shallow)
-        # model, --config_path_late the full one (sampler.py:135-136 there)
-        t = time.time()
-        sampler_cli.main([
-            "--config_path", args.shallow_config,
-            "--checkpoint_path", args.shallow_checkpoint,
-            "--config_path_late", args.config,
-            "--checkpoint_path_late", args.checkpoint,
-            "--t_switch", str(args.t_switch),
-            "--batch_size", str(args.batch),
-            "--parametrization", "predict_noise",
-            "--output_folder", str(out_root / "duodiff"),
-            "--num_timesteps", str(args.num_timesteps),
-            "--seed", str(args.seed),
-        ])
-        score("duodiff", time.time() - t)
+        # model, --config_path_late the full one (sampler.py:135-136 there).
+        # duodiff_int8 scores the int8-composed operating point
+        # (bench_matrix's celeba_duodiff_int8 row) on the same weights.
+        for name, extra in (
+            ("duodiff", []),
+            ("duodiff_int8", ["--attn_impl", "fused_int8"]),
+        ):
+            if not want(name):
+                continue
+            t = time.time()
+            sampler_cli.main([
+                "--config_path", args.shallow_config,
+                "--checkpoint_path", args.shallow_checkpoint,
+                "--config_path_late", args.config,
+                "--checkpoint_path_late", args.checkpoint,
+                "--t_switch", str(args.t_switch),
+                "--batch_size", str(args.batch),
+                "--parametrization", "predict_noise",
+                "--output_folder", str(out_root / name),
+                "--num_timesteps", str(args.num_timesteps),
+                "--seed", str(args.seed),
+            ] + extra)
+            score(name, time.time() - t)
 
     if args.shallow_config and args.interleave_shallow_checkpoint:
         for n in (2, 4):
@@ -162,7 +172,14 @@ def main(argv=None):
                 "--seed", str(args.seed),
             ])
             score("ee_dynamic", time.time() - t)
-        if want("ee_static"):
+        # ee_static_int8 = the bench matrix's best operating point
+        # (celeba_static_exit_int8) on trained weights
+        for name, extra in (
+            ("ee_static", []),
+            ("ee_static_int8", ["--attn_impl", "fused_int8"]),
+        ):
+            if not want(name):
+                continue
             t = time.time()
             eesampler_cli.main([
                 "--config_path", args.ee_config,
@@ -170,11 +187,11 @@ def main(argv=None):
                 "--derive_schedule_from",
                 str(out_root / "ee_dynamic" / "indices_by_timestep.npy"),
                 "--batch_size", str(args.batch),
-                "--output_folder", str(out_root / "ee_static"),
+                "--output_folder", str(out_root / name),
                 "--num_timesteps", str(args.num_timesteps),
                 "--seed", str(args.seed),
-            ])
-            score("ee_static", time.time() - t)
+            ] + extra)
+            score(name, time.time() - t)
 
     print(json.dumps(rows))
     (out_root / "quality_matrix.json").write_text(json.dumps(rows, indent=1))
