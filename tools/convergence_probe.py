@@ -171,10 +171,34 @@ def main(argv=None):
         write_palette_cifar(work / "data", palette, seed=args.seed)
 
     if args.config is None:
+        if args.dataset == "imagenet64":
+            # the built-in TINY_YAML is a 32x32 UNCONDITIONAL model; the
+            # imagenet64 palette data is 64x64 class-conditional — catch the
+            # mismatch here rather than after a full training run
+            raise SystemExit(
+                "--dataset imagenet64 needs an explicit --config with "
+                "img_size: 64 and num_classes > number of palette colors "
+                "(e.g. configs/uvit_imagenet64.yaml); the built-in tiny "
+                "config is 32x32 unconditional"
+            )
         cfg_path = work / "tiny.yaml"
         cfg_path.write_text(TINY_YAML)
     else:
         cfg_path = Path(args.config)
+    if args.dataset == "imagenet64":
+        import yaml
+
+        mp = yaml.safe_load(cfg_path.read_text()).get("model_params", {})
+        if mp.get("img_size") != 64 or mp.get("num_classes", -1) <= len(
+            palette
+        ):
+            raise SystemExit(
+                f"--dataset imagenet64 needs img_size: 64 and num_classes > "
+                f"{len(palette)} (got img_size={mp.get('img_size')}, "
+                f"num_classes={mp.get('num_classes', -1)}): the sampling "
+                f"stage runs --fixed_class per palette index and training "
+                f"needs a null-token slot above the real classes"
+            )
 
     import main as main_cli
     import sampler as sampler_cli

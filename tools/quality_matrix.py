@@ -85,6 +85,12 @@ def main(argv=None):
     def score(name, elapsed):
         r = measure(out_root / name, palette)
         r["elapsed_s"] = round(elapsed, 2)
+        # per-row provenance: rows from different invocations (quality_
+        # workflow.sh runs this tool twice into the same --out) merge into
+        # one file, so each row must record its own settings
+        r["batch"] = args.batch
+        r["num_timesteps"] = args.num_timesteps
+        r["seed"] = args.seed
         rows[name] = r
         print(json.dumps({"method": name, **r}))
 
@@ -193,8 +199,18 @@ def main(argv=None):
             ] + extra)
             score(name, time.time() - t)
 
+    # merge into an existing matrix instead of overwriting it: a partial
+    # rerun (e.g. quality_workflow.sh step 5's interleave-only invocation)
+    # must not destroy previously measured rows
+    out_path = out_root / "quality_matrix.json"
+    if out_path.exists():
+        try:
+            prior = json.loads(out_path.read_text())
+        except (json.JSONDecodeError, OSError):
+            prior = {}
+        rows = {**prior, **rows}
     print(json.dumps(rows))
-    (out_root / "quality_matrix.json").write_text(json.dumps(rows, indent=1))
+    out_path.write_text(json.dumps(rows, indent=1))
     return rows
 
 
