@@ -13,7 +13,8 @@ compiled 100-step scan with a dynamic timestep vector, invoked 10x — bounded
 compile time on remote-compile TPU backends, bit-identical results) with the
 bf16 U-ViT forward using the Pallas VMEM-resident attention kernel.
 Overridables: BENCH_BATCH, BENCH_STEPS, BENCH_CHUNK, BENCH_ATTN(xla|pallas),
-BENCH_REPS.
+BENCH_REPS, BENCH_INT8_SCALES (a tools/calibrate_int8.py JSON — static MLP
+activation scales for the fused_int8 leg).
 """
 
 import json
@@ -69,10 +70,22 @@ def main():
     n_chips = jax.device_count()
     n_timed = int(os.environ.get("BENCH_REPS", "2"))
 
+    scales_tuple = None
+    if os.environ.get("BENCH_INT8_SCALES"):
+        from duodiff_tpu.utils.int8_calib import (
+            load_int8_scales,
+            scales_dict_to_tuple,
+        )
+
+        scales_tuple = scales_dict_to_tuple(
+            load_int8_scales(os.environ["BENCH_INT8_SCALES"]), cfg.depth
+        )
+
     def measure(attn):
         model, params = init_uvit(
             cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16, attn_impl=attn,
             gelu_approx=gelu_approx,
+            int8_mlp_scales=scales_tuple if attn == "fused_int8" else None,
         )
         # params threaded as a traced jit argument (NOT a closure
         # constant): keeps the ~90MB of weights out of the serialized

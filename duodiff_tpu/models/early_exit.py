@@ -189,6 +189,9 @@ class EarlyExitUViT(nn.Module):
     qkv_layout: str = "packed"
     # per-block activation checkpointing of the backbone (see UViT)
     use_checkpoint: bool = False
+    # fused_int8 static MLP activation scales / calibration mode (see UViT)
+    int8_mlp_scales: Optional[tuple] = None
+    int8_calibrate: bool = False
 
     @nn.compact
     def __call__(
@@ -210,7 +213,9 @@ class EarlyExitUViT(nn.Module):
         uvit = UViT(
             config=cfg, dtype=self.dtype, attn_impl=self.attn_impl,
             gelu_approx=self.gelu_approx, qkv_layout=self.qkv_layout,
-            use_checkpoint=self.use_checkpoint, name="uvit"
+            use_checkpoint=self.use_checkpoint,
+            int8_mlp_scales=self.int8_mlp_scales,
+            int8_calibrate=self.int8_calibrate, name="uvit"
         )
         tokens = uvit.embed_tokens(x, timesteps, y)
 
@@ -284,12 +289,14 @@ def init_early_exit_uvit(
     config: UViTConfig, key: jax.Array, dtype=jnp.float32,
     attn_impl: str = "auto", gelu_approx: bool = False,
     qkv_layout: str = "packed", use_checkpoint: bool = False,
+    int8_mlp_scales=None, int8_calibrate: bool = False,
 ):
     """Create an EarlyExitUViT and initialize parameters."""
     model = EarlyExitUViT(
         config=config, dtype=dtype, attn_impl=attn_impl,
         gelu_approx=gelu_approx, qkv_layout=qkv_layout,
-        use_checkpoint=use_checkpoint,
+        use_checkpoint=use_checkpoint, int8_mlp_scales=int8_mlp_scales,
+        int8_calibrate=int8_calibrate,
     )
     x = jnp.zeros((1, config.img_size, config.img_size, config.in_chans), jnp.float32)
     t = jnp.zeros((1,), jnp.float32)

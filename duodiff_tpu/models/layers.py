@@ -308,6 +308,16 @@ class Block(nn.Module):
     # attn_impl="pallas"); "fused" = the fused MLP kernel + Pallas backward.
     mlp_impl: str = "auto"
     qkv_layout: str = "packed"
+    # fused_int8 only: calibrated (post-LN amax, post-GELU amax) for this
+    # block's MLP sublayer — switches its activation quantization from
+    # dynamic per-row to static scales (tools/calibrate_int8.py; 11% faster
+    # per MLP call, tools/probe_int8_static.py). Attention stays dynamic
+    # (measured no win there).
+    int8_mlp_scales: Optional[tuple] = None
+    # fused_int8 only: run the XLA reference int8 math and sow the MLP
+    # activation amaxes into the "int8_calib" collection (the calibration
+    # forward — no Pallas, works on CPU).
+    int8_calibrate: bool = False
 
     @nn.compact
     def __call__(self, x, skip: Optional[jax.Array] = None):
@@ -350,21 +360,35 @@ class Block(nn.Module):
             # W8A8 sampling path (opt-in, value-changing — no VJP): same
             # param tree, int8 weight matmuls (ops/pallas_block_int8.py)
             from duodiff_tpu.ops.pallas_block_int8 import (
+                attn_sublayer_int8_xla,
                 fused_attn_sublayer_int8,
                 fused_mlp_sublayer_int8,
+                mlp_sublayer_int8_calib,
             )
 
             ln_scale, ln_bias = _LNParams(name="norm1")(d)
             (wqkv, bqkv), (wp, bp) = attn(None, raw=True)
+            ln2_scale, ln2_bias = _LNParams(name="norm2")(d)
+            (w1, b1), (w2, b2) = mlp(None, raw=True)
+            if self.int8_calibrate:
+                x = attn_sublayer_int8_xla(
+                    x.astype(self.dtype), ln_scale, ln_bias, wqkv, bqkv,
+                    wp, bp, num_heads=self.num_heads, eps=1e-5,
+                )
+                out, ax, ah = mlp_sublayer_int8_calib(
+                    x.astype(self.dtype), ln2_scale, ln2_bias, w1, b1,
+                    w2, b2, eps=1e-5, gelu_approx=self.gelu_approx,
+                )
+                self.sow("int8_calib", "mlp_amax", jnp.stack([ax, ah]))
+                return out
             x = fused_attn_sublayer_int8(
                 x.astype(self.dtype), ln_scale, ln_bias, wqkv, bqkv, wp, bp,
                 num_heads=self.num_heads, eps=1e-5, interpret=interpret,
             )
-            ln2_scale, ln2_bias = _LNParams(name="norm2")(d)
-            (w1, b1), (w2, b2) = mlp(None, raw=True)
             return fused_mlp_sublayer_int8(
                 x.astype(self.dtype), ln2_scale, ln2_bias, w1, b1, w2, b2,
                 eps=1e-5, gelu_approx=self.gelu_approx, interpret=interpret,
+                static_scales=self.int8_mlp_scales,
             )
         if self.attn_impl == "fused":
             from duodiff_tpu.ops.pallas_block import (

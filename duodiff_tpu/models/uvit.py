@@ -58,6 +58,13 @@ class UViT(nn.Module):
     # the backward; everything inside a block is recomputed. Identical
     # params/grads either way (tested), ~N x block-activation HBM saved.
     use_checkpoint: bool = False
+    # fused_int8 only: per-block calibrated MLP activation amaxes in block
+    # execution order (in_0..in_{k-1}, mid, out_0..out_{k-1}), each an
+    # (xn_amax, h_amax) pair — see layers.Block.int8_mlp_scales. Built from
+    # a tools/calibrate_int8.py JSON by utils.model_loading.
+    int8_mlp_scales: Optional[tuple] = None
+    # fused_int8 only: calibration forward (XLA int8 math + amax sowing)
+    int8_calibrate: bool = False
 
     def setup(self):
         cfg = self.config
@@ -90,10 +97,24 @@ class UViT(nn.Module):
         # nn.remat preserves the param structure, so checkpoints are
         # interchangeable between the two settings
         block_cls = nn.remat(Block) if self.use_checkpoint else Block
-        self.in_blocks = [block_cls(**common) for _ in range(cfg.depth // 2)]
-        self.mid_block = block_cls(**common)
+        k = cfg.depth // 2
+        sc = self.int8_mlp_scales
+        if sc is not None and len(sc) != 2 * k + 1:
+            raise ValueError(
+                f"int8_mlp_scales has {len(sc)} entries, need {2 * k + 1}"
+            )
+
+        def blk(i: int, **kw):
+            scales = None if sc is None else tuple(sc[i])
+            return block_cls(
+                **common, int8_mlp_scales=scales,
+                int8_calibrate=self.int8_calibrate, **kw,
+            )
+
+        self.in_blocks = [blk(i) for i in range(k)]
+        self.mid_block = blk(k)
         self.out_blocks = [
-            block_cls(**common, skip=cfg.skip) for _ in range(cfg.depth // 2)
+            blk(k + 1 + i, skip=cfg.skip) for i in range(k)
         ]
 
         self.norm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32)
@@ -158,7 +179,8 @@ def init_uvit(
     config: UViTConfig, key: jax.Array, dtype=jnp.float32,
     attn_impl: str = "auto", gelu_approx: bool = False,
     mlp_impl: str = "auto", qkv_layout: str = "packed",
-    use_checkpoint: bool = False,
+    use_checkpoint: bool = False, int8_mlp_scales=None,
+    int8_calibrate: bool = False,
 ):
     """Create a UViT module and initialize its parameters.
 
@@ -167,7 +189,8 @@ def init_uvit(
     model = UViT(
         config=config, dtype=dtype, attn_impl=attn_impl,
         gelu_approx=gelu_approx, mlp_impl=mlp_impl, qkv_layout=qkv_layout,
-        use_checkpoint=use_checkpoint,
+        use_checkpoint=use_checkpoint, int8_mlp_scales=int8_mlp_scales,
+        int8_calibrate=int8_calibrate,
     )
     x = jnp.zeros((1, config.img_size, config.img_size, config.in_chans), jnp.float32)
     t = jnp.zeros((1,), jnp.float32)

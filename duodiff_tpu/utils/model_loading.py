@@ -24,6 +24,8 @@ def load_model_from_config(
     gelu_approx: bool = False,
     qkv_layout: str = "packed",
     use_ema: bool = False,
+    int8_scales: Optional[str] = None,
+    int8_calibrate: bool = False,
 ) -> Tuple[object, dict, UViTConfig, Optional[AutoencoderConfig]]:
     """Build a (UViT | EarlyExitUViT) from a reference-format YAML and
     optionally load weights from an Orbax dir or torch .pth.
@@ -36,7 +38,11 @@ def load_model_from_config(
     qkv_layout="heads" stores attention params with an explicit head axis
     for Megatron-style tensor-parallel sampling (models/layers._QKVProj);
     packed checkpoints are converted on load. use_ema loads the EMA shadow
-    params from an --ema_decay-trained Orbax checkpoint.
+    params from an --ema_decay-trained Orbax checkpoint. int8_scales is a
+    tools/calibrate_int8.py JSON — static MLP activation scales for the
+    fused_int8 path (requires attn_impl="fused_int8"); int8_calibrate
+    builds the calibration forward instead (XLA int8 math that sows the
+    MLP activation amaxes — what tools/calibrate_int8.py runs).
     """
     raw = load_config(config_path)
     cfg = UViTConfig.from_dict(raw["model_params"])
@@ -51,11 +57,27 @@ def load_model_from_config(
             if jax.default_backend() == "tpu" and qkv_layout == "packed"
             else "auto"
         )
+    scales_tuple = None
+    if (int8_scales or int8_calibrate) and attn_impl != "fused_int8":
+        raise ValueError(
+            "--int8_scales / int8 calibration require --attn_impl "
+            f"fused_int8 (got {attn_impl!r})"
+        )
+    if int8_scales:
+        from duodiff_tpu.utils.int8_calib import (
+            load_int8_scales,
+            scales_dict_to_tuple,
+        )
+
+        scales_tuple = scales_dict_to_tuple(
+            load_int8_scales(int8_scales), cfg.depth
+        )
     init = init_early_exit_uvit if early_exit else init_uvit
     model, params = init(
         cfg, jax.random.PRNGKey(seed), dtype=dtype,
         attn_impl=attn_impl, gelu_approx=gelu_approx,
-        qkv_layout=qkv_layout,
+        qkv_layout=qkv_layout, int8_mlp_scales=scales_tuple,
+        int8_calibrate=int8_calibrate,
     )
     if checkpoint_path:
         from duodiff_tpu.training.trainer import load_params_flexible

@@ -52,6 +52,9 @@ def get_args(argv=None):
     parser.add_argument("--use_ema", action="store_true",
                         help="Sample with the EMA shadow params from an "
                              "--ema_decay-trained checkpoint")
+    parser.add_argument("--int8_scales", type=str, default=None,
+                        help="tools/calibrate_int8.py JSON: static MLP "
+                             "activation scales for --attn_impl fused_int8")
     parser.add_argument(
         "--static_schedule", type=str, default=None,
         help="Timestep-bucketed static exits, e.g. '999-700:3,699-300:8,"
@@ -131,6 +134,7 @@ def main(argv=None):
         gelu_approx=args.gelu_approx,
         qkv_layout="heads" if mp > 1 else "packed",
         use_ema=args.use_ema,
+        int8_scales=args.int8_scales,
     )
 
     decode_fn = None

@@ -103,6 +103,12 @@ def get_args(argv=None):
                         help="Sample with the EMA shadow params from an "
                              "--ema_decay-trained checkpoint (both models "
                              "for DuoDiff)")
+    parser.add_argument("--int8_scales", type=str, default=None,
+                        help="tools/calibrate_int8.py JSON: static MLP "
+                             "activation scales for --attn_impl fused_int8 "
+                             "(skips dynamic per-row quantization)")
+    parser.add_argument("--int8_scales_late", type=str, default=None,
+                        help="int8 scales JSON for the DuoDiff late model")
     return parser.parse_args(argv)
 
 
@@ -140,6 +146,7 @@ def main(argv=None):
         gelu_approx=args.gelu_approx,
         qkv_layout=qkv_layout,
         use_ema=args.use_ema,
+        int8_scales=args.int8_scales,
     )
 
     late = None
@@ -152,6 +159,7 @@ def main(argv=None):
             gelu_approx=args.gelu_approx,
             qkv_layout=qkv_layout,
             use_ema=args.use_ema,
+            int8_scales=args.int8_scales_late,
         )
         late = (late_model, late_params)
 

@@ -29,7 +29,13 @@ python main.py --config_path configs/uvit_cifar10_3.yaml \
     --exp_name shallow --n_steps 3000 --batch_size 128 --lr 1e-3 \
     --num_warmup_steps 50 --save_every_n_steps 3000 --seed 0
 
-# 4. the full matrix: DDPM/DDIM/DPM + dynamic & (median-derived) static
+# 4. static int8 activation scales calibrated against the trained backbone
+#    (feeds the int8_static quality row + --int8_scales serving)
+python tools/calibrate_int8.py --config_path configs/uvit_cifar10.yaml \
+    --checkpoint_path $BACKBONE --output $WORK/int8_scales.json \
+    --batch_size 16
+
+# 5. the full matrix: DDPM/DDIM/DPM + dynamic & (median-derived) static
 #    early exit + DuoDiff, each scored against the palette distribution
 python tools/quality_matrix.py \
     --config configs/uvit_cifar10.yaml --checkpoint $BACKBONE \
@@ -37,11 +43,12 @@ python tools/quality_matrix.py \
     --ee_checkpoint $WORK/logs/ee/cifar10_deediff_uvit_last \
     --shallow_config configs/uvit_cifar10_3.yaml \
     --shallow_checkpoint $WORK/logs/shallow/cifar10_uvit_last \
+    --int8_scales $WORK/int8_scales.json \
     --t_switch 300 --palette_k 4 --batch 32 --out $WORK/qm
 
 cat $WORK/qm/quality_matrix.json
 
-# 5. optional: all-timestep distilled shallow for the interleaved rows
+# 6. optional: all-timestep distilled shallow for the interleaved rows
 python main.py --config_path configs/uvit_cifar10_3.yaml \
     --distill_config configs/uvit_cifar10.yaml --distill_from $BACKBONE \
     --distill_alpha 0.7 --distill_t_min 0 \

@@ -62,6 +62,9 @@ def get_args(argv=None):
     p.add_argument("--use_ema", action="store_true",
                    help="serve the EMA shadow params from an "
                         "--ema_decay-trained checkpoint")
+    p.add_argument("--int8_scales", type=str, default=None,
+                   help="tools/calibrate_int8.py JSON: static MLP "
+                        "activation scales for --attn_impl fused_int8")
     p.add_argument("--warmup", action=argparse.BooleanOptionalAction,
                    default=True)
     return p.parse_args(argv)
@@ -97,6 +100,7 @@ class SamplerService:
             attn_impl=args.attn_impl,
             gelu_approx=args.gelu_approx,
             use_ema=args.use_ema,
+            int8_scales=args.int8_scales,
         )
         self.params = params
         self.cfg = cfg

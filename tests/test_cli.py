@@ -193,10 +193,13 @@ def test_eesampler_cli(tmp_path, tiny_config):
     assert idx.shape == (8, 2)
 
 
+@pytest.mark.slow
 def test_main_cli_use_checkpoint_matches(tmp_path, tiny_train_config, cifar_data):
     """--use_checkpoint (per-block remat) trains through the CLI and the loss
     curve matches the non-remat run step for step — same data order, same
-    RNG, remat only changes what the backward recomputes."""
+    RNG, remat only changes what the backward recomputes. (slow: two full
+    CLI train bring-ups; the remat-equality math is unit-tested in
+    tests/models/test_uvit.py both for UViT and EarlyExitUViT.)"""
     logs = {}
     for name, extra in (("base", []), ("remat", ["--use_checkpoint"])):
         logs[name] = main_cli.main([

@@ -506,7 +506,7 @@ def test_params_mode_early_exit_matches_closure():
     model, params = init_early_exit_uvit(
         cfg, jax.random.PRNGKey(1), dtype=jnp.float32
     )
-    sched = NoiseSchedule.create(steps=10)
+    sched = NoiseSchedule.create(steps=8)
     key = jax.random.PRNGKey(6)
     shape = (2, 8, 8, 3)
     y = jnp.array([1, 2])

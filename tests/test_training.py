@@ -333,12 +333,18 @@ def test_train_step_label_dropout():
                         max_grad_norm=1.0, num_warmup_steps=0,
                         num_training_steps=10)
 
-    def step_with(label_dropout, labels):
-        step = make_train_step(
+    def make(label_dropout):
+        return make_train_step(
             lambda p, x, t, y: model.apply({"params": p}, x, t, y),
             sched, model_kind="uvit", parametrization="predict_noise",
             has_labels=True, label_dropout=label_dropout, null_label=4,
         )
+
+    # build each step ONCE and reuse across label sets (every
+    # make_train_step is a fresh jit -> a fresh trace+compile)
+    step_drop, step_keep = make(1.0), make(0.0)
+
+    def loss(step, labels):
         state = create_train_state(params, tx)
         batch = {
             "image": jnp.ones((4, 16, 16, 3)) * 0.1,
@@ -349,8 +355,8 @@ def test_train_step_label_dropout():
 
     y = jnp.array([0, 1, 2, 3])
     nulls = jnp.full((4,), 4)
-    assert step_with(1.0, y) == step_with(0.0, nulls)
-    assert step_with(0.0, y) != step_with(0.0, nulls)
+    assert loss(step_drop, y) == loss(step_keep, nulls)
+    assert loss(step_keep, y) != loss(step_keep, nulls)
 
 
 def _opt_kwargs(**over):

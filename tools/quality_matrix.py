@@ -53,10 +53,14 @@ def main(argv=None):
     ap.add_argument("--num_timesteps", type=int, default=1000)
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--out", type=str, required=True)
+    ap.add_argument("--int8_scales", type=str, default=None,
+                    help="tools/calibrate_int8.py JSON for the checkpoint — "
+                         "enables the int8_static row (static MLP "
+                         "activation scales)")
     ap.add_argument("--methods", type=str, default=None,
-                    help="comma list to restrict (ddpm,int8,ddim50,dpm20,"
-                         "ee_dynamic,ee_static,ee_static_int8,duodiff,"
-                         "duodiff_int8)")
+                    help="comma list to restrict (ddpm,int8,int8_static,"
+                         "ddim50,dpm20,ee_dynamic,ee_static,ee_static_int8,"
+                         "duodiff,duodiff_int8)")
     args = ap.parse_args(argv)
 
     import eesampler as eesampler_cli
@@ -114,6 +118,13 @@ def main(argv=None):
         # trajectory shape as the ddpm row, int8 weight matmuls — the row
         # that measures what quantization costs in sample quality
         run_sampler("int8", ["--attn_impl", "fused_int8"])
+    if want("int8_static") and args.int8_scales:
+        # int8 with CALIBRATED static MLP activation scales
+        # (tools/calibrate_int8.py) — scores what replacing dynamic per-row
+        # quantization with static saturation costs in sample quality
+        run_sampler("int8_static", [
+            "--attn_impl", "fused_int8", "--int8_scales", args.int8_scales,
+        ])
     if want("ddim50"):
         run_sampler("ddim50", ["--use_ddim", "--ddim_steps", "50"])
     if want("dpm20"):
