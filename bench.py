@@ -70,16 +70,30 @@ def main():
     n_chips = jax.device_count()
     n_timed = int(os.environ.get("BENCH_REPS", "2"))
 
+    # static MLP activation scales for the int8 leg (+4.6% measured):
+    # default to the committed flagship calibration (tools/calibrate_int8.py
+    # against the same PRNGKey(0) init bench uses; regenerate with
+    # scripts in assets/int8_scales_celeba_flagship.json "meta").
+    # BENCH_INT8_SCALES=<path> overrides; BENCH_INT8_SCALES= disables.
     scales_tuple = None
-    if os.environ.get("BENCH_INT8_SCALES"):
-        from duodiff_tpu.utils.int8_calib import (
-            load_int8_scales,
-            scales_dict_to_tuple,
-        )
+    scales_path = os.environ.get(
+        "BENCH_INT8_SCALES",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "assets", "int8_scales_celeba_flagship.json"),
+    )
+    if scales_path:
+        try:
+            from duodiff_tpu.utils.int8_calib import (
+                load_int8_scales,
+                scales_dict_to_tuple,
+            )
 
-        scales_tuple = scales_dict_to_tuple(
-            load_int8_scales(os.environ["BENCH_INT8_SCALES"]), cfg.depth
-        )
+            scales_tuple = scales_dict_to_tuple(
+                load_int8_scales(scales_path), cfg.depth
+            )
+        except Exception as e:  # noqa: BLE001 - fall back to dynamic quant
+            print(f"bench: no static int8 scales ({e!r}); "
+                  "using dynamic activation quantization", file=sys.stderr)
 
     def measure(attn):
         model, params = init_uvit(

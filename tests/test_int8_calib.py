@@ -190,6 +190,25 @@ def test_calibrate_and_apply_tiny_uvit(tmp_path):
     assert rel < 0.05, rel
 
 
+def test_flagship_scales_asset_valid():
+    """The committed flagship calibration (assets/) must stay loadable and
+    depth-matched — bench.py defaults to it for the int8 headline leg."""
+    from duodiff_tpu.config import flagship_config
+    from duodiff_tpu.utils.int8_calib import (
+        load_int8_scales,
+        scales_dict_to_tuple,
+    )
+
+    path = REPO / "assets" / "int8_scales_celeba_flagship.json"
+    cfg = flagship_config()
+    tup = scales_dict_to_tuple(load_int8_scales(path), cfg.depth)
+    assert len(tup) == cfg.depth
+    assert all(sx > 0 and sh > 0 for sx, sh in tup)
+    meta = json.loads(path.read_text())["meta"]
+    assert meta["config_path"].endswith("uvit_celeba.yaml")
+    assert meta["seed"] == 0 and meta["gelu_approx"] is True
+
+
 def test_scales_dict_depth_mismatch():
     from duodiff_tpu.utils.int8_calib import scales_dict_to_tuple
 

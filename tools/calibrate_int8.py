@@ -128,6 +128,7 @@ def main(argv=None):
             "batch_size": args.batch_size,
             "margin": args.margin,
             "parametrization": args.parametrization,
+            "gelu_approx": args.gelu_approx,
             "seed": args.seed,
             "early_exit": args.early_exit,
             "use_ema": args.use_ema,
