@@ -1,3 +1,4 @@
+from duodiff_tpu.diffusion.continuous import ContinuousDiffusionBatcher
 from duodiff_tpu.diffusion.pipeline import DuoDiffPipeline
 from duodiff_tpu.diffusion.schedule import NoiseSchedule
 from duodiff_tpu.diffusion.sampling import (
@@ -16,6 +17,7 @@ from duodiff_tpu.diffusion.sampling import (
 )
 
 __all__ = [
+    "ContinuousDiffusionBatcher",
     "DuoDiffPipeline",
     "NoiseSchedule",
     "ddpm_sample",

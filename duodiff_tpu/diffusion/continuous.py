@@ -1,0 +1,285 @@
+"""Mixed-timestep continuous batching for diffusion serving.
+
+The fixed-bucket server (serve.py) runs one request's ENTIRE reverse
+trajectory per device dispatch sequence: concurrent requests serialize, and
+a bucket sized for throughput makes single-image requests pay the whole
+bucket's latency. This module implements the diffusion analogue of LLM
+continuous batching ("in-flight batching"): ONE compiled step executable
+over a fixed slot batch where **every slot carries its own timestep**, so
+requests at different points of their trajectories share every device step,
+new requests join free slots between dispatches, and finished slots free up
+immediately.
+
+TPU-native by construction:
+
+- One static-shape executable — (slots, H, W, C) never changes, so nothing
+  ever recompiles mid-request (XLA static shapes; same principle as the
+  bucket server).
+- Per-slot timesteps are just data: the U-ViT forward already consumes a
+  per-sample timestep vector (training draws random per-sample t), so a
+  mixed-t batch is the SAME compiled forward the samplers use.
+- Per-slot step math is the existing :class:`NoiseSchedule` posterior
+  update vmapped over the slot axis — coefficient gathers batch cleanly.
+- The host polls every ``steps_per_poll`` device steps (a ``fori_loop``
+  inside the executable), amortizing the host<->device round-trip that a
+  per-step poll would cost on remote-dispatch backends.
+
+Each slot's trajectory is bit-identical to a dedicated bucket-1 run of the
+corresponding sequential sampler with the same request key (ChunkedDDPMSampler
+/ ddim_sample / dpm_solver_sample — the per-slot RNG reproduces their exact
+split/draw sequence; tested in tests/test_continuous.py).
+
+The reference has no serving story at all (its samplers are batch CLIs,
+reference sampler.py:192-252); this is a beyond-parity component extending
+serve.py.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from duodiff_tpu.diffusion.schedule import NoiseSchedule
+from duodiff_tpu.diffusion.sampling import ddim_timestep_grid
+
+
+def _dpm_tables(schedule: NoiseSchedule, dpm_steps: int, order: int):
+    """Per-transition DPM-Solver++ 2M constants — the same derivation as
+    sampling.dpm_solver_sample (kept in that function's docstring), laid out
+    as gatherable rows."""
+    assert order in (1, 2), order
+    assert dpm_steps >= 2, "dpm_steps must be >= 2 (need >= 1 transition)"
+    grid = np.asarray(ddim_timestep_grid(schedule.steps, dpm_steps))
+    grid = grid[np.concatenate([[True], np.diff(grid) != 0])]
+    a_bar = np.asarray(schedule.alphas_bar)[grid]
+    alpha = np.sqrt(a_bar)
+    sigma = np.sqrt(1.0 - a_bar)
+    lam = np.log(alpha / sigma)
+    h = lam[1:] - lam[:-1]
+    r = np.concatenate([np.ones((1,)), h[:-1]]) / h
+    tab = {
+        "t_model": grid[:-1].astype(np.float32),
+        "sigma_ratio": (sigma[1:] / sigma[:-1]).astype(np.float32),
+        "alpha_t": alpha[1:].astype(np.float32),
+        "phi": np.expm1(-h).astype(np.float32),
+        "c_cur": (1.0 + 1.0 / (2.0 * r)).astype(np.float32),
+        "c_prev": (1.0 / (2.0 * r)).astype(np.float32),
+        "alpha_prev": alpha[:-1].astype(np.float32),
+        "sigma_prev": sigma[:-1].astype(np.float32),
+        "is_first": np.zeros(len(h), np.float32),
+    }
+    tab["is_first"][0] = 1.0
+    return {k: jnp.asarray(v) for k, v in tab.items()}
+
+
+class ContinuousDiffusionBatcher:
+    """Slot-batched mixed-timestep sampler state machine.
+
+    Host API (all methods are cheap dispatches; the heavy work is the
+    compiled ``advance``):
+
+    - ``admit(slot, key, class_id)`` — seed a free slot with a request key
+      (draws x_T and the per-slot RNG carry exactly like the sequential
+      sampler's init split).
+    - ``advance()`` — run ``steps_per_poll`` mixed-timestep device steps.
+    - ``poll()`` — host view of (steps_done, active) per slot.
+    - ``finish(slot)`` — fetch the finished image, free the slot.
+
+    ``apply_fn(params, x, t_batch, y) -> model_output`` is the same
+    params-first closure the chunked samplers take; guidance wrappers
+    (make_guided_apply) compose unchanged. ``y=None`` is passed for
+    unconditional models (``conditional=False``).
+    """
+
+    def __init__(
+        self,
+        apply_fn: Callable,
+        schedule: NoiseSchedule,
+        *,
+        img_shape,
+        slots: int,
+        params,
+        method: str = "dpm",
+        parametrization: str = "predict_noise",
+        variance_mode: str = "beta_tilde",
+        ddim_steps: int = 50,
+        dpm_steps: int = 20,
+        eta: float = 0.0,
+        order: int = 2,
+        steps_per_poll: int = 5,
+        conditional: bool = False,
+    ):
+        if slots < 1:
+            raise ValueError(f"slots must be >= 1, got {slots}")
+        if steps_per_poll < 1:
+            raise ValueError(f"steps_per_poll must be >= 1, got {steps_per_poll}")
+        if method not in ("ddpm", "ddim", "dpm"):
+            raise ValueError(f"unknown method {method!r}")
+        self.method = method
+        self.slots = slots
+        self.img_shape = tuple(img_shape)
+        self.params = params
+        self.conditional = conditional
+        self.steps_per_poll = steps_per_poll
+
+        if method == "ddpm":
+            t_int = jnp.arange(schedule.steps - 1, -1, -1, dtype=jnp.int32)
+            tab = {"t_model": t_int.astype(jnp.float32), "t": t_int}
+            self.n_trans = schedule.steps
+
+            def one_slot(mo, x, x0p, key, ii):
+                t = tab["t"][ii]
+                key, zkey = jax.random.split(key)
+                z = jax.random.normal(zkey, self.img_shape, dtype=jnp.float32)
+                z = jnp.where(t > 0, z, jnp.zeros_like(z))
+                xn = schedule.step(parametrization, mo, x, t, z, variance_mode)
+                return xn, x0p, key
+
+        elif method == "ddim":
+            grid = ddim_timestep_grid(schedule.steps, ddim_steps)
+            tab = {
+                "t": jnp.asarray(grid[:-1], jnp.int32),
+                "s": jnp.asarray(grid[1:], jnp.int32),
+            }
+            tab["t_model"] = tab["t"].astype(jnp.float32)
+            self.n_trans = len(grid) - 1
+
+            def one_slot(mo, x, x0p, key, ii):
+                t, s = tab["t"][ii], tab["s"][ii]
+                key, zkey = jax.random.split(key)
+                # same draw-then-zero contract as sampling._step_noise
+                z = jax.random.normal(zkey, self.img_shape, dtype=jnp.float32)
+                z = jnp.where(s > 0, z, jnp.zeros_like(z))
+                xn = schedule.ddim_step(mo, x, t, s, z, eta=eta)
+                return xn, x0p, key
+
+        else:  # dpm
+            if parametrization not in ("predict_noise", "predict_original"):
+                raise ValueError("dpm supports predict_noise/predict_original")
+            tab = _dpm_tables(schedule, dpm_steps, order)
+            self.n_trans = int(tab["phi"].shape[0])
+
+            def one_slot(mo, x, x0p, key, ii):
+                c = {k: v[ii] for k, v in tab.items()}
+                if parametrization == "predict_original":
+                    x0 = mo
+                else:
+                    x0 = (x - c["sigma_prev"] * mo) / c["alpha_prev"]
+                if order == 1:
+                    d = x0
+                else:
+                    d2 = c["c_cur"] * x0 - c["c_prev"] * x0p
+                    d = jnp.where(c["is_first"] > 0, x0, d2)
+                xn = c["sigma_ratio"] * x - c["alpha_t"] * c["phi"] * d
+                return xn, x0, key  # the dpm loop never consumes the key
+
+        n_trans = self.n_trans
+        t_model_tab = tab["t_model"]
+
+        def _step(params, state):
+            ic = jnp.clip(state["i"], 0, n_trans - 1)
+            y = state["y"] if conditional else None
+            mo = apply_fn(params, state["x"], t_model_tab[ic], y)
+            new_x, new_x0p, new_key = jax.vmap(one_slot)(
+                mo, state["x"], state["x0_prev"], state["key"], ic
+            )
+            live = state["active"] & (state["i"] < n_trans)
+
+            def sel(a, b):
+                return jnp.where(
+                    live.reshape((-1,) + (1,) * (a.ndim - 1)), a, b
+                )
+
+            return {
+                "x": sel(new_x, state["x"]),
+                "x0_prev": sel(new_x0p, state["x0_prev"]),
+                "key": sel(new_key, state["key"]),
+                "i": jnp.where(live, state["i"] + 1, state["i"]),
+                "active": state["active"],
+                "y": state["y"],
+            }
+
+        k = steps_per_poll
+
+        def _advance(params, state):
+            return jax.lax.fori_loop(0, k, lambda _, s: _step(params, s), state)
+
+        def _admit(state, slot, req_key, y):
+            # exact init sequence of the sequential samplers: split the
+            # request key, draw x_T from the second half, carry the first
+            # (ChunkedDDPMSampler.init / ddim_sample / dpm_solver_sample)
+            k1, init_key = jax.random.split(req_key)
+            x0 = jax.random.normal(init_key, self.img_shape, dtype=jnp.float32)
+            return {
+                "x": state["x"].at[slot].set(x0),
+                "x0_prev": state["x0_prev"].at[slot].set(0.0),
+                "key": state["key"].at[slot].set(k1),
+                "i": state["i"].at[slot].set(0),
+                "active": state["active"].at[slot].set(True),
+                "y": state["y"].at[slot].set(y),
+            }
+
+        def _release(state, slot):
+            return {**state, "active": state["active"].at[slot].set(False)}
+
+        self._advance_fn = jax.jit(_advance)
+        self._admit_fn = jax.jit(_admit)
+        self._release_fn = jax.jit(_release)
+        s = slots
+        self.state = {
+            "x": jnp.zeros((s,) + self.img_shape, jnp.float32),
+            "x0_prev": jnp.zeros((s,) + self.img_shape, jnp.float32),
+            "key": jnp.zeros((s,) + jax.random.PRNGKey(0).shape,
+                             jax.random.PRNGKey(0).dtype),
+            "i": jnp.full((s,), n_trans, jnp.int32),
+            "active": jnp.zeros((s,), bool),
+            "y": jnp.zeros((s,), jnp.int32),
+        }
+
+    # -- host API ----------------------------------------------------------
+
+    def admit(self, slot: int, key: jax.Array, class_id: Optional[int] = None):
+        y = jnp.asarray(0 if class_id is None else int(class_id), jnp.int32)
+        self.state = self._admit_fn(self.state, slot, key, y)
+
+    def advance(self):
+        self.state = self._advance_fn(self.params, self.state)
+
+    def poll(self):
+        """(steps_done (S,), active (S,)) as host arrays. A slot is finished
+        when active and steps_done == n_trans."""
+        i, active = jax.device_get((self.state["i"], self.state["active"]))
+        return np.asarray(i), np.asarray(active)
+
+    def finish(self, slot: int) -> np.ndarray:
+        """Fetch a finished slot's image (H, W, C) and free the slot."""
+        img = np.asarray(jax.device_get(self.state["x"][slot]))
+        self.state = self._release_fn(self.state, slot)
+        return img
+
+    # -- convenience driver (tests, batch use) ------------------------------
+
+    def run_jobs(self, jobs):
+        """Drive a FIFO list of ``(key, class_id)`` jobs to completion and
+        return their images in submission order. Admits greedily into free
+        slots between advances — the same scheduling the serving loop runs."""
+        pending = list(enumerate(jobs))
+        results: dict[int, np.ndarray] = {}
+        slot_owner: dict[int, int] = {}
+        while pending or slot_owner:
+            ii, active = self.poll()
+            for slot in range(self.slots):
+                if pending and not active[slot]:
+                    job_id, (key, class_id) = pending.pop(0)
+                    self.admit(slot, key, class_id)
+                    slot_owner[slot] = job_id
+            self.advance()
+            ii, active = self.poll()
+            for slot, job_id in list(slot_owner.items()):
+                if active[slot] and ii[slot] >= self.n_trans:
+                    results[job_id] = self.finish(slot)
+                    del slot_owner[slot]
+        return [results[j] for j in range(len(jobs))]

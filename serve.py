@@ -10,6 +10,14 @@ requests. Defaults to DPM-Solver++ 2M 20-step sampling — measured 37.9 ms
 single-image latency for the CelebA-64 flagship on one v5e chip
 (README "Measured performance").
 
+``--slots N`` switches to MIXED-TIMESTEP CONTINUOUS BATCHING (the diffusion
+analogue of LLM in-flight batching): one compiled step executable over N
+slots where each slot carries its own timestep, so concurrent requests
+share every device step instead of serializing whole trajectories, and new
+requests join free slots between dispatches. Per-request outputs are
+bit-identical to the bucket-1 sequential path for the same seed (tested).
+See duodiff_tpu/diffusion/continuous.py.
+
 The reference has no serving story (its samplers are batch CLIs,
 sampler.py:192-252); this is a beyond-parity component.
 
@@ -25,6 +33,8 @@ sampler.py:192-252); this is a beyond-parity component.
 
 import argparse
 import base64
+import collections
+import concurrent.futures
 import io
 import json
 import threading
@@ -67,11 +77,20 @@ def get_args(argv=None):
                         "activation scales for --attn_impl fused_int8")
     p.add_argument("--warmup", action=argparse.BooleanOptionalAction,
                    default=True)
+    p.add_argument("--slots", type=int, default=0,
+                   help="enable mixed-timestep continuous batching with "
+                        "this many slots (0 = fixed-bucket serving); "
+                        "concurrent requests then share device steps")
+    p.add_argument("--steps_per_poll", type=int, default=5,
+                   help="continuous mode: device steps per host poll — "
+                        "amortizes the host round-trip; finished slots "
+                        "wait at most this many extra steps")
     return p.parse_args(argv)
 
 
-class SamplerService:
-    """Owns the device: one compiled bucket-sized sampler + a lock."""
+class _ServiceBase:
+    """Model loading, guidance wrapping, method/steps resolution, and
+    request validation shared by the two serving modes."""
 
     def __init__(self, args):
         from duodiff_tpu.utils.runtime import setup_compilation_cache
@@ -81,12 +100,7 @@ class SamplerService:
         import jax
         import jax.numpy as jnp
 
-        from duodiff_tpu.diffusion import (
-            ChunkedDDPMSampler,
-            NoiseSchedule,
-            ddim_sample,
-            dpm_solver_sample,
-        )
+        from duodiff_tpu.diffusion import NoiseSchedule
         from duodiff_tpu.utils.model_loading import load_model_from_config
 
         self.jax, self.jnp = jax, jnp
@@ -105,9 +119,6 @@ class SamplerService:
         self.params = params
         self.cfg = cfg
         self.args = args
-        self.bucket = args.bucket
-        self.shape = (args.bucket, cfg.img_size, cfg.img_size, cfg.in_chans)
-        self.lock = threading.Lock()
         self.requests_served = 0
 
         self.decode_fn = None
@@ -123,7 +134,7 @@ class SamplerService:
                 )
             )
 
-        schedule = NoiseSchedule.create(steps=args.num_timesteps)
+        self.schedule = NoiseSchedule.create(steps=args.num_timesteps)
 
         def apply_fn(p, x, t, y):
             return model.apply({"params": p}, x, t, y)
@@ -146,6 +157,7 @@ class SamplerService:
             apply_fn = make_guided_apply(
                 apply_fn, args.guidance_scale, null_class
             )
+        self.apply_fn = apply_fn
 
         method = args.method
         if method == "dpm" and args.parametrization == "predict_previous":
@@ -154,19 +166,8 @@ class SamplerService:
             raise SystemExit("ddim serving supports predict_noise only")
         if method == "dpm":
             steps = args.steps or 20
-            self._run = jax.jit(lambda p, k, y: dpm_solver_sample(
-                lambda xx, tt, yy: apply_fn(p, xx, tt, yy), k,
-                schedule=schedule, shape=self.shape, dpm_steps=steps,
-                parametrization=args.parametrization, y=y,
-            ))
         elif method == "ddim":
-            # ddim_sample is predict_noise-form (reference sampler.py:103-126)
             steps = args.steps or 50
-            self._run = jax.jit(lambda p, k, y: ddim_sample(
-                lambda xx, tt, yy: apply_fn(p, xx, tt, yy), k,
-                schedule=schedule, shape=self.shape, ddim_steps=steps,
-                eta=0.0, y=y,
-            )[0])
         else:  # ddpm
             if args.steps is not None and args.steps != args.num_timesteps:
                 raise SystemExit(
@@ -177,14 +178,39 @@ class SamplerService:
                     "schedule-length dependent)"
                 )
             steps = args.num_timesteps
-            sampler = ChunkedDDPMSampler(
-                apply_fn, schedule,
-                parametrization=args.parametrization, params=params,
-            )
-            # params already threaded at construction; sample returns x
-            self._run = lambda p, k, y: sampler.sample(k, self.shape, y=y)
         self.steps = steps
         self.method = method
+
+    def _resolve_labels(self, seed, class_id, count):
+        """Validate class_id and return a (count,) int32 label array, or
+        None for unconditional models. Identical semantics in both serving
+        modes — the random-label draw is keyed only by the request seed, so
+        bucket-1 and continuous serving produce the same labels."""
+        jnp = self.jnp
+        if self.guidance_null is not None and class_id is None:
+            raise ValueError("guided server: requests must pass class_id")
+        if class_id is not None and self.cfg.num_classes <= 0:
+            raise ValueError("model is unconditional; class_id invalid")
+        if self.cfg.num_classes <= 0:
+            return None
+        hi = (self.guidance_null if self.guidance_null is not None
+              else self.cfg.num_classes)
+        if class_id is not None:
+            if not 0 <= int(class_id) < hi:
+                raise ValueError(f"class_id must be in [0, {hi})")
+            return jnp.full((count,), int(class_id), jnp.int32)
+        # conditional model, no class requested: draw random labels so y is
+        # ALWAYS an array — a None<->array flip would change the jit
+        # signature and trigger a mid-request compile. The draw covers
+        # every real class; the top slot is excluded only when the user
+        # declared it reserved via --null_class (a guided server requires
+        # class_id and never gets here)
+        top = (self.args.null_class
+               if self.args.null_class is not None else hi)
+        return self.jax.random.randint(
+            self.jax.random.PRNGKey(seed ^ 0x5EED),
+            (count,), 0, max(top, 1),
+        )
 
     def warmup(self):
         tic = time.time()
@@ -194,35 +220,70 @@ class SamplerService:
         )
         return time.time() - tic
 
+    def info(self):
+        return {
+            "status": "ok",
+            "backend": self.jax.default_backend(),
+            "method": self.method,
+            "steps": self.steps,
+            "img_size": self.cfg.img_size,
+            "num_classes": self.cfg.num_classes,
+            "latent": self.decode_fn is not None,
+            "guidance_scale": self.args.guidance_scale,
+            "requests_served": self.requests_served,
+        }
+
+    def close(self):
+        pass
+
+
+class SamplerService(_ServiceBase):
+    """Fixed-bucket serving: one compiled bucket-sized sampler + a lock.
+    Requests are padded/chunked onto the bucket and run whole trajectories
+    back to back."""
+
+    def __init__(self, args):
+        super().__init__(args)
+        jax = self.jax
+        cfg, params, schedule, apply_fn = (
+            self.cfg, self.params, self.schedule, self.apply_fn
+        )
+        self.bucket = args.bucket
+        self.shape = (args.bucket, cfg.img_size, cfg.img_size, cfg.in_chans)
+        self.lock = threading.Lock()
+
+        from duodiff_tpu.diffusion import (
+            ChunkedDDPMSampler,
+            ddim_sample,
+            dpm_solver_sample,
+        )
+
+        if self.method == "dpm":
+            self._run = jax.jit(lambda p, k, y: dpm_solver_sample(
+                lambda xx, tt, yy: apply_fn(p, xx, tt, yy), k,
+                schedule=schedule, shape=self.shape, dpm_steps=self.steps,
+                parametrization=args.parametrization, y=y,
+            ))
+        elif self.method == "ddim":
+            # ddim_sample is predict_noise-form (reference sampler.py:103-126)
+            self._run = jax.jit(lambda p, k, y: ddim_sample(
+                lambda xx, tt, yy: apply_fn(p, xx, tt, yy), k,
+                schedule=schedule, shape=self.shape, ddim_steps=self.steps,
+                eta=0.0, y=y,
+            )[0])
+        else:  # ddpm
+            sampler = ChunkedDDPMSampler(
+                apply_fn, schedule,
+                parametrization=args.parametrization, params=params,
+            )
+            # params already threaded at construction; sample returns x
+            self._run = lambda p, k, y: sampler.sample(k, self.shape, y=y)
+
     def sample(self, n=1, seed=None, class_id=None):
-        jax, jnp = self.jax, self.jnp
+        jax = self.jax
         if seed is None:
             seed = int(time.time_ns()) % (2**31)
-        y_val = None
-        if self.guidance_null is not None and class_id is None:
-            raise ValueError("guided server: requests must pass class_id")
-        if class_id is not None and self.cfg.num_classes <= 0:
-            raise ValueError("model is unconditional; class_id invalid")
-        if self.cfg.num_classes > 0:
-            hi = (self.guidance_null if self.guidance_null is not None
-                  else self.cfg.num_classes)
-            if class_id is not None:
-                if not 0 <= int(class_id) < hi:
-                    raise ValueError(f"class_id must be in [0, {hi})")
-                y_val = jnp.full((self.bucket,), int(class_id), jnp.int32)
-            else:
-                # conditional model, no class requested: draw random labels
-                # so y is ALWAYS an array — a None<->array flip would change
-                # the jit signature and trigger a mid-request compile. The
-                # draw covers every real class; the top slot is excluded
-                # only when the user declared it reserved via --null_class
-                # (a guided server requires class_id and never gets here)
-                top = (self.args.null_class
-                       if self.args.null_class is not None else hi)
-                y_val = self.jax.random.randint(
-                    self.jax.random.PRNGKey(seed ^ 0x5EED),
-                    (self.bucket,), 0, max(top, 1),
-                )
+        y_val = self._resolve_labels(seed, class_id, self.bucket)
         imgs = []
         with self.lock:
             done = 0
@@ -241,18 +302,110 @@ class SamplerService:
         return imgs
 
     def info(self):
+        return {**super().info(), "mode": "bucket", "bucket": self.bucket}
+
+
+class ContinuousSamplerService(_ServiceBase):
+    """Mixed-timestep continuous batching: a device-loop thread advances
+    all in-flight requests one shared compiled step at a time; HTTP threads
+    enqueue jobs and wait on futures. Outputs are bit-identical to the
+    bucket-1 path for the same (seed, n) request (tested)."""
+
+    def __init__(self, args):
+        super().__init__(args)
+        from duodiff_tpu.diffusion.continuous import (
+            ContinuousDiffusionBatcher,
+        )
+
+        cfg = self.cfg
+        self.slots = args.slots
+        self.batcher = ContinuousDiffusionBatcher(
+            self.apply_fn, self.schedule,
+            img_shape=(cfg.img_size, cfg.img_size, cfg.in_chans),
+            slots=args.slots, params=self.params, method=self.method,
+            parametrization=args.parametrization,
+            ddim_steps=self.steps, dpm_steps=self.steps,
+            steps_per_poll=args.steps_per_poll,
+            conditional=cfg.num_classes > 0,
+        )
+        self._cv = threading.Condition()
+        self._queue = collections.deque()  # (key, y_scalar, future)
+        self._slot_jobs = {}  # slot -> future (device-loop thread only)
+        self._stopped = False
+        self._thread = threading.Thread(target=self._device_loop, daemon=True)
+        self._thread.start()
+
+    def _device_loop(self):
+        """The only thread that touches the batcher. One iteration = admit
+        free slots from the queue, advance steps_per_poll device steps,
+        deliver finished slots."""
+        batcher = self.batcher
+        while True:
+            with self._cv:
+                while (not self._stopped and not self._queue
+                       and not self._slot_jobs):
+                    self._cv.wait()
+                if self._stopped:
+                    for _, _, fut in self._queue:
+                        fut.cancel()
+                    return
+                for slot in range(self.slots):
+                    if not self._queue:
+                        break
+                    if slot not in self._slot_jobs:
+                        key, y, fut = self._queue.popleft()
+                        batcher.admit(slot, key, y)
+                        self._slot_jobs[slot] = fut
+            batcher.advance()
+            ii, _ = batcher.poll()
+            for slot, fut in list(self._slot_jobs.items()):
+                if ii[slot] >= batcher.n_trans:
+                    img = batcher.finish(slot)
+                    del self._slot_jobs[slot]
+                    fut.set_result(img)
+
+    def sample(self, n=1, seed=None, class_id=None):
+        import numpy as np
+
+        if seed is None:
+            seed = int(time.time_ns()) % (2**31)
+        y_val = self._resolve_labels(seed, class_id, 1)
+        y_scalar = None if y_val is None else int(y_val[0])
+        jax = self.jax
+        futures = []
+        with self._cv:
+            if self._stopped:
+                raise ValueError("server is shutting down")
+            for j in range(n):
+                # same per-image key stream as the bucket-1 sequential path
+                key = jax.random.fold_in(jax.random.PRNGKey(seed), j)
+                fut = concurrent.futures.Future()
+                self._queue.append((key, y_scalar, fut))
+                futures.append(fut)
+            self._cv.notify()
+        imgs = []
+        for fut in futures:
+            x = fut.result(timeout=3600)[None]  # (1, H, W, C)
+            if self.decode_fn is not None:
+                x = jax.block_until_ready(self.decode_fn(jax.numpy.asarray(x)))
+            imgs.append(np.asarray((x + 1.0) / 2.0)[0])
+        self.requests_served += 1
+        return imgs
+
+    def info(self):
         return {
-            "status": "ok",
-            "backend": self.jax.default_backend(),
-            "method": self.method,
-            "steps": self.steps,
-            "bucket": self.bucket,
-            "img_size": self.cfg.img_size,
-            "num_classes": self.cfg.num_classes,
-            "latent": self.decode_fn is not None,
-            "guidance_scale": self.args.guidance_scale,
-            "requests_served": self.requests_served,
+            **super().info(),
+            "mode": "continuous",
+            "slots": self.slots,
+            "steps_per_poll": self.args.steps_per_poll,
+            "in_flight": len(self._slot_jobs) + len(self._queue),
         }
+
+    def close(self):
+        with self._cv:
+            self._stopped = True
+            self._cv.notify_all()
+        self._thread.join(timeout=60)
 
 
 def _png_b64(img) -> str:
@@ -322,11 +475,16 @@ def make_handler(service: SamplerService):
 
 def main(argv=None, *, ready_event=None, server_box=None):
     args = get_args(argv)
-    service = SamplerService(args)
+    if args.slots > 0:
+        service = ContinuousSamplerService(args)
+        mode = f"{args.slots}-slot continuous"
+    else:
+        service = SamplerService(args)
+        mode = f"bucket-{args.bucket}"
     if args.warmup:
         dt = service.warmup()
         print(f"warmup: compiled + first {service.method}-{service.steps} "
-              f"bucket-{args.bucket} sample in {dt:.1f}s")
+              f"{mode} sample in {dt:.1f}s")
     httpd = ThreadingHTTPServer(
         (args.host, args.port), make_handler(service)
     )
@@ -342,6 +500,7 @@ def main(argv=None, *, ready_event=None, server_box=None):
         pass
     finally:
         httpd.server_close()
+        service.close()
 
 
 if __name__ == "__main__":

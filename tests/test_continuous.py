@@ -1,0 +1,273 @@
+"""Continuous batching (mixed-timestep slot sampler) — equality vs the
+sequential samplers, scheduling behavior, and the serving integration.
+
+The central claim: every request's trajectory through the slot batcher is
+identical to a dedicated bucket-1 run of the corresponding sequential
+sampler with the same request key, regardless of when it was admitted or
+what the other slots are doing.
+"""
+
+import base64
+import io
+import json
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from duodiff_tpu.diffusion import NoiseSchedule
+from duodiff_tpu.diffusion.continuous import ContinuousDiffusionBatcher
+from duodiff_tpu.diffusion.sampling import (
+    ChunkedDDPMSampler,
+    ddim_sample,
+    dpm_solver_sample,
+)
+
+IMG = (8, 8, 3)
+
+
+def stub_apply(params, x, t, y):
+    """Batch-row-independent stub with real params and label sensitivity."""
+    out = params["scale"] * x + 0.01 * t[:, None, None, None]
+    if y is not None:
+        out = out + 0.001 * y[:, None, None, None].astype(jnp.float32)
+    return out
+
+
+PARAMS = {"scale": jnp.float32(0.1)}
+
+
+def seq_reference(method, key, *, sched, class_id=None, steps=6):
+    """Dedicated bucket-1 sequential run — what serve.py's fixed-bucket
+    path executes per image."""
+    y = None if class_id is None else jnp.full((1,), class_id, jnp.int32)
+    shape = (1,) + IMG
+    if method == "ddpm":
+        sampler = ChunkedDDPMSampler(
+            stub_apply, sched, parametrization="predict_noise", params=PARAMS
+        )
+        return np.asarray(sampler.sample(key, shape, y=y))[0]
+    apply_fn = lambda x, t, yy: stub_apply(PARAMS, x, t, yy)  # noqa: E731
+    if method == "ddim":
+        x, _ = ddim_sample(
+            apply_fn, key, schedule=sched, shape=shape, ddim_steps=steps,
+            eta=0.0, y=y,
+        )
+        return np.asarray(x)[0]
+    assert method == "dpm"
+    x = dpm_solver_sample(
+        apply_fn, key, schedule=sched, shape=shape, dpm_steps=steps, y=y,
+    )
+    return np.asarray(x)[0]
+
+
+@pytest.mark.parametrize("method", ["ddpm", "ddim", "dpm"])
+def test_staggered_jobs_match_sequential(method):
+    """5 jobs through 2 slots (forced staggered admission) == 5 dedicated
+    sequential bucket-1 runs, bit-for-bit."""
+    sched = NoiseSchedule.create(steps=12)
+    batcher = ContinuousDiffusionBatcher(
+        stub_apply, sched, img_shape=IMG, slots=2, params=PARAMS,
+        method=method, ddim_steps=6, dpm_steps=6, steps_per_poll=3,
+    )
+    keys = [jax.random.PRNGKey(100 + j) for j in range(5)]
+    got = batcher.run_jobs([(k, None) for k in keys])
+    for j, k in enumerate(keys):
+        want = seq_reference(method, k, sched=sched)
+        np.testing.assert_array_equal(
+            got[j], want, err_msg=f"{method} job {j} diverged"
+        )
+
+
+def test_admission_mid_flight_is_isolated():
+    """A job admitted while another is mid-trajectory gets the identical
+    result as when it runs alone — slots don't interact."""
+    sched = NoiseSchedule.create(steps=12)
+
+    def fresh():
+        return ContinuousDiffusionBatcher(
+            stub_apply, sched, img_shape=IMG, slots=3, params=PARAMS,
+            method="ddpm", steps_per_poll=2,
+        )
+
+    k_a, k_b = jax.random.PRNGKey(1), jax.random.PRNGKey(2)
+
+    b = fresh()
+    b.admit(0, k_a)
+    b.advance()  # slot 0 is now 2 steps in
+    b.admit(1, k_b)  # staggered join
+    for _ in range(8):
+        b.advance()
+    ii, active = b.poll()
+    assert active[0] and active[1] and not active[2]
+    assert ii[0] == 12 and ii[1] == 12
+    got_a, got_b = b.finish(0), b.finish(1)
+    _, active = b.poll()
+    assert not active.any()
+
+    solo = fresh()
+    np.testing.assert_array_equal(solo.run_jobs([(k_b, None)])[0], got_b)
+    np.testing.assert_array_equal(
+        got_a, seq_reference("ddpm", k_a, sched=sched)
+    )
+
+
+def test_conditional_and_guided_jobs():
+    """Per-slot labels flow through; CFG wrappers compose on the slot batch
+    (mixed-t doubled forward) and match the guided sequential path."""
+    from duodiff_tpu.diffusion.sampling import make_guided_apply
+
+    sched = NoiseSchedule.create(steps=10)
+    guided = make_guided_apply(stub_apply, 2.0, null_label=9)
+    batcher = ContinuousDiffusionBatcher(
+        guided, sched, img_shape=IMG, slots=2, params=PARAMS,
+        method="dpm", dpm_steps=5, steps_per_poll=2, conditional=True,
+    )
+    keys = [jax.random.PRNGKey(7), jax.random.PRNGKey(8)]
+    got = batcher.run_jobs([(keys[0], 3), (keys[1], 5)])
+
+    for img, key, cid in zip(got, keys, (3, 5)):
+        y = jnp.full((1,), cid, jnp.int32)
+        want = dpm_solver_sample(
+            lambda x, t, yy: guided(PARAMS, x, t, yy), key,
+            schedule=sched, shape=(1,) + IMG, dpm_steps=5, y=y,
+        )
+        np.testing.assert_array_equal(img, np.asarray(want)[0])
+    assert not np.array_equal(got[0], got[1])
+
+
+def test_validation_errors():
+    sched = NoiseSchedule.create(steps=10)
+    with pytest.raises(ValueError, match="slots"):
+        ContinuousDiffusionBatcher(
+            stub_apply, sched, img_shape=IMG, slots=0, params=PARAMS
+        )
+    with pytest.raises(ValueError, match="steps_per_poll"):
+        ContinuousDiffusionBatcher(
+            stub_apply, sched, img_shape=IMG, slots=1, params=PARAMS,
+            steps_per_poll=0,
+        )
+    with pytest.raises(ValueError, match="unknown method"):
+        ContinuousDiffusionBatcher(
+            stub_apply, sched, img_shape=IMG, slots=1, params=PARAMS,
+            method="euler",
+        )
+    with pytest.raises(ValueError, match="predict_noise"):
+        ContinuousDiffusionBatcher(
+            stub_apply, sched, img_shape=IMG, slots=1, params=PARAMS,
+            method="dpm", parametrization="predict_previous",
+        )
+
+
+# ---------------------------------------------------------------------------
+# serving integration (--slots)
+# ---------------------------------------------------------------------------
+
+TINY_YAML = """model_params:
+  img_size: 16
+  patch_size: 2
+  in_chans: 3
+  embed_dim: 32
+  depth: 3
+  num_heads: 4
+  mlp_ratio: 4
+  qkv_bias: False
+  mlp_time_embed: False
+  num_classes: -1
+  normalize_timesteps: True
+"""
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(), method="POST"
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _start_server(cfg_path, extra):
+    import serve as serve_cli
+
+    ready = threading.Event()
+    box = []
+    th = threading.Thread(
+        target=serve_cli.main,
+        args=([
+            "--config_path", str(cfg_path), "--random_init", "--port", "0",
+            "--method", "dpm", "--steps", "4", "--num_timesteps", "32",
+        ] + extra,),
+        kwargs={"ready_event": ready, "server_box": box},
+        daemon=True,
+    )
+    th.start()
+    assert ready.wait(timeout=300), "server did not come up"
+    httpd, service = box[0]
+    return httpd, service, f"http://127.0.0.1:{httpd.server_address[1]}"
+
+
+@pytest.mark.slow
+def test_continuous_server_matches_bucket_server(tmp_path):
+    """--slots serving returns the same images as the fixed-bucket-1 server
+    for the same (seed, n) requests — and handles concurrent requests."""
+    cfg = tmp_path / "tiny.yaml"
+    cfg.write_text(TINY_YAML)
+
+    httpd, _, base = _start_server(cfg, ["--bucket", "1"])
+    try:
+        _, want1 = _post(base + "/sample", {"n": 2, "seed": 7})
+        _, want2 = _post(base + "/sample", {"n": 1, "seed": 11})
+    finally:
+        httpd.shutdown()
+
+    httpd, service, base = _start_server(
+        cfg, ["--slots", "3", "--steps_per_poll", "2"]
+    )
+    try:
+        info = json.loads(
+            urllib.request.urlopen(base + "/healthz", timeout=60).read()
+        )
+        assert info["mode"] == "continuous" and info["slots"] == 3
+
+        results = {}
+
+        def hit(name, payload):
+            results[name] = _post(base + "/sample", payload)
+
+        threads = [
+            threading.Thread(target=hit, args=("a", {"n": 2, "seed": 7})),
+            threading.Thread(target=hit, args=("b", {"n": 1, "seed": 11})),
+            threading.Thread(target=hit, args=("c", {"n": 1, "seed": 11})),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        code_a, got1 = results["a"]
+        code_b, got2 = results["b"]
+        code_c, got3 = results["c"]
+        assert code_a == code_b == code_c == 200
+        assert got1["images"] == want1["images"]
+        assert got2["images"] == want2["images"]
+        assert got3["images"] == got2["images"]
+
+        for b64 in got1["images"]:
+            from PIL import Image
+
+            img = Image.open(io.BytesIO(base64.b64decode(b64)))
+            assert img.size == (16, 16)
+            assert np.isfinite(np.asarray(img)).all()
+
+        # validation parity with the bucket server
+        code, resp = _post(base + "/sample", {"n": 0})
+        assert code == 400 and "error" in resp
+        code, resp = _post(base + "/sample", {"n": 1, "class_id": 3})
+        assert code == 400 and "error" in resp
+    finally:
+        httpd.shutdown()
