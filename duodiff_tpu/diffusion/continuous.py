@@ -111,6 +111,7 @@ class ContinuousDiffusionBatcher:
         order: int = 2,
         steps_per_poll: int = 5,
         conditional: bool = False,
+        mesh=None,
     ):
         if slots < 1:
             raise ValueError(f"slots must be >= 1, got {slots}")
@@ -225,9 +226,19 @@ class ContinuousDiffusionBatcher:
         def _release(state, slot):
             return {**state, "active": state["active"].at[slot].set(False)}
 
+        def _fetch(state, slot):
+            # slot stays a traced scalar -> ONE dynamic-slice executable for
+            # every slot (a Python-int index would compile a fresh
+            # executable per distinct slot — measured as multi-second
+            # remote-compile stalls mid-request on the axon backend)
+            return jax.lax.dynamic_index_in_dim(
+                state["x"], slot, axis=0, keepdims=False
+            )
+
         self._advance_fn = jax.jit(_advance)
         self._admit_fn = jax.jit(_admit)
         self._release_fn = jax.jit(_release)
+        self._fetch_fn = jax.jit(_fetch)
         s = slots
         self.state = {
             "x": jnp.zeros((s,) + self.img_shape, jnp.float32),
@@ -238,26 +249,74 @@ class ContinuousDiffusionBatcher:
             "active": jnp.zeros((s,), bool),
             "y": jnp.zeros((s,), jnp.int32),
         }
+        if mesh is not None:
+            # multi-chip serving: shard the slot axis over the mesh's data
+            # axes — every device step then advances slots/n_data in-flight
+            # requests per chip with zero per-step collectives (the same
+            # embarrassing parallelism as batch sampling, SURVEY.md §2b).
+            # Values are sharding-independent (tested on the CPU mesh).
+            from duodiff_tpu.parallel.mesh import batch_sharding
+
+            n_data = int(
+                np.prod([mesh.shape[a] for a in mesh.axis_names
+                         if a != "model"])
+            )
+            if slots % n_data:
+                raise ValueError(
+                    f"slots ({slots}) must be divisible by the mesh's "
+                    f"{n_data} data shards"
+                )
+            self.state = {
+                k: jax.device_put(v, batch_sharding(mesh, v.ndim))
+                for k, v in self.state.items()
+            }
+        # host mirror of per-slot progress: slot -> steps completed
+        # (occupied slots only; see the host-API comment below)
+        self.steps_done: dict[int, int] = {}
 
     # -- host API ----------------------------------------------------------
+    #
+    # Slot progress is DETERMINISTIC: an occupied slot gains exactly
+    # steps_per_poll steps per advance() (clipped at n_trans), so the host
+    # mirrors it in ``steps_done`` and never needs a device round-trip to
+    # learn who finished — advance() dispatches stay fully async and
+    # pipeline on the device; the only blocking transfers are finish()'s
+    # image fetches. (The first implementation polled (i, active) after
+    # every advance; on the remote-dispatch axon backend that serialized a
+    # host round-trip per ~12ms of device work and capped the measured
+    # speedup at 1.12x.)
 
     def admit(self, slot: int, key: jax.Array, class_id: Optional[int] = None):
         y = jnp.asarray(0 if class_id is None else int(class_id), jnp.int32)
         self.state = self._admit_fn(self.state, slot, key, y)
+        self.steps_done[slot] = 0
 
     def advance(self):
         self.state = self._advance_fn(self.params, self.state)
+        for slot, done in self.steps_done.items():
+            self.steps_done[slot] = min(done + self.steps_per_poll,
+                                        self.n_trans)
+
+    def finished(self):
+        """Slots whose trajectories are complete (host bookkeeping only)."""
+        return [s for s, d in self.steps_done.items() if d >= self.n_trans]
+
+    def free_slots(self):
+        return [s for s in range(self.slots) if s not in self.steps_done]
 
     def poll(self):
-        """(steps_done (S,), active (S,)) as host arrays. A slot is finished
-        when active and steps_done == n_trans."""
+        """(steps_done (S,), active (S,)) fetched FROM DEVICE — one blocking
+        round-trip. The serving loop uses the host-side ``steps_done`` /
+        ``finished()`` instead; this exists for tests and debugging (it must
+        always agree with the host mirror)."""
         i, active = jax.device_get((self.state["i"], self.state["active"]))
         return np.asarray(i), np.asarray(active)
 
     def finish(self, slot: int) -> np.ndarray:
         """Fetch a finished slot's image (H, W, C) and free the slot."""
-        img = np.asarray(jax.device_get(self.state["x"][slot]))
+        img = np.asarray(jax.device_get(self._fetch_fn(self.state, slot)))
         self.state = self._release_fn(self.state, slot)
+        del self.steps_done[slot]
         return img
 
     # -- convenience driver (tests, batch use) ------------------------------
@@ -270,16 +329,13 @@ class ContinuousDiffusionBatcher:
         results: dict[int, np.ndarray] = {}
         slot_owner: dict[int, int] = {}
         while pending or slot_owner:
-            ii, active = self.poll()
-            for slot in range(self.slots):
-                if pending and not active[slot]:
-                    job_id, (key, class_id) = pending.pop(0)
-                    self.admit(slot, key, class_id)
-                    slot_owner[slot] = job_id
+            for slot in self.free_slots():
+                if not pending:
+                    break
+                job_id, (key, class_id) = pending.pop(0)
+                self.admit(slot, key, class_id)
+                slot_owner[slot] = job_id
             self.advance()
-            ii, active = self.poll()
-            for slot, job_id in list(slot_owner.items()):
-                if active[slot] and ii[slot] >= self.n_trans:
-                    results[job_id] = self.finish(slot)
-                    del slot_owner[slot]
+            for slot in self.finished():
+                results[slot_owner.pop(slot)] = self.finish(slot)
         return [results[j] for j in range(len(jobs))]

@@ -338,7 +338,10 @@ class ContinuousSamplerService(_ServiceBase):
     def _device_loop(self):
         """The only thread that touches the batcher. One iteration = admit
         free slots from the queue, advance steps_per_poll device steps,
-        deliver finished slots."""
+        deliver finished slots. Slot progress is mirrored host-side
+        (deterministic), so advance() dispatches pipeline on the device
+        with no per-iteration round-trip; only finished-image fetches
+        block."""
         batcher = self.batcher
         while True:
             with self._cv:
@@ -349,20 +352,16 @@ class ContinuousSamplerService(_ServiceBase):
                     for _, _, fut in self._queue:
                         fut.cancel()
                     return
-                for slot in range(self.slots):
+                for slot in batcher.free_slots():
                     if not self._queue:
                         break
-                    if slot not in self._slot_jobs:
-                        key, y, fut = self._queue.popleft()
-                        batcher.admit(slot, key, y)
-                        self._slot_jobs[slot] = fut
+                    key, y, fut = self._queue.popleft()
+                    batcher.admit(slot, key, y)
+                    self._slot_jobs[slot] = fut
             batcher.advance()
-            ii, _ = batcher.poll()
-            for slot, fut in list(self._slot_jobs.items()):
-                if ii[slot] >= batcher.n_trans:
-                    img = batcher.finish(slot)
-                    del self._slot_jobs[slot]
-                    fut.set_result(img)
+            for slot in batcher.finished():
+                img = batcher.finish(slot)
+                self._slot_jobs.pop(slot).set_result(img)
 
     def sample(self, n=1, seed=None, class_id=None):
         import numpy as np

@@ -139,6 +139,59 @@ def test_conditional_and_guided_jobs():
     assert not np.array_equal(got[0], got[1])
 
 
+def test_host_mirror_agrees_with_device():
+    """The serving loop never polls the device — slot progress is mirrored
+    host-side. The mirror must agree with the device state exactly."""
+    sched = NoiseSchedule.create(steps=12)
+    b = ContinuousDiffusionBatcher(
+        stub_apply, sched, img_shape=IMG, slots=3, params=PARAMS,
+        method="ddpm", steps_per_poll=5,
+    )
+    b.admit(1, jax.random.PRNGKey(0))
+    b.advance()
+    b.admit(0, jax.random.PRNGKey(1))
+    b.advance()
+    ii, active = b.poll()
+    assert b.steps_done == {1: 10, 0: 5}
+    assert ii[1] == 10 and ii[0] == 5 and not active[2]
+    assert b.finished() == [] and b.free_slots() == [2]
+    b.advance()  # slot 1 clips at n_trans=12
+    ii, _ = b.poll()
+    assert b.steps_done == {1: 12, 0: 10}
+    assert ii[1] == 12 and ii[0] == 10
+    assert b.finished() == [1]
+    b.finish(1)
+    assert sorted(b.free_slots()) == [1, 2]
+
+
+def test_sharded_slots_match_unsharded():
+    """Slot axis sharded over the 8-device CPU mesh — values identical to
+    the single-device batcher (multi-chip serving scale-out)."""
+    from duodiff_tpu.parallel.mesh import create_mesh
+
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    sched = NoiseSchedule.create(steps=10)
+    jobs = [(jax.random.PRNGKey(40 + j), None) for j in range(10)]
+
+    plain = ContinuousDiffusionBatcher(
+        stub_apply, sched, img_shape=IMG, slots=8, params=PARAMS,
+        method="ddpm", steps_per_poll=4,
+    ).run_jobs(jobs)
+    sharded = ContinuousDiffusionBatcher(
+        stub_apply, sched, img_shape=IMG, slots=8, params=PARAMS,
+        method="ddpm", steps_per_poll=4, mesh=create_mesh(),
+    ).run_jobs(jobs)
+    for a, b in zip(plain, sharded):
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-6)
+
+    with pytest.raises(ValueError, match="divisible"):
+        ContinuousDiffusionBatcher(
+            stub_apply, sched, img_shape=IMG, slots=3, params=PARAMS,
+            mesh=create_mesh(),
+        )
+
+
 def test_validation_errors():
     sched = NoiseSchedule.create(steps=10)
     with pytest.raises(ValueError, match="slots"):
