@@ -223,6 +223,35 @@ class ContinuousDiffusionBatcher:
                 "y": state["y"].at[slot].set(y),
             }
 
+        def _admit_many(state, mask, req_keys, ys):
+            # batched form: ONE dispatch admits any subset of slots (the
+            # serving loop admits a whole wave per round; per-slot dispatches
+            # cost a host round-trip each on remote-dispatch backends). The
+            # per-slot split/draw is the vmap of _admit's — bit-identical.
+            k1s, init_keys = jnp.moveaxis(
+                jax.vmap(jax.random.split)(req_keys), 1, 0
+            )
+            x0s = jax.vmap(
+                lambda kk: jax.random.normal(kk, self.img_shape, jnp.float32)
+            )(init_keys)
+
+            def sel(new, old):
+                return jnp.where(
+                    mask.reshape((-1,) + (1,) * (new.ndim - 1)), new, old
+                )
+
+            return {
+                "x": sel(x0s, state["x"]),
+                "x0_prev": sel(jnp.zeros_like(x0s), state["x0_prev"]),
+                "key": sel(k1s, state["key"]),
+                "i": jnp.where(mask, 0, state["i"]),
+                "active": state["active"] | mask,
+                "y": jnp.where(mask, ys, state["y"]),
+            }
+
+        def _release_many(state, mask):
+            return {**state, "active": state["active"] & ~mask}
+
         def _release(state, slot):
             return {**state, "active": state["active"].at[slot].set(False)}
 
@@ -237,7 +266,9 @@ class ContinuousDiffusionBatcher:
 
         self._advance_fn = jax.jit(_advance)
         self._admit_fn = jax.jit(_admit)
+        self._admit_many_fn = jax.jit(_admit_many)
         self._release_fn = jax.jit(_release)
+        self._release_many_fn = jax.jit(_release_many)
         self._fetch_fn = jax.jit(_fetch)
         s = slots
         self.state = {
@@ -291,6 +322,40 @@ class ContinuousDiffusionBatcher:
         self.state = self._admit_fn(self.state, slot, key, y)
         self.steps_done[slot] = 0
 
+    def admit_many(self, assignments: dict):
+        """Admit ``{slot: (key, class_id)}`` in ONE device dispatch.
+        Bit-identical to per-slot admit() calls."""
+        if not assignments:
+            return
+        mask = np.zeros((self.slots,), bool)
+        keys = np.zeros(self.state["key"].shape, self.state["key"].dtype)
+        ys = np.zeros((self.slots,), np.int32)
+        for slot, (key, class_id) in assignments.items():
+            mask[slot] = True
+            keys[slot] = np.asarray(key)
+            ys[slot] = 0 if class_id is None else int(class_id)
+            self.steps_done[slot] = 0
+        self.state = self._admit_many_fn(
+            self.state, jnp.asarray(mask), jnp.asarray(keys), jnp.asarray(ys)
+        )
+
+    def finish_many(self, slots) -> list:
+        """Fetch several finished slots' images with ONE device transfer
+        (per-slot fetches pay a host round-trip each on remote-dispatch
+        backends — measured ~25-45 ms per synchronous fetch on the axon
+        tunnel, dwarfing the ~2 ms of device work per mixed-t step) and
+        free them in one dispatch. Returns images in ``slots`` order."""
+        slots = list(slots)
+        if not slots:
+            return []
+        x_all = np.asarray(jax.device_get(self.state["x"]))
+        mask = np.zeros((self.slots,), bool)
+        mask[slots] = True
+        self.state = self._release_many_fn(self.state, jnp.asarray(mask))
+        for slot in slots:
+            del self.steps_done[slot]
+        return [x_all[slot] for slot in slots]
+
     def advance(self):
         self.state = self._advance_fn(self.params, self.state)
         for slot, done in self.steps_done.items():
@@ -329,13 +394,16 @@ class ContinuousDiffusionBatcher:
         results: dict[int, np.ndarray] = {}
         slot_owner: dict[int, int] = {}
         while pending or slot_owner:
+            wave = {}
             for slot in self.free_slots():
                 if not pending:
                     break
                 job_id, (key, class_id) = pending.pop(0)
-                self.admit(slot, key, class_id)
+                wave[slot] = (key, class_id)
                 slot_owner[slot] = job_id
+            self.admit_many(wave)
             self.advance()
-            for slot in self.finished():
-                results[slot_owner.pop(slot)] = self.finish(slot)
+            done = self.finished()
+            for slot, img in zip(done, self.finish_many(done)):
+                results[slot_owner.pop(slot)] = img
         return [results[j] for j in range(len(jobs))]

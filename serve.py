@@ -204,13 +204,17 @@ class _ServiceBase:
         # signature and trigger a mid-request compile. The draw covers
         # every real class; the top slot is excluded only when the user
         # declared it reserved via --null_class (a guided server requires
-        # class_id and never gets here)
+        # class_id and never gets here). Drawn on the CPU backend: threefry
+        # is platform-deterministic (same values), and a device-side draw
+        # would cost a synchronous accelerator round-trip per request on
+        # remote-dispatch backends.
         top = (self.args.null_class
                if self.args.null_class is not None else hi)
-        return self.jax.random.randint(
-            self.jax.random.PRNGKey(seed ^ 0x5EED),
-            (count,), 0, max(top, 1),
-        )
+        with self.jax.default_device(self.jax.devices("cpu")[0]):
+            return self.jax.random.randint(
+                self.jax.random.PRNGKey(seed ^ 0x5EED),
+                (count,), 0, max(top, 1),
+            )
 
     def warmup(self):
         tic = time.time()
@@ -352,15 +356,17 @@ class ContinuousSamplerService(_ServiceBase):
                     for _, _, fut in self._queue:
                         fut.cancel()
                     return
+                wave = {}
                 for slot in batcher.free_slots():
                     if not self._queue:
                         break
                     key, y, fut = self._queue.popleft()
-                    batcher.admit(slot, key, y)
+                    wave[slot] = (key, y)
                     self._slot_jobs[slot] = fut
+                batcher.admit_many(wave)
             batcher.advance()
-            for slot in batcher.finished():
-                img = batcher.finish(slot)
+            done = batcher.finished()
+            for slot, img in zip(done, batcher.finish_many(done)):
                 self._slot_jobs.pop(slot).set_result(img)
 
     def sample(self, n=1, seed=None, class_id=None):
@@ -371,13 +377,22 @@ class ContinuousSamplerService(_ServiceBase):
         y_val = self._resolve_labels(seed, class_id, 1)
         y_scalar = None if y_val is None else int(y_val[0])
         jax = self.jax
+        # per-image keys computed on the CPU backend: same threefry values
+        # as the bucket-1 path's device-side fold_in, but admit_many's
+        # np.asarray(key) stays a local copy instead of a ~30ms synchronous
+        # accelerator fetch PER JOB on remote-dispatch backends (measured —
+        # it capped throughput before batched admission)
+        with jax.default_device(jax.devices("cpu")[0]):
+            keys = [
+                np.asarray(jax.random.fold_in(jax.random.PRNGKey(seed), j))
+                for j in range(n)
+            ]
         futures = []
         with self._cv:
             if self._stopped:
                 raise ValueError("server is shutting down")
-            for j in range(n):
+            for key in keys:
                 # same per-image key stream as the bucket-1 sequential path
-                key = jax.random.fold_in(jax.random.PRNGKey(seed), j)
                 fut = concurrent.futures.Future()
                 self._queue.append((key, y_scalar, fut))
                 futures.append(fut)

@@ -192,6 +192,60 @@ def test_sharded_slots_match_unsharded():
         )
 
 
+def test_admit_many_finish_many_match_per_slot():
+    """Batched admission/fetch (one dispatch per wave) is bit-identical to
+    per-slot admit()/finish() calls — including partially-filled waves over
+    slots whose neighbors are mid-trajectory."""
+    sched = NoiseSchedule.create(steps=12)
+
+    def fresh():
+        return ContinuousDiffusionBatcher(
+            stub_apply, sched, img_shape=IMG, slots=4, params=PARAMS,
+            method="ddpm", steps_per_poll=4, conditional=True,
+        )
+
+    keys = [jax.random.PRNGKey(70 + j) for j in range(4)]
+
+    a = fresh()
+    a.admit(2, keys[0], 1)
+    a.advance()
+    a.admit(0, keys[1], 2)
+    a.admit(3, keys[2], 3)
+    for _ in range(2):
+        a.advance()
+    out_a = {2: a.finish(2)}
+    a.admit(1, keys[3], 4)
+    for _ in range(3):
+        a.advance()
+    for s in (0, 3, 1):
+        out_a[s] = a.finish(s)
+
+    b = fresh()
+    b.admit_many({2: (keys[0], 1)})
+    b.advance()
+    b.admit_many({0: (keys[1], 2), 3: (keys[2], 3)})
+    for _ in range(2):
+        b.advance()
+    assert b.finished() == [2]
+    (img2,) = b.finish_many([2])
+    out_b = {2: img2}
+    b.admit_many({1: (keys[3], 4)})
+    for _ in range(3):
+        b.advance()
+    assert sorted(b.finished()) == [0, 1, 3]
+    for s, img in zip((0, 3, 1), b.finish_many([0, 3, 1])):
+        out_b[s] = img
+    assert sorted(b.free_slots()) == [0, 1, 2, 3]
+
+    for s in out_a:
+        np.testing.assert_array_equal(out_a[s], out_b[s])
+
+    b.admit_many({})  # empty wave is a no-op
+    assert b.finish_many([]) == []
+    _, active = b.poll()
+    assert not active.any()
+
+
 def test_validation_errors():
     sched = NoiseSchedule.create(steps=10)
     with pytest.raises(ValueError, match="slots"):
