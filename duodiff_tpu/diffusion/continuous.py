@@ -339,22 +339,45 @@ class ContinuousDiffusionBatcher:
             self.state, jnp.asarray(mask), jnp.asarray(keys), jnp.asarray(ys)
         )
 
-    def finish_many(self, slots) -> list:
-        """Fetch several finished slots' images with ONE device transfer
-        (per-slot fetches pay a host round-trip each on remote-dispatch
-        backends — measured ~25-45 ms per synchronous fetch on the axon
-        tunnel, dwarfing the ~2 ms of device work per mixed-t step) and
-        free them in one dispatch. Returns images in ``slots`` order."""
+    def begin_finish(self, slots):
+        """Free ``slots`` and START their image transfer; return a zero-arg
+        ``materialize() -> [img, ...]`` (in ``slots`` order) that blocks on
+        the transfer when called.
+
+        The snapshot is the post-advance ``x`` buffer — immutable, so the
+        freed slots can be re-admitted and advanced while the transfer is
+        still in flight. This lets the serving loop overlap the ONLY
+        blocking host<->device interaction it has left (the finished-image
+        fetch — measured ~25-45 ms per synchronous device_get on the axon
+        tunnel, several advance()s worth of device work) with the next
+        round's dispatches: defer materialize() until after the next
+        advance() is queued and the transfer rides under device compute."""
         slots = list(slots)
         if not slots:
-            return []
-        x_all = np.asarray(jax.device_get(self.state["x"]))
+            return lambda: []
+        x_ref = self.state["x"]
+        try:
+            x_ref.copy_to_host_async()
+        except Exception:  # backends without async host copies
+            pass
         mask = np.zeros((self.slots,), bool)
         mask[slots] = True
         self.state = self._release_many_fn(self.state, jnp.asarray(mask))
         for slot in slots:
             del self.steps_done[slot]
-        return [x_all[slot] for slot in slots]
+
+        def materialize():
+            x_all = np.asarray(jax.device_get(x_ref))
+            return [x_all[slot] for slot in slots]
+
+        return materialize
+
+    def finish_many(self, slots) -> list:
+        """Fetch several finished slots' images with ONE device transfer
+        (per-slot fetches pay a host round-trip each on remote-dispatch
+        backends) and free them in one dispatch. Returns images in
+        ``slots`` order."""
+        return self.begin_finish(slots)()
 
     def advance(self):
         self.state = self._advance_fn(self.params, self.state)

@@ -344,17 +344,25 @@ class ContinuousSamplerService(_ServiceBase):
         free slots from the queue, advance steps_per_poll device steps,
         deliver finished slots. Slot progress is mirrored host-side
         (deterministic), so advance() dispatches pipeline on the device
-        with no per-iteration round-trip; only finished-image fetches
-        block."""
+        with no per-iteration round-trip. The one blocking transfer — the
+        finished-image fetch — is DEFERRED one iteration: begin_finish()
+        starts it async and frees the slots, the next iteration re-admits
+        and dispatches its advance, and only then does materialize() block,
+        so the ~tens-of-ms host copy rides under device compute instead of
+        idling the chip between advances."""
         batcher = self.batcher
+        deferred = None  # (futures, materialize) from last iteration
         while True:
             with self._cv:
                 while (not self._stopped and not self._queue
-                       and not self._slot_jobs):
+                       and not self._slot_jobs and deferred is None):
                     self._cv.wait()
                 if self._stopped:
                     for _, _, fut in self._queue:
                         fut.cancel()
+                    if deferred is not None:
+                        for fut, img in zip(deferred[0], deferred[1]()):
+                            fut.set_result(img)
                     return
                 wave = {}
                 for slot in batcher.free_slots():
@@ -364,10 +372,16 @@ class ContinuousSamplerService(_ServiceBase):
                     wave[slot] = (key, y)
                     self._slot_jobs[slot] = fut
                 batcher.admit_many(wave)
-            batcher.advance()
+            if self._slot_jobs:
+                batcher.advance()
+            if deferred is not None:
+                for fut, img in zip(deferred[0], deferred[1]()):
+                    fut.set_result(img)
+                deferred = None
             done = batcher.finished()
-            for slot, img in zip(done, batcher.finish_many(done)):
-                self._slot_jobs.pop(slot).set_result(img)
+            if done:
+                futs = [self._slot_jobs.pop(slot) for slot in done]
+                deferred = (futs, batcher.begin_finish(done))
 
     def sample(self, n=1, seed=None, class_id=None):
         import numpy as np

@@ -29,5 +29,5 @@ _cache_dir = os.environ.get(
     str(Path.home() / ".cache" / "jax_duodiff_cpu_tests"),
 )
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -246,6 +246,46 @@ def test_admit_many_finish_many_match_per_slot():
     assert not active.any()
 
 
+def test_begin_finish_snapshot_survives_reuse():
+    """begin_finish frees the slots immediately but snapshots the image
+    buffer: re-admitting and advancing the SAME slots before materialize()
+    must not corrupt the deferred images (the serving loop overlaps the
+    fetch with the next round's dispatches)."""
+    sched = NoiseSchedule.create(steps=8)
+
+    def fresh():
+        return ContinuousDiffusionBatcher(
+            stub_apply, sched, img_shape=IMG, slots=2, params=PARAMS,
+            method="ddpm", steps_per_poll=8, conditional=True,
+        )
+
+    keys = [jax.random.PRNGKey(200 + j) for j in range(4)]
+
+    ref = fresh()
+    ref.admit_many({0: (keys[0], 1), 1: (keys[1], 2)})
+    ref.advance()
+    imgs_ref = ref.finish_many([0, 1])
+
+    b = fresh()
+    b.admit_many({0: (keys[0], 1), 1: (keys[1], 2)})
+    b.advance()
+    materialize = b.begin_finish([0, 1])
+    assert sorted(b.free_slots()) == [0, 1]  # freed before materialize
+    # reuse both slots while the first wave's fetch is still deferred
+    b.admit_many({0: (keys[2], 3), 1: (keys[3], 4)})
+    b.advance()
+    imgs_deferred = materialize()
+    for a, r in zip(imgs_deferred, imgs_ref):
+        np.testing.assert_array_equal(a, r)
+    # the second wave is untouched by the deferred fetch
+    imgs2 = b.finish_many([0, 1])
+    ref2 = fresh()
+    ref2.admit_many({0: (keys[2], 3), 1: (keys[3], 4)})
+    ref2.advance()
+    for a, r in zip(imgs2, ref2.finish_many([0, 1])):
+        np.testing.assert_array_equal(a, r)
+
+
 def test_validation_errors():
     sched = NoiseSchedule.create(steps=10)
     with pytest.raises(ValueError, match="slots"):
