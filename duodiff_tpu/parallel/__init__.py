@@ -2,6 +2,7 @@ from duodiff_tpu.parallel.mesh import (
     create_mesh,
     create_hybrid_mesh,
     batch_sharding,
+    fsdp_shard_params,
     param_sharding_rules,
     shard_params,
     opt_state_shardings,
@@ -14,6 +15,7 @@ __all__ = [
     "create_mesh",
     "create_hybrid_mesh",
     "batch_sharding",
+    "fsdp_shard_params",
     "param_sharding_rules",
     "shard_params",
     "setup_sampling_sharding",

@@ -168,6 +168,60 @@ def shard_params(params, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(spec_for, params)
 
 
+def fsdp_shard_params(params, mesh: Mesh, min_size: int = 16384):
+    """ZeRO-3-style (FSDP) parameter sharding over the "data" axis.
+
+    The reference trains single-device and replicates nothing
+    (SURVEY.md §2b); on a TPU mesh the standard JAX recipe for sharding
+    parameter + optimizer memory is to annotate the weights themselves over
+    the data axis and let GSPMD insert the collectives: weight shards are
+    all-gathered just before use and gradients reduce-scattered instead of
+    all-reduced, so per-device param/Adam-state bytes shrink ~linearly in
+    the data-axis size while the math is unchanged.
+
+    Composes with the Megatron TP rules: each leaf starts from its
+    ``param_sharding_rules`` spec, then its largest still-unsharded
+    dimension divisible by the data-axis size additionally gets "data".
+    Leaves smaller than ``min_size`` elements keep their TP-only spec —
+    gathering tiny LN/bias tensors costs collective latency and saves
+    nothing. On a hybrid multi-host mesh only the intra-host "data" axis is
+    used (weight all-gathers ride ICI, never DCN).
+    """
+    data_size = mesh.shape.get("data", 1)
+    model_size = mesh.shape.get("model", 1)
+
+    def path_str(path) -> str:
+        return "/".join(
+            p.key if hasattr(p, "key") else str(p) for p in path
+        )
+
+    def spec_for(path, leaf):
+        spec = param_sharding_rules(path_str(path), ndim=leaf.ndim)
+        entries = list(spec) + [None] * (leaf.ndim - len(spec))
+        if len(entries) > leaf.ndim:
+            entries = [None] * leaf.ndim
+        for dim, axis in enumerate(entries):
+            if axis is None:
+                continue
+            # a size-1 "model" axis shards nothing: free the dim for fsdp
+            if axis == "model" and model_size == 1:
+                entries[dim] = None
+            elif leaf.shape[dim] % mesh.shape[axis] != 0:
+                entries = [None] * leaf.ndim
+                break
+        if data_size > 1 and leaf.size >= min_size:
+            best = None
+            for dim in range(leaf.ndim):
+                if entries[dim] is None and leaf.shape[dim] % data_size == 0:
+                    if best is None or leaf.shape[dim] > leaf.shape[best]:
+                        best = dim
+            if best is not None:
+                entries[best] = "data"
+        return NamedSharding(mesh, P(*entries))
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
 def opt_state_shardings(opt_state, params, param_shardings, mesh: Mesh):
     """Shardings for an optax state: any subtree structured like ``params``
     (Adam's mu/nu, EMA copies) gets the parameter shardings; everything else

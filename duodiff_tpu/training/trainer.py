@@ -33,6 +33,7 @@ from duodiff_tpu.parallel import (
     batch_sharding,
     create_hybrid_mesh,
     create_mesh,
+    fsdp_shard_params,
     opt_state_shardings,
     replicate,
     shard_params,
@@ -215,8 +216,19 @@ class Trainer:
         else:
             raise ValueError(f"Unknown model {args.model}")
 
-        # place params according to the mesh partition rules
-        self.param_shardings = shard_params(params, self.mesh)
+        # place params according to the mesh partition rules; --fsdp
+        # additionally shards every large leaf over the "data" axis
+        # (ZeRO-3 via GSPMD: all-gather on use, reduce-scatter grads) —
+        # opt_state_shardings/_place_state then spread Adam mu/nu and the
+        # EMA shadow the same way, so the whole train-state memory scales
+        # down with the data-parallel degree
+        if getattr(args, "fsdp", False):
+            self.param_shardings = fsdp_shard_params(
+                params, self.mesh,
+                min_size=getattr(args, "fsdp_min_size", 16384),
+            )
+        else:
+            self.param_shardings = shard_params(params, self.mesh)
         self.params = jax.device_put(params, self.param_shardings)
 
     def _init_teacher(self):

@@ -161,6 +161,19 @@ def get_args(argv=None):
                              "duodiff_tpu/parallel/mesh.py shard qkv/proj/"
                              "fc1/fc2 (+ Adam mu/nu) over it. 1 = pure "
                              "data parallelism (default)")
+    parser.add_argument("--fsdp", action="store_true", default=False,
+                        help="ZeRO-3-style parameter sharding: weights, "
+                             "EMA and Adam mu/nu are sharded over the "
+                             "'data' mesh axis (GSPMD all-gathers shards "
+                             "before use, reduce-scatters gradients) so "
+                             "per-device state memory shrinks ~linearly "
+                             "with the data-parallel degree. Composes "
+                             "with --model_parallel")
+    parser.add_argument("--fsdp_min_size", type=int, default=16384,
+                        help="Leaves with fewer elements than this keep "
+                             "their non-FSDP sharding (gathering tiny "
+                             "LN/bias tensors costs latency, saves "
+                             "nothing)")
     parser.add_argument("--multihost", action="store_true", default=False,
                         help="Call jax.distributed.initialize() before "
                              "anything touches jax (TPU pods auto-detect "

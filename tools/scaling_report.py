@@ -111,6 +111,11 @@ def main():
     ap.add_argument("--mode", default="train", choices=["train", "sample"],
                     help="audit the train step or one chunk of the "
                          "production DDPM sampling scan")
+    ap.add_argument("--fsdp", action="store_true", default=False,
+                    help="ZeRO-3 parameter sharding over the data axis "
+                         "(weights all-gathered on use); the 'par MB/dev' "
+                         "column should shrink ~linearly in DP degree")
+    ap.add_argument("--fsdp_min_size", type=int, default=16384)
     args = ap.parse_args()
 
     shapes = []
@@ -127,7 +132,12 @@ def main():
     from duodiff_tpu.config import UViTConfig
     from duodiff_tpu.diffusion import NoiseSchedule
     from duodiff_tpu.models.uvit import init_uvit
-    from duodiff_tpu.parallel import batch_sharding, create_mesh, shard_params
+    from duodiff_tpu.parallel import (
+        batch_sharding,
+        create_mesh,
+        fsdp_shard_params,
+        shard_params,
+    )
     from duodiff_tpu.training.train_state import (
         create_train_state,
         make_optimizer,
@@ -160,7 +170,12 @@ def main():
             cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16,
             qkv_layout="heads" if tp > 1 else "packed",
         )
-        shardings = shard_params(params, mesh)
+        if args.fsdp:
+            shardings = fsdp_shard_params(
+                params, mesh, min_size=args.fsdp_min_size
+            )
+        else:
+            shardings = shard_params(params, mesh)
         params = jax.device_put(params, shardings)
         tic = time.time()
         if args.mode == "train":
