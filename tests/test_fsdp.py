@@ -209,6 +209,41 @@ def test_fsdp_train_step_hlo_and_loss(medium_params):
     np.testing.assert_allclose(losses["fsdp"], losses["dp"], rtol=2e-5)
 
 
+@pytest.mark.slow
+def test_main_cli_fsdp_resume(tmp_path, tiny_train_config, cifar_data):
+    """Checkpoint/resume under --fsdp: Orbax saves the sharded train state
+    and _place_state re-commits it to the FSDP shardings on restore, so a
+    2+2-step resumed run must reproduce the straight 4-step loss
+    trajectory exactly (same seed => same data order and step RNG)."""
+    losses = {}
+    for tag, steps in (("straight", [4]), ("resumed", [2, 4])):
+        logdir = tmp_path / f"logs_res_{tag}"
+        common = [
+            "--config_path", str(tiny_train_config),
+            "--batch_size", "8",
+            "--num_timesteps", "50",
+            "--dataset", "cifar10",
+            "--data_path", str(cifar_data),
+            "--log_path", str(logdir),
+            "--exp_name", "t1",
+            "--save_every_n_steps", "2",
+            "--num_warmup_steps", "1",
+            "--fsdp", "--fsdp_min_size", "64",
+        ]
+        logs = []
+        for i, n in enumerate(steps):
+            run = main_cli.main(
+                common + ["--n_steps", str(n)] + (["--resume"] if i else [])
+            )
+            assert run
+            logs += run
+        losses[tag] = {l["step"]: l["train_loss"] for l in logs}
+    for step, loss in losses["straight"].items():
+        np.testing.assert_allclose(
+            losses["resumed"][step], loss, rtol=1e-5, err_msg=f"step {step}"
+        )
+
+
 def test_main_cli_train_fsdp(tmp_path, tiny_train_config, cifar_data):
     """--fsdp through the main.py CLI on the 8-device mesh, via the
     production fused-kernel path (interpret mode off-TPU): losses must
