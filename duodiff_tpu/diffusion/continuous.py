@@ -43,36 +43,20 @@ import jax.numpy as jnp
 import numpy as np
 
 from duodiff_tpu.diffusion.schedule import NoiseSchedule
-from duodiff_tpu.diffusion.sampling import ddim_timestep_grid
+from duodiff_tpu.diffusion.sampling import (
+    ddim_timestep_grid,
+    dpm_solver_tables,
+)
 
 
 def _dpm_tables(schedule: NoiseSchedule, dpm_steps: int, order: int):
-    """Per-transition DPM-Solver++ 2M constants — the same derivation as
-    sampling.dpm_solver_sample (kept in that function's docstring), laid out
-    as gatherable rows."""
+    """sampling.dpm_solver_tables rows (one source of truth for the
+    DPM-Solver++ 2M constants), with the model-call timestep under the
+    batcher's canonical "t_model" key."""
     assert order in (1, 2), order
-    assert dpm_steps >= 2, "dpm_steps must be >= 2 (need >= 1 transition)"
-    grid = np.asarray(ddim_timestep_grid(schedule.steps, dpm_steps))
-    grid = grid[np.concatenate([[True], np.diff(grid) != 0])]
-    a_bar = np.asarray(schedule.alphas_bar)[grid]
-    alpha = np.sqrt(a_bar)
-    sigma = np.sqrt(1.0 - a_bar)
-    lam = np.log(alpha / sigma)
-    h = lam[1:] - lam[:-1]
-    r = np.concatenate([np.ones((1,)), h[:-1]]) / h
-    tab = {
-        "t_model": grid[:-1].astype(np.float32),
-        "sigma_ratio": (sigma[1:] / sigma[:-1]).astype(np.float32),
-        "alpha_t": alpha[1:].astype(np.float32),
-        "phi": np.expm1(-h).astype(np.float32),
-        "c_cur": (1.0 + 1.0 / (2.0 * r)).astype(np.float32),
-        "c_prev": (1.0 / (2.0 * r)).astype(np.float32),
-        "alpha_prev": alpha[:-1].astype(np.float32),
-        "sigma_prev": sigma[:-1].astype(np.float32),
-        "is_first": np.zeros(len(h), np.float32),
-    }
-    tab["is_first"][0] = 1.0
-    return {k: jnp.asarray(v) for k, v in tab.items()}
+    tab = dict(dpm_solver_tables(schedule, dpm_steps))
+    tab["t_model"] = tab.pop("t_prev")
+    return tab
 
 
 class ContinuousDiffusionBatcher:
@@ -140,6 +124,14 @@ class ContinuousDiffusionBatcher:
                 return xn, x0p, key
 
         elif method == "ddim":
+            if parametrization != "predict_noise":
+                # schedule.ddim_step consumes epsilon-form model output;
+                # mirror the dpm branch's validation instead of silently
+                # misreading x0/mean predictions as noise
+                raise ValueError(
+                    "ddim continuous batching supports predict_noise only, "
+                    f"got {parametrization!r}"
+                )
             grid = ddim_timestep_grid(schedule.steps, ddim_steps)
             tab = {
                 "t": jnp.asarray(grid[:-1], jnp.int32),

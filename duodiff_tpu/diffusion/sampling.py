@@ -788,6 +788,42 @@ def early_exit_select(
     return selected, exit_layers
 
 
+def dpm_solver_tables(schedule: NoiseSchedule, dpm_steps: int):
+    """Per-transition DPM-Solver++ 2M constants as gatherable rows, shared
+    by :func:`dpm_solver_sample` (scanned) and the continuous batcher's
+    per-slot gather (duodiff_tpu/diffusion/continuous.py) — one source of
+    truth for the table math behind their tested bit-parity."""
+    import numpy as np
+
+    assert dpm_steps >= 2, "dpm_steps must be >= 2 (need >= 1 transition)"
+    steps = schedule.steps
+    grid = np.asarray(ddim_timestep_grid(steps, dpm_steps))  # descending
+    # dedupe: dpm_steps > schedule.steps repeats grid points -> h == 0 ->
+    # division blowups in the multistep coefficients
+    grid = grid[np.concatenate([[True], np.diff(grid) != 0])]
+    a_bar = np.asarray(schedule.alphas_bar)[grid]
+    alpha = np.sqrt(a_bar)                    # signal coefficient
+    sigma = np.sqrt(1.0 - a_bar)              # noise coefficient
+    lam = np.log(alpha / sigma)               # ascending as t decreases
+
+    # per-transition constants i-1 -> i (n-1 transitions over an n-grid)
+    h = lam[1:] - lam[:-1]
+    r = np.concatenate([np.ones((1,)), h[:-1]]) / h  # r[0] unused
+    consts = {
+        "t_prev": grid[:-1].astype(np.float32),
+        "sigma_ratio": (sigma[1:] / sigma[:-1]).astype(np.float32),
+        "alpha_t": alpha[1:].astype(np.float32),
+        "phi": np.expm1(-h).astype(np.float32),          # e^{-h} - 1
+        "c_cur": (1.0 + 1.0 / (2.0 * r)).astype(np.float32),
+        "c_prev": (1.0 / (2.0 * r)).astype(np.float32),
+        "alpha_prev": alpha[:-1].astype(np.float32),
+        "sigma_prev": sigma[:-1].astype(np.float32),
+        "is_first": np.zeros(len(h), np.float32),
+    }
+    consts["is_first"][0] = 1.0
+    return {k: jnp.asarray(v) for k, v in consts.items()}
+
+
 def dpm_solver_sample(
     apply_fn: Callable,
     key: jax.Array,
@@ -818,36 +854,8 @@ def dpm_solver_sample(
       h_i = lambda_i - lambda_{i-1},  r_i = h_{i-1} / h_i
       (first step: D_1 = x0_0).
     """
-    import numpy as np
-
     assert order in (1, 2), order
-    assert dpm_steps >= 2, "dpm_steps must be >= 2 (need >= 1 transition)"
-    steps = schedule.steps
-    grid = np.asarray(ddim_timestep_grid(steps, dpm_steps))  # descending
-    # dedupe: dpm_steps > schedule.steps repeats grid points -> h == 0 ->
-    # division blowups in the multistep coefficients
-    grid = grid[np.concatenate([[True], np.diff(grid) != 0])]
-    a_bar = np.asarray(schedule.alphas_bar)[grid]
-    alpha = np.sqrt(a_bar)                    # signal coefficient
-    sigma = np.sqrt(1.0 - a_bar)              # noise coefficient
-    lam = np.log(alpha / sigma)               # ascending as t decreases
-
-    # per-transition constants i-1 -> i (n-1 transitions over an n-grid)
-    h = lam[1:] - lam[:-1]
-    r = np.concatenate([np.ones((1,)), h[:-1]]) / h  # r[0] unused
-    consts = {
-        "t_prev": grid[:-1].astype(np.float32),
-        "sigma_ratio": (sigma[1:] / sigma[:-1]).astype(np.float32),
-        "alpha_t": alpha[1:].astype(np.float32),
-        "phi": np.expm1(-h).astype(np.float32),          # e^{-h} - 1
-        "c_cur": (1.0 + 1.0 / (2.0 * r)).astype(np.float32),
-        "c_prev": (1.0 / (2.0 * r)).astype(np.float32),
-        "alpha_prev": alpha[:-1].astype(np.float32),
-        "sigma_prev": sigma[:-1].astype(np.float32),
-        "is_first": np.zeros(len(h), np.float32),
-    }
-    consts["is_first"][0] = 1.0
-    consts = {k: jnp.asarray(v) for k, v in consts.items()}
+    consts = dpm_solver_tables(schedule, dpm_steps)
 
     key, init_key = jax.random.split(key)
     x = x_init if x_init is not None else jax.random.normal(

@@ -352,36 +352,61 @@ class ContinuousSamplerService(_ServiceBase):
         idling the chip between advances."""
         batcher = self.batcher
         deferred = None  # (futures, materialize) from last iteration
-        while True:
+        try:
+            while True:
+                with self._cv:
+                    while (not self._stopped and not self._queue
+                           and not self._slot_jobs and deferred is None):
+                        self._cv.wait()
+                    if self._stopped:
+                        if deferred is not None:
+                            for fut, img in zip(deferred[0], deferred[1]()):
+                                fut.set_result(img)
+                            deferred = None
+                        # fail (never silently abandon) queued requests and
+                        # mid-trajectory slots: their waiters get a
+                        # RuntimeError, which the HTTP handler maps to 503
+                        err = RuntimeError("server is shutting down")
+                        for _, _, fut in self._queue:
+                            fut.set_exception(err)
+                        self._queue.clear()
+                        for fut in self._slot_jobs.values():
+                            fut.set_exception(err)
+                        self._slot_jobs.clear()
+                        return
+                    wave = {}
+                    for slot in batcher.free_slots():
+                        if not self._queue:
+                            break
+                        key, y, fut = self._queue.popleft()
+                        wave[slot] = (key, y)
+                        self._slot_jobs[slot] = fut
+                    batcher.admit_many(wave)
+                if self._slot_jobs:
+                    batcher.advance()
+                if deferred is not None:
+                    for fut, img in zip(deferred[0], deferred[1]()):
+                        fut.set_result(img)
+                    deferred = None
+                done = batcher.finished()
+                if done:
+                    futs = [self._slot_jobs.pop(slot) for slot in done]
+                    deferred = (futs, batcher.begin_finish(done))
+        except BaseException as e:  # noqa: BLE001 — sole device thread:
+            # an escaped error (backend OOM, compile failure, ...) must
+            # fail every waiter, or they block in fut.result() for an hour
             with self._cv:
-                while (not self._stopped and not self._queue
-                       and not self._slot_jobs and deferred is None):
-                    self._cv.wait()
-                if self._stopped:
-                    for _, _, fut in self._queue:
-                        fut.cancel()
-                    if deferred is not None:
-                        for fut, img in zip(deferred[0], deferred[1]()):
-                            fut.set_result(img)
-                    return
-                wave = {}
-                for slot in batcher.free_slots():
-                    if not self._queue:
-                        break
-                    key, y, fut = self._queue.popleft()
-                    wave[slot] = (key, y)
-                    self._slot_jobs[slot] = fut
-                batcher.admit_many(wave)
-            if self._slot_jobs:
-                batcher.advance()
-            if deferred is not None:
-                for fut, img in zip(deferred[0], deferred[1]()):
-                    fut.set_result(img)
-                deferred = None
-            done = batcher.finished()
-            if done:
-                futs = [self._slot_jobs.pop(slot) for slot in done]
-                deferred = (futs, batcher.begin_finish(done))
+                self._stopped = True
+                waiters = [f for _, _, f in self._queue]
+                waiters += list(self._slot_jobs.values())
+                if deferred is not None:
+                    waiters += list(deferred[0])
+                self._queue.clear()
+                self._slot_jobs.clear()
+                for fut in waiters:
+                    if not fut.done():
+                        fut.set_exception(e)
+            raise
 
     def sample(self, n=1, seed=None, class_id=None):
         import numpy as np
@@ -417,7 +442,8 @@ class ContinuousSamplerService(_ServiceBase):
             if self.decode_fn is not None:
                 x = jax.block_until_ready(self.decode_fn(jax.numpy.asarray(x)))
             imgs.append(np.asarray((x + 1.0) / 2.0)[0])
-        self.requests_served += 1
+        with self._cv:  # many HTTP threads run sample() concurrently
+            self.requests_served += 1
         return imgs
 
     def info(self):
@@ -497,6 +523,11 @@ def make_handler(service: SamplerService):
             except (ValueError, KeyError, TypeError,
                     json.JSONDecodeError) as e:
                 self._json(400, {"error": str(e)})
+            except RuntimeError as e:
+                # device-loop failure or shutdown propagated through the
+                # request future: tell the client instead of dropping the
+                # connection
+                self._json(503, {"error": str(e)})
 
     return Handler
 

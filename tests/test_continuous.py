@@ -307,6 +307,13 @@ def test_validation_errors():
             stub_apply, sched, img_shape=IMG, slots=1, params=PARAMS,
             method="dpm", parametrization="predict_previous",
         )
+    # ddim consumes epsilon-form output only — must raise, not silently
+    # misread x0 predictions as noise
+    with pytest.raises(ValueError, match="predict_noise"):
+        ContinuousDiffusionBatcher(
+            stub_apply, sched, img_shape=IMG, slots=1, params=PARAMS,
+            method="ddim", parametrization="predict_original",
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -418,3 +425,37 @@ def test_continuous_server_matches_bucket_server(tmp_path):
         assert code == 400 and "error" in resp
     finally:
         httpd.shutdown()
+
+
+@pytest.mark.slow
+def test_continuous_service_failure_propagation(tmp_path):
+    """A crash in the sole device thread must FAIL every waiting request
+    (RuntimeError through the future), not leave them blocked for the
+    fut.result timeout; close() likewise resolves queued waiters."""
+    import serve as serve_cli
+
+    cfg = tmp_path / "tiny.yaml"
+    cfg.write_text(TINY_YAML)
+    svc = serve_cli.ContinuousSamplerService(serve_cli.get_args([
+        "--config_path", str(cfg), "--random_init", "--port", "0",
+        "--method", "dpm", "--steps", "4", "--num_timesteps", "32",
+        "--slots", "2", "--steps_per_poll", "2",
+    ]))
+    try:
+        # sanity: one request completes normally
+        imgs = svc.sample(n=1, seed=3)
+        assert len(imgs) == 1 and np.isfinite(imgs[0]).all()
+
+        # break the device loop: the next advance() raises
+        def boom():
+            raise RuntimeError("injected device failure")
+
+        svc.batcher.advance = boom
+        with pytest.raises(RuntimeError, match="injected device failure"):
+            svc.sample(n=1, seed=4)
+        # the loop crashed and marked itself stopped: new requests are
+        # rejected up front instead of queueing forever
+        with pytest.raises(ValueError, match="shutting down"):
+            svc.sample(n=1, seed=5)
+    finally:
+        svc.close()

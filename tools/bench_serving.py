@@ -19,11 +19,15 @@ Prints one JSON line per mode:
 
 import argparse
 import json
+import os
 import sys
 import threading
 import time
 
-sys.path.insert(0, ".")  # repo root
+# repo root (serve.py is a top-level script), independent of the cwd
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 
 def get_args(argv=None):
@@ -32,7 +36,10 @@ def get_args(argv=None):
     p.add_argument("--checkpoint_path", type=str, default=None)
     p.add_argument("--random_init", action="store_true")
     p.add_argument("--method", type=str, default="dpm")
-    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--steps", type=int, default=None,
+                   help="solver steps; default 20 for ddim/dpm, "
+                        "num_timesteps for ddpm (the full reverse process, "
+                        "which serve.py's validation requires)")
     p.add_argument("--num_timesteps", type=int, default=1000)
     p.add_argument("--clients", type=int, default=8)
     p.add_argument("--requests_per_client", type=int, default=4)
@@ -73,6 +80,8 @@ def run_load(service, clients: int, per_client: int):
 
 def main(argv=None):
     args = get_args(argv)
+    if args.steps is None:
+        args.steps = args.num_timesteps if args.method == "ddpm" else 20
     import serve as serve_cli
 
     base_flags = [
