@@ -153,9 +153,9 @@ def _kernel_v2_int8(*refs, num_heads: int, eps: float, has_qkv_bias: bool):
 
 
 def _mlp_kernel_int8(x_ref, g_ref, b_ref, w1_ref, s1_ref, b1_ref,
-                     w2_ref, s2_ref, b2_ref, o_ref,
-                     *, eps: float, gelu_approx: bool,
-                     static_scales=None):
+                     w2_ref, s2_ref, b2_ref, *rest,
+                     eps: float, gelu_approx: bool,
+                     use_static_scales: bool = False):
     """Int8 twin of pallas_block._mlp_kernel: LN -> quant -> int8 fc1 ->
     dequant + bias -> GELU (fp32) -> quant -> int8 fc2 -> dequant +
     residual.
@@ -168,25 +168,34 @@ def _mlp_kernel_int8(x_ref, g_ref, b_ref, w1_ref, s1_ref, b1_ref,
     Measured 11% faster per call at the flagship geometry
     (tools/probe_int8_static.py); activations beyond the calibrated range
     clip at +-127 * scale (graceful saturation, not wraparound).
+
+    The per-block inverse scales ride in as a (1, 2) f32 OPERAND
+    (``inv_ref`` = [127/sx, 127/sh]), not as baked Python constants —
+    every Block of a depth-13 model shares ONE compiled kernel instead of
+    Mosaic-compiling 13 twins differing only in two scalar literals.
     """
+    if use_static_scales:
+        inv_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
     g, l, d = x_ref.shape
     for i in range(g):
         xv = x_ref[i].astype(jnp.float32)  # (L, D)
         _, _, xn = _ln_fwd(xv, g_ref[0].astype(jnp.float32),
                            b_ref[0].astype(jnp.float32), eps)
-        if static_scales is None:
+        if use_static_scales:
+            x8 = _quant_rows_static(xn, inv_ref[0, 0])
+            h = _dot_int8(x8, w1_ref[:]).astype(jnp.float32) * s1_ref[0]
+        else:
             x8, rs = _quant_rows(xn)
             h = _dot_int8(x8, w1_ref[:]).astype(jnp.float32) * (rs * s1_ref[0])
-        else:
-            x8 = _quant_rows_static(xn, 127.0 / static_scales[0])
-            h = _dot_int8(x8, w1_ref[:]).astype(jnp.float32) * s1_ref[0]
         h = _gelu_f32(h + b1_ref[0].astype(jnp.float32), gelu_approx)
-        if static_scales is None:
+        if use_static_scales:
+            h8 = _quant_rows_static(h, inv_ref[0, 1])
+            out = _dot_int8(h8, w2_ref[:]).astype(jnp.float32) * s2_ref[0]
+        else:
             h8, hrs = _quant_rows(h)
             out = _dot_int8(h8, w2_ref[:]).astype(jnp.float32) * (hrs * s2_ref[0])
-        else:
-            h8 = _quant_rows_static(h, 127.0 / static_scales[1])
-            out = _dot_int8(h8, w2_ref[:]).astype(jnp.float32) * s2_ref[0]
         o_ref[i] = (xv + out + b2_ref[0].astype(jnp.float32)).astype(
             o_ref.dtype
         )
@@ -433,7 +442,7 @@ def fused_attn_sublayer_int8(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("eps", "gelu_approx", "interpret", "static_scales"),
+    static_argnames=("eps", "gelu_approx", "interpret"),
 )
 def fused_mlp_sublayer_int8(
     x: jax.Array,
@@ -454,7 +463,10 @@ def fused_mlp_sublayer_int8(
     ``static_scales=(sx, sh)``: calibrated activation amax for the post-LN
     and post-GELU quant sites (tools/calibrate_int8.py) — skips the dynamic
     per-row quantization (11% faster per call, tools/probe_int8_static.py);
-    out-of-range activations saturate at the calibrated amax.
+    out-of-range activations saturate at the calibrated amax. The pair is
+    TRACED (a pytree argument, not a static one): all depth blocks of a
+    model share one jit entry and one Mosaic kernel, with the scales
+    delivered as a (1, 2) operand instead of baked literals.
     """
     b, l, d = x.shape
     hidden = fc1_kernel.shape[1]
@@ -464,12 +476,16 @@ def fused_mlp_sublayer_int8(
     w1_8, s1 = quantize_weight_int8(fc1_kernel)
     w2_8, s2 = quantize_weight_int8(fc2_kernel)
     if static_scales is not None:
-        sx, sh = float(static_scales[0]), float(static_scales[1])
-        assert sx > 0 and sh > 0, static_scales
+        sx_raw, sh_raw = static_scales
+        for v in (sx_raw, sh_raw):  # concrete values are checkable here
+            assert not isinstance(v, (int, float)) or v > 0, static_scales
+        sx = jnp.asarray(sx_raw, jnp.float32)
+        sh = jnp.asarray(sh_raw, jnp.float32)
         # fold the static row factors into the weight column scales
         s1 = s1 * (sx / 127.0)
         s2 = s2 * (sh / 127.0)
         static_scales = (sx, sh)
+        inv = jnp.stack([127.0 / sx, 127.0 / sh]).reshape(1, 2)
     b1 = fc1_bias.astype(jnp.float32).reshape(1, hidden)
     b2 = fc2_bias.astype(jnp.float32).reshape(1, d)
 
@@ -484,22 +500,28 @@ def fused_mlp_sublayer_int8(
     row = pl.BlockSpec((grp, l, d), lambda i: (i, 0, 0))
     vec_d = pl.BlockSpec((1, d), lambda i: (0, 0))
     vec_h = pl.BlockSpec((1, hidden), lambda i: (0, 0))
+    in_specs = [
+        row, vec_d, vec_d,
+        pl.BlockSpec((d, hidden), lambda i: (0, 0)),  # w1_8
+        vec_h,                                        # s1
+        vec_h,                                        # b1
+        pl.BlockSpec((hidden, d), lambda i: (0, 0)),  # w2_8
+        vec_d,                                        # s2
+        vec_d,                                        # b2
+    ]
+    args = [x, ln_scale.reshape(1, d), ln_bias.reshape(1, d),
+            w1_8, s1, b1, w2_8, s2, b2]
+    if static_scales is not None:
+        in_specs.append(pl.BlockSpec((1, 2), lambda i: (0, 0)))  # inv
+        args.append(inv)
     return pl.pallas_call(
         functools.partial(
             _mlp_kernel_int8, eps=eps, gelu_approx=gelu_approx,
-            static_scales=static_scales,
+            use_static_scales=static_scales is not None,
         ),
         out_shape=jax.ShapeDtypeStruct((b, l, d), dtype),
         grid=(b // grp,),
-        in_specs=[
-            row, vec_d, vec_d,
-            pl.BlockSpec((d, hidden), lambda i: (0, 0)),  # w1_8
-            vec_h,                                        # s1
-            vec_h,                                        # b1
-            pl.BlockSpec((hidden, d), lambda i: (0, 0)),  # w2_8
-            vec_d,                                        # s2
-            vec_d,                                        # b2
-        ],
+        in_specs=in_specs,
         out_specs=row,
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * b * l * d * hidden,
@@ -507,5 +529,4 @@ def fused_mlp_sublayer_int8(
             transcendentals=b * l * hidden,
         ),
         interpret=interpret,
-    )(x, ln_scale.reshape(1, d), ln_bias.reshape(1, d),
-      w1_8, s1, b1, w2_8, s2, b2)
+    )(*args)

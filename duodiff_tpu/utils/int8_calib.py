@@ -60,10 +60,19 @@ def calibrate_int8_mlp_scales(
     int8_calibrate=True (so its numerics match the deployed dynamic-int8
     path while sowing amaxes). ``margin`` scales the returned amaxes
     (headroom beyond the calibration trajectory).
+
+    Early-exit caveat: for EarlyExitUViT models the calibration trajectory
+    steps on the BACKBONE output, while eesampler at serve time steps on
+    the selected exit-head output. The block activations still cover every
+    layer each step (dense compute + select), but the x trajectory itself
+    diverges under aggressive thresholds, so activations past amax*margin
+    saturate silently — raise ``margin`` (or calibrate at a representative
+    threshold via a static schedule) when quality-matrixing low-threshold
+    early exit with static scales.
     """
     steps = schedule.steps
 
-    def apply_with_amax(x, t_batch, y):
+    def apply_with_amax(params, x, t_batch, y):
         out, col = model_calib.apply(
             {"params": params}, x, t_batch, y, mutable=["int8_calib"]
         )
@@ -72,12 +81,16 @@ def calibrate_int8_mlp_scales(
         amax = _collect_amax_leaves(col["int8_calib"])
         return out, amax
 
+    # params/y are jit ARGUMENTS, not closure constants: closing over the
+    # weight tree bakes it into the traced computation (385MB serialized
+    # executable for the flagship — the same anti-pattern sampler.py:226-229
+    # and ChunkedDDPMSampler's params-mode exist to avoid)
     @jax.jit
-    def run_chunk(x, key, ts, amax_acc):
+    def run_chunk(params, y, x, key, ts, amax_acc):
         def body(carry, t):
             x, amax_acc = carry
             t_batch = jnp.full((x.shape[0],), t, jnp.float32)
-            out, amax = apply_with_amax(x, t_batch, y)
+            out, amax = apply_with_amax(params, x, t_batch, y)
             step_key = jax.random.fold_in(key, t)
             z = jnp.where(
                 t > 0,
@@ -97,7 +110,9 @@ def calibrate_int8_mlp_scales(
     x = jax.random.normal(jax.random.fold_in(key, steps), shape, jnp.float32)
     # one probe apply to discover the amax tree structure
     _, amax0 = jax.eval_shape(
-        lambda x: apply_with_amax(x, jnp.zeros((shape[0],), jnp.float32), y),
+        lambda x: apply_with_amax(
+            params, x, jnp.zeros((shape[0],), jnp.float32), y
+        ),
         x,
     )
     amax_acc = jax.tree_util.tree_map(
@@ -107,7 +122,7 @@ def calibrate_int8_mlp_scales(
     ts_all = jnp.arange(steps - 1, -1, -1)
     for i in range(0, steps, chunk):
         ts = ts_all[i : i + chunk]
-        x, amax_acc = run_chunk(x, key, ts, amax_acc)
+        x, amax_acc = run_chunk(params, y, x, key, ts, amax_acc)
 
     return {
         # strip module-path prefixes ("uvit/in_blocks_0" for EE models):

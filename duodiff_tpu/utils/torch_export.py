@@ -133,12 +133,16 @@ def _unstack(tree: Any, depth: int) -> list:
     ]
 
 
-def export_early_exit_uvit(params: Mapping) -> Dict[str, np.ndarray]:
+def export_early_exit_uvit(
+    params: Mapping, in_chans: int | None = None
+) -> Dict[str, np.ndarray]:
     """Our EarlyExitUViT tree ({uvit, heads, probes}) -> reference
     EarlyExitUViT state-dict names (reference models/early_exit.py:193-266).
     The probe format (stacked modules vs timestep tables) determines the
     classifier_type the exported dict loads into."""
-    sd = export_uvit(params["uvit"], prefix="uvit.")
+    sd = export_uvit(
+        params["uvit"], prefix="uvit.", in_chans=in_chans
+    )
 
     heads = params["heads"]
     depth = int(np.shape(heads["norm"]["scale"])[0])
@@ -179,13 +183,17 @@ def export_early_exit_uvit(params: Mapping) -> Dict[str, np.ndarray]:
     return sd
 
 
-def export_torch_checkpoint(params: Mapping, path) -> None:
+def export_torch_checkpoint(
+    params: Mapping, path, in_chans: int | None = None
+) -> None:
     """Write ``params`` as a reference-loadable ``.pth``. Wrapped as
     {"model_state_dict": ...} — both reference load paths accept it
-    (reference sampler.py:290-292, checkpointer.py:80-133)."""
+    (reference sampler.py:290-292, checkpointer.py:80-133). ``in_chans``
+    is only needed for conv=False models (no final_layer to derive it
+    from); tools/export_torch.py passes the config value."""
     import torch
 
     export = export_early_exit_uvit if "uvit" in params else export_uvit
     sd = {k: torch.from_numpy(np.array(v, dtype=np.float32, copy=True))
-          for k, v in export(params).items()}
+          for k, v in export(params, in_chans=in_chans).items()}
     torch.save({"model_state_dict": sd}, path)

@@ -48,7 +48,9 @@ def main(argv=None) -> None:
         use_ema=args.use_ema,
         attn_impl="auto",
     )
-    export_torch_checkpoint(params, args.output)
+    # in_chans from the config reaches the conv=False path (no final_layer
+    # in the tree to derive it from)
+    export_torch_checkpoint(params, args.output, in_chans=cfg.in_chans)
     size_mb = os.path.getsize(args.output) / 1e6
     print(f"exported {args.output} ({size_mb:.1f} MB, "
           f"{'EarlyExitUViT' if args.early_exit else 'UViT'} "
