@@ -10,6 +10,7 @@ from duodiff_tpu.diffusion.sampling import (
     duodiff_sample,
     early_exit_sample,
     early_exit_select,
+    make_block_cached_apply,
     make_chunked_ddpm_sampler,
     make_guided_apply,
     make_guided_apply_ee,
@@ -28,6 +29,7 @@ __all__ = [
     "early_exit_select",
     "ChunkedDDPMSampler",
     "ChunkedEarlyExitSampler",
+    "make_block_cached_apply",
     "make_chunked_ddpm_sampler",
     "make_guided_apply",
     "make_guided_apply_ee",

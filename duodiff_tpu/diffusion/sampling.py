@@ -160,6 +160,52 @@ def make_interleaved_apply(
     return apply
 
 
+def make_block_cached_apply(
+    apply_anchor: Callable,
+    apply_cached: Callable,
+    every: int,
+    t_first: int,
+) -> Callable:
+    """Training-free block caching (the Delta-DiT / DeepCache feature-cache
+    family, PAPERS.md): on ANCHOR steps run the full model and capture the
+    middle-region residual delta (UViT.forward_anchor); on the steps in
+    between run only the outer blocks with the cached delta substituted
+    (UViT.forward_cached). Adjacent reverse steps change the deep features
+    slowly, so the stale delta costs little quality while the cached steps
+    cost only ``2*n_outer/depth`` of the block FLOPs.
+
+    Anchors: ``t % every == 0`` (so the final t=0 approach is always
+    anchored, like make_interleaved_apply) plus ``t == t_first`` (the first
+    reverse step, where no delta exists yet — without it the zero init
+    would be consumed as a real cache).
+
+    Both model calls take ``(params, x, t, y)``-style leading params bound
+    by the caller; here the signatures are
+    ``apply_anchor(x, t, y) -> (out, delta)`` and
+    ``apply_cached(x, t, y, delta) -> out``. Returns a STATEFUL apply
+    ``(state, x, t, y) -> (out, new_state)`` for the ``stateful=True`` mode
+    of :func:`ddpm_scan` / ChunkedDDPMSampler, with state = the delta
+    pytree (initialize with zeros of the delta shape; see
+    ``init_block_cache_state``).
+    """
+    if every < 1:
+        raise ValueError(f"every must be >= 1, got {every}")
+
+    def apply(state, x, t, y):
+        t0 = jnp.asarray(t, jnp.int32).reshape(-1)[0]
+        use_anchor = ((t0 % every) == 0) | (t0 == t_first)
+
+        def anchor(_state):
+            return apply_anchor(x, t, y)
+
+        def cached(state):
+            return apply_cached(x, t, y, state), state
+
+        return jax.lax.cond(use_anchor, anchor, cached, state)
+
+    return apply
+
+
 def ddpm_scan(
     apply_fn: Callable,
     schedule: NoiseSchedule,
@@ -171,6 +217,7 @@ def ddpm_scan(
     variance_mode: str = "beta_tilde",
     aux_fn: Optional[Callable] = None,
     noise_table: Optional[jax.Array] = None,
+    state=None,
 ):
     """Scan the ancestral DDPM update over a (dynamic) descending timestep
     vector ``ts``. The scan body — model forward + elementwise posterior
@@ -191,14 +238,27 @@ def ddpm_scan(
     with row t — an injected external noise stream (row 0 should be zeros;
     used by the cross-framework trajectory parity tests to feed the
     reference's torch draws through the production scan).
+
+    ``state`` switches to the STATEFUL apply contract
+    ``apply_fn(state, x, t, y) -> (model_output, new_state)`` — the state
+    pytree rides the scan carry (e.g. the block-cache delta of
+    :func:`make_block_cached_apply`) and the final state is appended to the
+    return tuple so chunked drivers can thread it across chunk boundaries.
     """
     batch = x.shape[0]
+    stateful = state is not None
 
     def body(carry, t):
-        x, key = carry
+        if stateful:
+            x, key, st = carry
+        else:
+            x, key = carry
         key, zkey = jax.random.split(key)
         t_batch = jnp.full((batch,), t, dtype=jnp.float32)
-        model_output = apply_fn(x, t_batch, y)
+        if stateful:
+            model_output, st = apply_fn(st, x, t_batch, y)
+        else:
+            model_output = apply_fn(x, t_batch, y)
         aux = None
         if aux_fn is not None:
             model_output, aux = aux_fn(model_output)
@@ -211,12 +271,15 @@ def ddpm_scan(
         else:
             z = _step_noise(zkey, t, x.shape)
         x = schedule.step(parametrization, model_output, x, t, z, variance_mode)
-        return (x, key), aux
+        carry = (x, key, st) if stateful else (x, key)
+        return carry, aux
 
-    (x, key), aux_rows = jax.lax.scan(body, (x, key), ts)
+    init = (x, key, state) if stateful else (x, key)
+    carry, aux_rows = jax.lax.scan(body, init, ts)
+    out = carry  # (x, key) or (x, key, state)
     if aux_fn is not None:
-        return x, key, aux_rows
-    return x, key
+        return (*out, aux_rows)
+    return out
 
 
 def _ddpm_segment(
@@ -274,19 +337,42 @@ class ChunkedDDPMSampler:
         chunk: int = 100,
         aux_fn: Optional[Callable] = None,
         params=None,
+        init_state_fn: Optional[Callable] = None,
     ):
         self.schedule = schedule
         self.chunk = chunk
         self.aux_fn = aux_fn
         self.params = params
         self._params_mode = params is not None
+        # stateful apply contract (see ddpm_scan ``state``): apply_fn is
+        # ([params,] state, x, t, y) -> (out, new_state); init_state_fn(x)
+        # builds the initial state pytree (e.g. a zeros block-cache delta).
+        # The state threads across chunk boundaries inside run(), so results
+        # are chunk-size invariant (tested).
+        self._stateful = init_state_fn is not None
+        self._init_state_fn = init_state_fn
+        if self._stateful and aux_fn is not None:
+            raise ValueError("stateful mode does not support aux_fn")
 
-        if self._params_mode:
+        if self._params_mode and self._stateful:
+            def run_chunk(params, state, x, key, ts, y):
+                return ddpm_scan(
+                    lambda st, xx, tt, yy: apply_fn(params, st, xx, tt, yy),
+                    schedule, parametrization, x, key, ts, y,
+                    variance_mode, state=state,
+                )
+        elif self._params_mode:
             def run_chunk(params, x, key, ts, y):
                 return ddpm_scan(
                     lambda xx, tt, yy: apply_fn(params, xx, tt, yy),
                     schedule, parametrization, x, key, ts, y,
                     variance_mode, aux_fn=aux_fn,
+                )
+        elif self._stateful:
+            def run_chunk(state, x, key, ts, y):
+                return ddpm_scan(
+                    apply_fn, schedule, parametrization, x, key, ts, y,
+                    variance_mode, state=state,
                 )
         else:
             def run_chunk(x, key, ts, y):
@@ -297,10 +383,13 @@ class ChunkedDDPMSampler:
 
         self._run_chunk = jax.jit(run_chunk)
 
-    def _call_chunk(self, x, key, ts, y):
+    def _call_chunk(self, x, key, ts, y, state=None):
+        args = (x, key, ts, y)
+        if self._stateful:
+            args = (state,) + args
         if self._params_mode:
-            return self._run_chunk(self.params, x, key, ts, y)
-        return self._run_chunk(x, key, ts, y)
+            args = (self.params,) + args
+        return self._run_chunk(*args)
 
     def init(self, key, shape, sharding=None):
         """Draw x_T ~ N(0, I). ``sharding`` (e.g. batch_sharding(mesh))
@@ -315,14 +404,21 @@ class ChunkedDDPMSampler:
             x = jax.device_put(x, sharding)
         return x, key
 
-    def run(self, x, key, t_start: int, t_end: int = 0, y=None):
+    def run(self, x, key, t_start: int, t_end: int = 0, y=None, state=None):
         """Advance t = t_start down to t_end (inclusive). Returns (x, key),
-        plus host-concatenated aux rows (steps, ...) when aux_fn is set."""
+        plus host-concatenated aux rows (steps, ...) when aux_fn is set, or
+        (x, key, state) in stateful mode (pass the returned state to the
+        next segment)."""
         import numpy as np
 
+        if self._stateful and state is None:
+            raise ValueError("stateful sampler: run() needs state= "
+                             "(build it with init_state_fn)")
         all_ts = np.arange(t_start, t_end - 1, -1)
         aux_chunks = []
         if len(all_ts) == 0:
+            if self._stateful:
+                return x, key, state
             if self.aux_fn is None:
                 return x, key
             # keep the aux contract total: a (0, ...)-rowed tree matching
@@ -340,23 +436,27 @@ class ChunkedDDPMSampler:
         rem = len(all_ts) - n_full * self.chunk
         idx = 0
 
-        def step_chunk(x, key, ts):
-            out = self._call_chunk(x, key, ts, y)
+        def step_chunk(x, key, ts, state):
+            out = self._call_chunk(x, key, ts, y, state)
+            if self._stateful:
+                return out  # (x, key, state)
             if self.aux_fn is not None:
                 x, key, aux = out
                 # keep the aux rows on device: a device_get here would block
                 # the host between chunks and break the async dispatch
                 # pipeline; one transfer happens after the loop.
                 aux_chunks.append(aux)
-                return x, key
-            return out
+                return x, key, state
+            return (*out, state)
 
         if rem:  # leading (shorter) remainder compiles once at its own length
-            x, key = step_chunk(x, key, jnp.asarray(all_ts[:rem]))
+            x, key, state = step_chunk(x, key, jnp.asarray(all_ts[:rem]), state)
             idx = rem
         for i in range(n_full):
             ts = jnp.asarray(all_ts[idx + i * self.chunk : idx + (i + 1) * self.chunk])
-            x, key = step_chunk(x, key, ts)
+            x, key, state = step_chunk(x, key, ts, state)
+        if self._stateful:
+            return x, key, state
         if self.aux_fn is not None:
             aux = jax.tree_util.tree_map(
                 lambda *cs: np.concatenate(jax.device_get(list(cs)), axis=0),
@@ -369,7 +469,10 @@ class ChunkedDDPMSampler:
                sharding=None):
         t_start = self.schedule.steps - 1 if t_start is None else t_start
         x, key = self.init(key, shape, sharding=sharding)
-        out = self.run(x, key, t_start, t_end, y)
+        state = self._init_state_fn(x) if self._stateful else None
+        out = self.run(x, key, t_start, t_end, y, state=state)
+        if self._stateful:
+            return out[0]
         if self.aux_fn is not None:
             x, _, aux = out
             return x, aux

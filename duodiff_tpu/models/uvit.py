@@ -174,6 +174,86 @@ class UViT(nn.Module):
 
         return self.decode_tokens(x)
 
+    def forward_anchor(
+        self,
+        x: jax.Array,
+        timesteps: jax.Array,
+        y: Optional[jax.Array] = None,
+        *,
+        n_outer: int,
+    ):
+        """Full forward that also returns the middle-region residual delta
+        for block caching (the Delta-DiT / DeepCache family of training-free
+        feature caching, PAPERS.md: adjacent reverse steps change the deep
+        features slowly, so the middle of the network can be recomputed only
+        every few steps and its *residual contribution* reused in between).
+
+        The cached region is the centered ``depth - 2*n_outer`` blocks:
+        in_blocks[n_outer:], mid_block, out_blocks[:k - n_outer]. U-ViT's
+        long-skip pairing (out_block m consumes in_block k-1-m's output,
+        reference models/uvit.py:367-375) makes exactly the centered region
+        self-contained: every skip pushed inside it is consumed inside it,
+        so the whole region reduces to one token-space residual
+        ``delta = tokens_out - tokens_in``.
+
+        Returns ``(prediction, delta)`` with delta (B, L, D) in the compute
+        dtype; ``prediction`` is bit-identical to ``__call__``.
+        """
+        k = self.config.depth // 2
+        if not 0 <= n_outer <= k:
+            raise ValueError(f"n_outer must be in [0, {k}], got {n_outer}")
+        x = self.embed_tokens(x, timesteps, y)
+
+        skips = []
+        for blk in self.in_blocks[:n_outer]:
+            x = blk(x)
+            skips.append(x)
+
+        region_in = x
+        inner_skips = []
+        for blk in self.in_blocks[n_outer:]:
+            x = blk(x)
+            inner_skips.append(x)
+        x = self.mid_block(x)
+        for blk in self.out_blocks[: k - n_outer]:
+            x = blk(x, inner_skips.pop())
+        delta = x - region_in
+
+        for blk in self.out_blocks[k - n_outer :]:
+            x = blk(x, skips.pop())
+
+        return self.decode_tokens(x), delta
+
+    def forward_cached(
+        self,
+        x: jax.Array,
+        timesteps: jax.Array,
+        y: Optional[jax.Array] = None,
+        *,
+        n_outer: int,
+        delta: jax.Array,
+    ) -> jax.Array:
+        """Cheap forward reusing a cached middle-region residual from
+        :meth:`forward_anchor`: only the ``2*n_outer`` outer blocks (plus
+        embed/decode) run; the centered region is replaced by ``x + delta``.
+        Costs ``2*n_outer / depth`` of the block FLOPs."""
+        k = self.config.depth // 2
+        if not 0 <= n_outer <= k:
+            raise ValueError(f"n_outer must be in [0, {k}], got {n_outer}")
+        x = self.embed_tokens(x, timesteps, y)
+
+        skips = []
+        for blk in self.in_blocks[:n_outer]:
+            x = blk(x)
+            skips.append(x)
+
+        x = x + delta.astype(x.dtype)
+
+        for blk in self.out_blocks[k - n_outer :]:
+            x = blk(x, skips.pop())
+
+        return self.decode_tokens(x)
+
 
 def init_uvit(
     config: UViTConfig, key: jax.Array, dtype=jnp.float32,

@@ -80,6 +80,20 @@ def get_args(argv=None):
                              "per-step speedup instead of DuoDiff's single "
                              "switch. Needs the model pair; excludes "
                              "--t_switch/DDIM/DPM")
+    parser.add_argument("--cache_every", type=int, default=None,
+                        help="Block caching (training-free, Delta-DiT/"
+                             "DeepCache family): recompute the middle "
+                             "blocks only on anchor steps (t %% N == 0, "
+                             "always incl. t=0) and reuse their cached "
+                             "residual delta in between — the cached "
+                             "steps run only the outer blocks. "
+                             "Single-model DDPM; excludes --t_switch/"
+                             "DDIM/DPM/--interleave_every")
+    parser.add_argument("--cache_outer", type=int, default=None,
+                        help="Blocks recomputed every step at EACH end of "
+                             "the network under --cache_every (cached "
+                             "region = the centered depth-2*N blocks). "
+                             "Default: ceil(depth//2 / 3)")
     parser.add_argument("--use_ddim", action="store_true")
     parser.add_argument("--ddim_steps", type=int, default=50)
     parser.add_argument("--ddim_eta", type=float, default=0.0)
@@ -382,6 +396,56 @@ def main(argv=None):
         outs = pipe.sample(keys, (mb,) + shape[1:], ys)
         return jnp.concatenate(outs, axis=0), []
 
+    def run_block_cached(key, y):
+        """Block caching (Delta-DiT/DeepCache family, training-free): the
+        middle depth-2*n_outer blocks recompute only on anchor steps
+        (t %% cache_every == 0, plus the first reverse step); between
+        anchors their cached token-space residual delta substitutes, so a
+        cached step costs ~2*n_outer/depth of the block FLOPs
+        (UViT.forward_anchor / forward_cached; long-skip pairing makes the
+        centered region self-contained)."""
+        from duodiff_tpu.diffusion import make_block_cached_apply
+
+        k_half = cfg.depth // 2
+        n_outer = (
+            args.cache_outer
+            if args.cache_outer is not None
+            else max(1, -(-k_half // 3))
+        )
+        if not 1 <= n_outer <= k_half:
+            raise SystemExit(
+                f"--cache_outer must be in [1, {k_half}] for depth "
+                f"{cfg.depth}, got {n_outer}"
+            )
+
+        def apply_fn(p, state, x, t, yy):
+            inner = make_block_cached_apply(
+                lambda xx, tt, yy2: model.apply(
+                    {"params": p}, xx, tt, yy2, n_outer=n_outer,
+                    method=model.forward_anchor,
+                ),
+                lambda xx, tt, yy2, d: model.apply(
+                    {"params": p}, xx, tt, yy2, n_outer=n_outer, delta=d,
+                    method=model.forward_cached,
+                ),
+                args.cache_every, steps - 1,
+            )
+            return inner(state, x, t, yy)
+
+        token_len = cfg.extras + cfg.num_patches
+
+        def init_state(x):
+            return jnp.zeros(
+                (x.shape[0], token_len, cfg.embed_dim), model.dtype
+            )
+
+        sampler = ChunkedDDPMSampler(
+            apply_fn, schedule, parametrization=args.parametrization,
+            params=params, init_state_fn=init_state,
+        )
+        x = sampler.sample(key, shape, y=y, sharding=batch_shard)
+        return x, []
+
     def run_interleaved(key, y):
         """Heavy-light interleaving: full model on t % N == 0, shallow
         elsewhere (make_interleaved_apply) — both weight trees threaded
@@ -419,10 +483,25 @@ def main(argv=None):
             raise SystemExit("--interleave_every supports plain DDPM "
                              "sampling (no --t_switch/DDIM/DPM/pipeline/"
                              "--timesteps_save)")
+    if args.cache_every is not None:
+        if args.cache_every < 1:
+            raise SystemExit("--cache_every must be >= 1")
+        if (late is not None or args.t_switch is not None or args.use_ddim
+                or args.use_dpm_solver or args.pipeline_parallel
+                or args.interleave_every is not None or timesteps_save
+                or args.guidance_scale is not None):
+            raise SystemExit("--cache_every supports single-model plain "
+                             "DDPM sampling (no late model/--t_switch/"
+                             "DDIM/DPM/pipeline/--interleave_every/"
+                             "--timesteps_save/--guidance_scale)")
+    elif args.cache_outer is not None:
+        raise SystemExit("--cache_outer requires --cache_every")
 
     print(f"Sampling {args.batch_size} images on {jax.devices()[0].platform}...")
     tic = time.time()
-    if args.interleave_every is not None:
+    if args.cache_every is not None:
+        x, intermediates = run_block_cached(key, y)
+    elif args.interleave_every is not None:
         x, intermediates = run_interleaved(key, y)
     elif args.pipeline_parallel:
         x, intermediates = run_pipeline(key, y)

@@ -1,0 +1,151 @@
+"""Training-free block caching (make_block_cached_apply + UViT.forward_anchor
+/ forward_cached): middle blocks recompute only on anchor steps, their
+residual delta substitutes in between (Delta-DiT / DeepCache family)."""
+
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+from duodiff_tpu.config import UViTConfig
+from duodiff_tpu.diffusion import (
+    ChunkedDDPMSampler,
+    NoiseSchedule,
+    make_block_cached_apply,
+)
+from duodiff_tpu.models.uvit import init_uvit
+
+CFG = UViTConfig(
+    img_size=16, patch_size=4, in_chans=3, embed_dim=32, depth=5,
+    num_heads=4, mlp_ratio=2, num_classes=-1, normalize_timesteps=True,
+)
+
+
+@pytest.fixture(scope="module")
+def model():
+    m, p = init_uvit(CFG, jax.random.PRNGKey(0), dtype=jnp.float32)
+    return m, p
+
+
+def _token_len():
+    n_patches = (CFG.img_size // CFG.patch_size) ** 2
+    return n_patches + 1  # + time token (no class token, num_classes=-1)
+
+
+def test_forward_anchor_and_fresh_cache_match_call(model):
+    """forward_anchor's prediction is bit-identical to __call__, and
+    forward_cached consuming the delta AT THE SAME x reproduces __call__
+    exactly (region_out = region_in + delta by construction)."""
+    m, p = model
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+    t = jnp.full((2,), 5.0)
+    full = m.apply({"params": p}, x, t, None)
+    for n_outer in (1, 2):  # 2 == depth//2: cached region = mid block only
+        anchor, delta = m.apply(
+            {"params": p}, x, t, None, n_outer=n_outer,
+            method=m.forward_anchor,
+        )
+        np.testing.assert_array_equal(np.asarray(anchor), np.asarray(full))
+        assert delta.shape == (2, _token_len(), CFG.embed_dim)
+        cached = m.apply(
+            {"params": p}, x, t, None, n_outer=n_outer, delta=delta,
+            method=m.forward_cached,
+        )
+        np.testing.assert_allclose(
+            np.asarray(cached), np.asarray(full), atol=1e-5
+        )
+
+
+def _cached_sampler(m, p, every, chunk, steps):
+    sched = NoiseSchedule.create(steps=steps)
+
+    def apply_fn(params, state, x, t, y):
+        inner = make_block_cached_apply(
+            lambda xx, tt, yy: m.apply(
+                {"params": params}, xx, tt, yy, n_outer=1,
+                method=m.forward_anchor,
+            ),
+            lambda xx, tt, yy, d: m.apply(
+                {"params": params}, xx, tt, yy, n_outer=1, delta=d,
+                method=m.forward_cached,
+            ),
+            every, steps - 1,
+        )
+        return inner(state, x, t, y)
+
+    def init_state(x):
+        return jnp.zeros((x.shape[0], _token_len(), CFG.embed_dim))
+
+    return ChunkedDDPMSampler(
+        apply_fn, sched, chunk=chunk, params=p, init_state_fn=init_state,
+    ), sched
+
+
+def test_every_one_equals_dense(model):
+    """every=1 anchors every step -> bit-identical to the plain sampler."""
+    m, p = model
+    shape = (2, 16, 16, 3)
+    cached, sched = _cached_sampler(m, p, every=1, chunk=5, steps=12)
+    dense = ChunkedDDPMSampler(
+        lambda params, x, t, y: m.apply({"params": params}, x, t, y),
+        sched, chunk=5, params=p,
+    )
+    key = jax.random.PRNGKey(7)
+    np.testing.assert_array_equal(
+        np.asarray(cached.sample(key, shape)),
+        np.asarray(dense.sample(key, shape)),
+    )
+
+
+def test_chunk_size_invariance(model):
+    """The delta state threads across chunk boundaries, so results do not
+    depend on the chunk size (the stateful carry contract)."""
+    m, p = model
+    shape = (2, 16, 16, 3)
+    key = jax.random.PRNGKey(3)
+    a, _ = _cached_sampler(m, p, every=3, chunk=4, steps=11)
+    b, _ = _cached_sampler(m, p, every=3, chunk=11, steps=11)
+    np.testing.assert_array_equal(
+        np.asarray(a.sample(key, shape)), np.asarray(b.sample(key, shape))
+    )
+
+
+def test_matches_manual_alternation(model):
+    """The in-scan anchor/cached switching is bit-identical to a manual
+    host loop that calls forward_anchor on t % every == 0 or t == T-1 and
+    forward_cached (with the last anchor's delta) elsewhere."""
+    m, p = model
+    steps, every = 9, 3
+    shape = (2, 16, 16, 3)
+    key = jax.random.PRNGKey(5)
+    cached, sched = _cached_sampler(m, p, every=every, chunk=steps, steps=steps)
+    got = np.asarray(cached.sample(key, shape))
+
+    k, init_key = jax.random.split(key)
+    x = jax.random.normal(init_key, shape)
+    delta = None
+    for t in range(steps - 1, -1, -1):
+        k, zkey = jax.random.split(k)
+        tb = jnp.full((shape[0],), float(t))
+        if t % every == 0 or t == steps - 1:
+            eps, delta = m.apply(
+                {"params": p}, x, tb, None, n_outer=1,
+                method=m.forward_anchor,
+            )
+        else:
+            eps = m.apply(
+                {"params": p}, x, tb, None, n_outer=1, delta=delta,
+                method=m.forward_cached,
+            )
+        z = (
+            jax.random.normal(zkey, shape)
+            if t > 0 else jnp.zeros(shape)
+        )
+        x = sched.step("predict_noise", eps, x, t, z, "beta_tilde")
+    np.testing.assert_allclose(got, np.asarray(x), atol=1e-5)

@@ -162,6 +162,22 @@ def test_sampler_cli_interleaved(tmp_path, tiny_config):
     assert (out / "0.png").exists()
 
 
+def test_sampler_cli_block_cached(tmp_path, tiny_config):
+    """--cache_every: middle blocks recomputed only on anchor steps, the
+    cached residual delta reused in between (single model)."""
+    out = tmp_path / "out_cache"
+    sampler_cli.main([
+        "--config_path", str(tiny_config),
+        "--batch_size", "2",
+        "--parametrization", "predict_noise",
+        "--output_folder", str(out),
+        "--random_init",
+        "--num_timesteps", "8",
+        "--cache_every", "3",
+    ])
+    assert (out / "0.png").exists()
+
+
 def test_sampler_cli_ddim(tmp_path, tiny_config):
     out = tmp_path / "out_ddim"
     sampler_cli.main([

@@ -36,7 +36,7 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--rows", type=str, default=(
         "celeba,celeba_int8,celeba_duodiff,celeba_duodiff_int8,"
-        "celeba_interleave2,celeba_ddim,"
+        "celeba_interleave2,celeba_cache3,imagenet64_cache3,celeba_ddim,"
         "celeba_static_exit,celeba_static_exit_int8,"
         "celeba_ee_threshold,celeba_dpm20,cifar10,imagenet64,imagenet256,"
         "imagenet256_decoded,imagenet256_int8,imagenet64_int8"
@@ -192,6 +192,52 @@ def main(argv=None):
         return lambda key: sampler.sample(key, shape)
 
     run("celeba_interleave2", interleave_fn)
+
+    def cache_fn(cfg_name, every=3):
+        # training-free block caching (Delta-DiT/DeepCache family): middle
+        # blocks recompute only on t % every == 0 anchors, their residual
+        # delta substitutes in between — single model, no second training
+        # run (contrast celeba_interleave2). See make_block_cached_apply.
+        import jax.numpy as jnp
+
+        from duodiff_tpu.diffusion import make_block_cached_apply
+
+        model, params, cfg, _ = load_model_from_config(
+            f"configs/{cfg_name}", None, seed=0, gelu_approx=True
+        )
+        k_half = cfg.depth // 2
+        n_outer = max(1, -(-k_half // 3))  # sampler.py --cache_outer default
+
+        def apply_fn(p, state, x, t, y):
+            inner = make_block_cached_apply(
+                lambda xx, tt, yy: model.apply(
+                    {"params": p}, xx, tt, yy, n_outer=n_outer,
+                    method=model.forward_anchor,
+                ),
+                lambda xx, tt, yy, d: model.apply(
+                    {"params": p}, xx, tt, yy, n_outer=n_outer, delta=d,
+                    method=model.forward_cached,
+                ),
+                every, args.steps - 1,
+            )
+            return inner(state, x, t, y)
+
+        token_len = cfg.extras + cfg.num_patches
+
+        def init_state(x):
+            return jnp.zeros(
+                (x.shape[0], token_len, cfg.embed_dim), model.dtype
+            )
+
+        sampler = ChunkedDDPMSampler(
+            apply_fn, schedule, parametrization="predict_noise",
+            params=params, init_state_fn=init_state,
+        )
+        shape = (b, cfg.img_size, cfg.img_size, cfg.in_chans)
+        return lambda key: sampler.sample(key, shape)
+
+    run("celeba_cache3", lambda: cache_fn("uvit_celeba.yaml"))
+    run("imagenet64_cache3", lambda: cache_fn("uvit_imagenet64.yaml"))
 
     def ddim_fn():
         apply_fn, params, cfg = load("uvit_celeba.yaml")
