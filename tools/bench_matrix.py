@@ -234,7 +234,11 @@ def main(argv=None):
             params=params, init_state_fn=init_state,
         )
         shape = (b, cfg.img_size, cfg.img_size, cfg.in_chans)
-        return lambda key: sampler.sample(key, shape)
+        y = None
+        if cfg.num_classes > 0:
+            y = jax.random.randint(jax.random.PRNGKey(7), (b,), 0,
+                                   cfg.num_classes)
+        return lambda key: sampler.sample(key, shape, y=y)
 
     run("celeba_cache3", lambda: cache_fn("uvit_celeba.yaml"))
     run("imagenet64_cache3", lambda: cache_fn("uvit_imagenet64.yaml"))

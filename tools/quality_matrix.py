@@ -129,6 +129,11 @@ def main(argv=None):
         run_sampler("ddim50", ["--use_ddim", "--ddim_steps", "50"])
     if want("dpm20"):
         run_sampler("dpm20", ["--use_dpm_solver", "--dpm_steps", "20"])
+    if want("cache3"):
+        # training-free block caching (middle-block residual reused between
+        # t % 3 == 0 anchors) — scores the stale-delta approximation on the
+        # same trained weights (bench row celeba_cache3)
+        run_sampler("cache3", ["--cache_every", "3"])
 
     if args.shallow_config and args.shallow_checkpoint:
         # reference CLI contract: --config_path is the EARLY (shallow)

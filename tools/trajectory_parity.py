@@ -164,7 +164,8 @@ def main(argv=None):
     variant_rows = [r for r in variant_rows if selected(r[0])]
     det_name = f"determinism {base_attn}/threefry (rerun)"
     need_base = (bool(variant_rows) or selected(det_name)
-                 or selected("DPM-20") or selected("rng rbg vs threefry"))
+                 or selected("DPM-20") or selected("rng rbg vs threefry")
+                 or selected("block-cache"))
 
     base = None
     if need_base:
@@ -195,6 +196,54 @@ def main(argv=None):
                   traj=[max_err(a, b) for a, b in zip(rbg, base)]),
             "rbg_rerun_bitexact": bool(max_err(rbg[-1], rbg2[-1]) == 0.0),
         }
+
+    if selected("block-cache"):
+        # ---- block caching: stale middle-region delta vs dense ----
+        # Same RNG stream and kernels as the baseline (the stateful scan
+        # threads identical keys), so the deviation is PURELY the cached
+        # approximation — anchors every 3 steps, default n_outer.
+        print("block-cache every=3 vs dense ...", file=sys.stderr)
+        from duodiff_tpu.diffusion import make_block_cached_apply
+
+        model, params = init_uvit(
+            cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16,
+            attn_impl=base_attn, gelu_approx=False,
+        )
+        k_half = cfg.depth // 2
+        n_outer = max(1, -(-k_half // 3))
+        cached_apply = make_block_cached_apply(
+            lambda x, t, y: model.apply(
+                {"params": params}, x, t, y, n_outer=n_outer,
+                method=model.forward_anchor,
+            ),
+            lambda x, t, y, d: model.apply(
+                {"params": params}, x, t, y, n_outer=n_outer, delta=d,
+                method=model.forward_cached,
+            ),
+            3, args.steps - 1,
+        )
+        token_len = cfg.extras + cfg.num_patches
+        cache_sampler = ChunkedDDPMSampler(
+            cached_apply, schedule, parametrization="predict_noise",
+            chunk=args.chunk,
+            init_state_fn=lambda x: jnp.zeros(
+                (x.shape[0], token_len, cfg.embed_dim), model.dtype
+            ),
+        )
+        k = jax.random.PRNGKey(0)
+        x, k = cache_sampler.init(k, shape)
+        st = jnp.zeros((shape[0], token_len, cfg.embed_dim), model.dtype)
+        snaps = []
+        t_hi = args.steps - 1
+        while t_hi >= 0:
+            t_lo = max(0, t_hi - args.chunk + 1)
+            x, k, st = cache_sampler.run(x, k, t_hi, t_lo, state=st)
+            snaps.append(jax.device_get(x))
+            t_hi = t_lo - 1
+        results["block-cache every=3 vs dense"] = row(
+            snaps[-1], base[-1], "algorithmic",
+            traj=[max_err(a, b) for a, b in zip(snaps, base)],
+        )
 
     if selected("DPM-20"):
         # ---- solver: DPM-Solver++ 20 vs the DDPM-1000 ancestral baseline ----
