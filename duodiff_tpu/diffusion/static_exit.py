@@ -114,6 +114,141 @@ def truncated_ee_apply(
     return apply_truncated, {"uvit": params["uvit"], "head": head_params}
 
 
+def truncated_ee_apply_cached(
+    config: UViTConfig,
+    params: dict,
+    exit_layer: int,
+    n_outer: int,
+    dtype=jnp.bfloat16,
+    attn_impl: str = "auto",
+    gelu_approx: bool = False,
+) -> Tuple[Callable, Callable, dict]:
+    """Block-cache-aware variant of :func:`truncated_ee_apply`: returns
+    ``(apply_anchor(p, x, t, y) -> (out, delta),
+    apply_cached(p, x, t, y, delta) -> out, p0)`` for a backbone truncated
+    at ``exit_layer`` (see UViT.forward_anchor for the caching scheme).
+
+    The cacheable region is the centered ``in_blocks[p:] + mid_block +
+    out_blocks[:k-p]`` span (p = ``n_outer``, k = depth//2) — U-ViT's
+    long-skip pairing makes exactly that span self-contained, and it is
+    entirely inside the truncated prefix iff ``exit_layer > 2k - p`` (the
+    suffix out-blocks then consume only prefix skips). Callers must check
+    :func:`cache_outer_for` first; an invalid (exit_layer, n_outer) pair
+    raises ValueError.
+    """
+    depth = config.depth
+    k = depth // 2
+    exit_layer = int(exit_layer)
+    p = int(n_outer)
+    if not 1 <= p <= k:
+        raise ValueError(f"n_outer must be in [1, {k}], got {p}")
+    if exit_layer <= 2 * k - p:
+        raise ValueError(
+            f"exit_layer {exit_layer} exits inside the cached region for "
+            f"n_outer={p} (needs exit_layer > {2 * k - p}); use "
+            f"cache_outer_for() to pick a valid n_outer or fall back to "
+            f"truncated_ee_apply"
+        )
+    uvit = UViT(
+        config=config, dtype=dtype, attn_impl=attn_impl,
+        gelu_approx=gelu_approx,
+    )
+
+    if exit_layer == depth:
+        def apply_anchor_full(pp, x, t, y):
+            return uvit.apply(
+                {"params": pp["uvit"]}, x, t, y, n_outer=p,
+                method=uvit.forward_anchor,
+            )
+
+        def apply_cached_full(pp, x, t, y, delta):
+            return uvit.apply(
+                {"params": pp["uvit"]}, x, t, y, n_outer=p, delta=delta,
+                method=uvit.forward_cached,
+            )
+
+        return apply_anchor_full, apply_cached_full, {"uvit": params["uvit"]}
+
+    # truncated: executed blocks are 0..exit_layer-1 (in: idx 0..k-1, mid:
+    # idx k, out[j]: idx k+1+j), so the suffix after the cached region is
+    # out_blocks[k-p : exit_layer-k-1], then output head ``exit_layer``
+    def run_anchor(mod, x, t, y):
+        h = mod.embed_tokens(x, t, y)
+        skips = []
+        for blk in mod.in_blocks[:p]:
+            h = blk(h)
+            skips.append(h)
+        region_in = h
+        inner = []
+        for blk in mod.in_blocks[p:]:
+            h = blk(h)
+            inner.append(h)
+        h = mod.mid_block(h)
+        for blk in mod.out_blocks[: k - p]:
+            h = blk(h, inner.pop())
+        delta = h - region_in
+        for blk in mod.out_blocks[k - p : exit_layer - k - 1]:
+            h = blk(h, skips.pop())
+        return h, delta
+
+    def run_cached(mod, x, t, y, delta):
+        h = mod.embed_tokens(x, t, y)
+        skips = []
+        for blk in mod.in_blocks[:p]:
+            h = blk(h)
+            skips.append(h)
+        h = h + delta.astype(h.dtype)
+        for blk in mod.out_blocks[k - p : exit_layer - k - 1]:
+            h = blk(h, skips.pop())
+        return h
+
+    head = OutputHead(
+        patch_dim=config.patch_dim,
+        in_chans=config.in_chans,
+        extras=config.extras,
+        conv=True,
+        dtype=dtype,
+    )
+    head_params = jax.tree_util.tree_map(
+        lambda a: a[exit_layer], params["heads"]
+    )
+
+    def apply_anchor(pp, x, t, y):
+        h, delta = uvit.apply(
+            {"params": pp["uvit"]}, x, t, y, method=run_anchor
+        )
+        return head.apply({"params": pp["head"]}, h), delta
+
+    def apply_cached(pp, x, t, y, delta):
+        h = uvit.apply(
+            {"params": pp["uvit"]}, x, t, y, delta, method=run_cached
+        )
+        return head.apply({"params": pp["head"]}, h)
+
+    p0 = {"uvit": params["uvit"], "head": head_params}
+    return apply_anchor, apply_cached, p0
+
+
+def cache_outer_for(
+    depth: int, exit_layer: int, cache_outer: int | None = None
+) -> int | None:
+    """Pick the n_outer for caching a backbone truncated at ``exit_layer``,
+    or None when no valid choice exists (exit at/inside the mid block —
+    those buckets are cheap anyway and run uncached).
+
+    ``cache_outer=None`` → the sampler.py default ``max(1, ceil(k/3))``,
+    raised to the minimum ``2k - exit_layer + 1`` the truncation requires;
+    an explicit ``cache_outer`` is likewise raised when too small (a wider
+    outer ring caches fewer blocks but stays exact w.r.t. the anchor)."""
+    k = depth // 2
+    min_p = 2 * k - int(exit_layer) + 1  # region must end before the exit
+    p = cache_outer if cache_outer is not None else max(1, -(-k // 3))
+    p = max(int(p), min_p, 1)
+    if p > k:  # exit_layer <= k: no mid block executed, nothing to cache
+        return None
+    return p
+
+
 def parse_exit_schedule(spec: str) -> List[Bucket]:
     """Parse "999-700:3,699-300:8,299-0:13" into bucket tuples."""
     buckets = []
@@ -187,41 +322,116 @@ def make_static_exit_sampler(
     gelu_approx: bool = False,
     chunk: int = 100,
     guidance: tuple | None = None,
+    cache_every: int | None = None,
+    cache_outer: int | None = None,
 ):
     """Build a reusable ``sample(key, shape, y=None)`` with per-bucket
     truncated backbones (one chunked scan per distinct exit layer). Reuse
     the returned callable across invocations — the jitted chunks live in
     its closure, so rebuilding per call would re-trace everything (measured
-    4x slower end to end). Buckets must cover [0, steps-1] descending."""
+    4x slower end to end). Buckets must cover [0, steps-1] descending.
+
+    ``cache_every=N`` composes training-free block caching (see
+    UViT.forward_anchor / sampler.py --cache_every) INTO each bucket's
+    truncated backbone: the centered region recomputes only on ``t % N ==
+    0`` anchors (plus each bucket's entry step — the delta does not
+    transfer across buckets, whose regions span different blocks) and its
+    residual delta substitutes in between. Buckets whose exit layer stops
+    at/inside the mid block run uncached (:func:`cache_outer_for`)."""
     buckets = sorted(buckets, key=lambda b: -b[0])
     assert buckets[0][0] == schedule.steps - 1 and buckets[-1][1] == 0, (
         "buckets must cover the full timestep range"
     )
-    samplers = {}
-    for _, _, layer in buckets:
-        if layer not in samplers:
-            apply, bucket_params = truncated_ee_apply(
-                config, params, layer, dtype, attn_impl, gelu_approx
-            )
-            if guidance is not None:
-                # each truncated backbone is single-output, so plain CFG
-                # wrapping applies per bucket (guidance=(scale, null_label);
-                # the threaded params tree passes through the wrapper)
-                from duodiff_tpu.diffusion.sampling import make_guided_apply
+    if cache_every is not None and cache_every < 1:
+        raise ValueError(f"cache_every must be >= 1, got {cache_every}")
+    if cache_every is not None and guidance is not None:
+        raise ValueError(
+            "cache_every does not compose with guidance (the guided "
+            "wrapper doubles the batch around a stateless apply)"
+        )
+    token_len = config.extras + config.num_patches
 
-                apply = make_guided_apply(apply, *guidance)
-            samplers[layer] = ChunkedDDPMSampler(
+    samplers = {}  # layer -> stateless ChunkedDDPMSampler
+    cached_samplers = {}  # (layer, bucket t_hi) -> stateful sampler
+
+    def build_plain(layer):
+        if layer in samplers:
+            return
+        apply, bucket_params = truncated_ee_apply(
+            config, params, layer, dtype, attn_impl, gelu_approx
+        )
+        if guidance is not None:
+            # each truncated backbone is single-output, so plain CFG
+            # wrapping applies per bucket (guidance=(scale, null_label);
+            # the threaded params tree passes through the wrapper)
+            from duodiff_tpu.diffusion.sampling import make_guided_apply
+
+            apply = make_guided_apply(apply, *guidance)
+        samplers[layer] = ChunkedDDPMSampler(
+            apply,
+            schedule,
+            parametrization="predict_noise",
+            chunk=chunk,
+            params=bucket_params,
+        )
+
+    for t_hi, _, layer in buckets:
+        n_outer = (
+            cache_outer_for(config.depth, layer, cache_outer)
+            if cache_every is not None else None
+        )
+        if n_outer is None:
+            build_plain(layer)
+            continue
+        from duodiff_tpu.diffusion.sampling import make_block_cached_apply
+
+        anchor, cached, bucket_params = truncated_ee_apply_cached(
+            config, params, layer, n_outer, dtype, attn_impl, gelu_approx
+        )
+
+        def apply(pp, state, x, t, yy, _a=anchor, _c=cached, _hi=t_hi):
+            inner = make_block_cached_apply(
+                lambda xx, tt, yy2: _a(pp, xx, tt, yy2),
+                lambda xx, tt, yy2, d: _c(pp, xx, tt, yy2, d),
+                cache_every, _hi,
+            )
+            return inner(state, x, t, yy)
+
+        def init_state(x):
+            return jnp.zeros(
+                (x.shape[0], token_len, config.embed_dim), dtype
+            )
+
+        cached_samplers[(layer, t_hi)] = (
+            ChunkedDDPMSampler(
                 apply,
                 schedule,
                 parametrization="predict_noise",
                 chunk=chunk,
                 params=bucket_params,
-            )
+                init_state_fn=init_state,
+            ),
+            init_state,
+        )
+
+    first_layer, first_hi = buckets[0][2], buckets[0][0]
+    first = (
+        cached_samplers[(first_layer, first_hi)][0]
+        if (first_layer, first_hi) in cached_samplers
+        else samplers[first_layer]
+    )
 
     def sample(key, shape, y=None):
-        x, key = samplers[buckets[0][2]].init(key, shape)
+        x, key = first.init(key, shape)
         for t_hi, t_lo, layer in buckets:
-            x, key = samplers[layer].run(x, key, t_hi, t_lo, y)
+            if (layer, t_hi) in cached_samplers:
+                s, init_state = cached_samplers[(layer, t_hi)]
+                # fresh zero delta per bucket; the t == t_hi anchor in the
+                # apply guarantees it is overwritten before first use
+                x, key, _ = s.run(x, key, t_hi, t_lo, y,
+                                  state=init_state(x))
+            else:
+                x, key = samplers[layer].run(x, key, t_hi, t_lo, y)
         return x
 
     return sample
@@ -241,12 +451,14 @@ def static_exit_sample(
     gelu_approx: bool = False,
     chunk: int = 100,
     guidance: tuple | None = None,
+    cache_every: int | None = None,
+    cache_outer: int | None = None,
 ):
     """One-shot convenience over make_static_exit_sampler."""
     sampler = make_static_exit_sampler(
         config, params, schedule=schedule, buckets=buckets, dtype=dtype,
         attn_impl=attn_impl, gelu_approx=gelu_approx, chunk=chunk,
-        guidance=guidance,
+        guidance=guidance, cache_every=cache_every, cache_outer=cache_outer,
     )
     return sampler(key, shape, y)
 

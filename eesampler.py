@@ -71,6 +71,18 @@ def get_args(argv=None):
              "the dynamic-run -> derive -> --static_schedule workflow")
     parser.add_argument("--derive_buckets", type=int, default=4)
     parser.add_argument(
+        "--cache_every", type=int, default=None,
+        help="Compose training-free block caching into the static-exit "
+             "buckets (sampler.py --cache_every semantics: the centered "
+             "region of each bucket's truncated backbone recomputes only "
+             "on t %% N == 0 anchors). Requires --static_schedule/"
+             "--derive_schedule_from")
+    parser.add_argument(
+        "--cache_outer", type=int, default=None,
+        help="Blocks kept live at each end under --cache_every (default "
+             "ceil(depth/2/3), auto-raised per bucket to keep the cached "
+             "region inside the truncation)")
+    parser.add_argument(
         "--derive_quantile", type=float, default=0.5,
         help="Per-bucket exit depth = ceil of this quantile of the logged "
              "per-sample exits (0.5 = median, the validated default; the "
@@ -118,6 +130,18 @@ def main(argv=None):
               f"{args.static_schedule}")
     if args.threshold is None and args.static_schedule is None:
         raise SystemExit("--threshold is required (or pass --static_schedule)")
+
+    if args.cache_every is not None:
+        if args.static_schedule is None:
+            raise SystemExit("--cache_every requires --static_schedule or "
+                             "--derive_schedule_from (the dynamic-threshold "
+                             "path must compute every layer — caching would "
+                             "change the probe inputs it selects on)")
+        if args.guidance_scale is not None:
+            raise SystemExit("--cache_every does not combine with "
+                             "--guidance_scale")
+    elif args.cache_outer is not None:
+        raise SystemExit("--cache_outer requires --cache_every")
 
     mp = max(1, getattr(args, "model_parallel", 1) or 1)
     if mp > 1 and args.static_schedule:
@@ -196,7 +220,9 @@ def main(argv=None):
 
         buckets = parse_exit_schedule(args.static_schedule)
         print(f"Static-exit sampling {args.batch_size} images "
-              f"(buckets={buckets})...")
+              f"(buckets={buckets}"
+              + (f", cache_every={args.cache_every}"
+                 if args.cache_every else "") + ")...")
         tic = time.time()
         x = static_exit_sample(
             cfg, params, key, schedule=schedule, shape=shape,
@@ -205,6 +231,8 @@ def main(argv=None):
             or ("fused" if jax.default_backend() == "tpu" else "auto"),
             gelu_approx=args.gelu_approx,
             guidance=guidance,
+            cache_every=args.cache_every,
+            cache_outer=args.cache_outer,
         )
         x = jax.block_until_ready(x)
         elapsed = time.time() - tic

@@ -459,6 +459,36 @@ def test_eesampler_cli_static_schedule(tmp_path, tiny_config):
     assert set(np.unique(idx)) == {1, 3}
 
 
+def test_eesampler_cli_static_schedule_cached(tmp_path, tiny_config):
+    """--cache_every composes block caching into the static-exit buckets;
+    the shallow (layer-1) bucket has nothing to cache and runs uncached."""
+    out = tmp_path / "out_ee_static_cache"
+    eesampler_cli.main([
+        "--config_path", str(tiny_config),
+        "--batch_size", "2",
+        "--static_schedule", "7-4:1,3-0:3",
+        "--cache_every", "2",
+        "--output_folder", str(out),
+        "--random_init",
+        "--num_timesteps", "8",
+    ])
+    assert (out / "0.png").exists()
+
+
+def test_eesampler_cli_cache_every_needs_static_schedule(tmp_path,
+                                                         tiny_config):
+    with pytest.raises(SystemExit):
+        eesampler_cli.main([
+            "--config_path", str(tiny_config),
+            "--batch_size", "2",
+            "--threshold", "0.5",
+            "--cache_every", "2",
+            "--output_folder", str(tmp_path / "nope"),
+            "--random_init",
+            "--num_timesteps", "8",
+        ])
+
+
 def test_eesampler_cli_derive_schedule_from(tmp_path, tiny_config):
     """--derive_schedule_from turns a dynamic run's exit-index log into a
     static bucket schedule in one command (dynamic run -> derive ->

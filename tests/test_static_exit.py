@@ -10,10 +10,12 @@ import pytest
 from duodiff_tpu.config import UViTConfig
 from duodiff_tpu.diffusion import NoiseSchedule
 from duodiff_tpu.diffusion.static_exit import (
+    cache_outer_for,
     derive_exit_schedule,
     parse_exit_schedule,
     static_exit_sample,
     truncated_ee_apply,
+    truncated_ee_apply_cached,
 )
 from duodiff_tpu.models.early_exit import init_early_exit_uvit
 
@@ -64,6 +66,124 @@ def test_derive_exit_schedule():
     # contiguous
     for a, b in zip(buckets, buckets[1:]):
         assert a[1] == b[0] + 1
+
+
+def test_cache_outer_for():
+    """Validity rule: the centered cached region (in[p:]+mid+out[:k-p])
+    must end before the truncation point — p > 2k - exit_layer — and exits
+    at/inside the mid block have nothing to cache."""
+    # depth 5, k = 2: default p = 1
+    assert cache_outer_for(5, 5) == 1
+    assert cache_outer_for(5, 4) == 1
+    assert cache_outer_for(5, 3) == 2  # auto-raised to the minimum
+    assert cache_outer_for(5, 2) is None  # 2k - e + 1 = 3 > k
+    assert cache_outer_for(5, 0) is None
+    # explicit cache_outer is honored when valid, raised when too small
+    assert cache_outer_for(5, 5, cache_outer=2) == 2
+    assert cache_outer_for(5, 3, cache_outer=1) == 2
+    # depth 13 flagship, k = 6: default ceil(6/3) = 2
+    assert cache_outer_for(13, 13) == 2
+    assert cache_outer_for(13, 12) == 2
+    assert cache_outer_for(13, 11) == 2
+    assert cache_outer_for(13, 10) == 3
+    assert cache_outer_for(13, 6) is None
+
+
+@pytest.mark.parametrize("exit_layer", [3, 4, 5])
+def test_truncated_cached_matches_plain(ee_model, exit_layer):
+    """The anchor forward of the cache-aware truncated apply must equal the
+    plain truncated apply, and a cached forward consuming the delta the
+    anchor just produced (same x, t) must reproduce it: region_out =
+    region_in + delta by construction."""
+    _, params = ee_model
+    p = cache_outer_for(CFG.depth, exit_layer)
+    x = jnp.asarray(np.random.RandomState(1).randn(2, 16, 16, 3), jnp.float32)
+    t = jnp.array([40.0, 40.0])
+
+    plain_apply, plain_p0 = truncated_ee_apply(
+        CFG, params, exit_layer, dtype=jnp.float32
+    )
+    anchor, cached, p0 = truncated_ee_apply_cached(
+        CFG, params, exit_layer, p, dtype=jnp.float32
+    )
+    want = np.asarray(plain_apply(plain_p0, x, t, None))
+    out_a, delta = anchor(p0, x, t, None)
+    np.testing.assert_allclose(np.asarray(out_a), want, rtol=1e-5, atol=1e-6)
+    out_c = cached(p0, x, t, None, delta)
+    np.testing.assert_allclose(np.asarray(out_c), want, rtol=1e-4, atol=1e-5)
+
+
+def test_truncated_cached_rejects_invalid_pair():
+    _, params = init_early_exit_uvit(CFG, jax.random.PRNGKey(0))
+    with pytest.raises(ValueError):
+        truncated_ee_apply_cached(CFG, params, 2, 1, dtype=jnp.float32)
+
+
+def test_static_exit_cache_every1_bitexact(ee_model):
+    """cache_every=1 anchors every step, so the cached static-exit sampler
+    must reproduce the uncached one bit for bit (same keys, same updates)."""
+    _, params = ee_model
+    sched = NoiseSchedule.create(steps=16)
+    buckets = [(15, 8, 3), (7, 0, 5)]
+    kw = dict(schedule=sched, shape=(2, 16, 16, 3), buckets=buckets,
+              dtype=jnp.float32, chunk=5)
+    ref = static_exit_sample(CFG, params, jax.random.PRNGKey(3), **kw)
+    got = static_exit_sample(CFG, params, jax.random.PRNGKey(3),
+                             cache_every=1, **kw)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_static_exit_cache_runs_mixed_buckets(ee_model):
+    """cache_every with a schedule mixing cacheable (deep) and uncacheable
+    (shallow, exit <= mid) buckets: shallow buckets silently run uncached;
+    bucket entry steps anchor even when t_hi % every != 0."""
+    _, params = ee_model
+    sched = NoiseSchedule.create(steps=20)
+    buckets = [(19, 9, 2), (8, 0, 4)]  # layer-2 bucket: cache_outer_for=None
+    x = static_exit_sample(
+        CFG, params, jax.random.PRNGKey(0), schedule=sched,
+        shape=(2, 16, 16, 3), buckets=buckets, dtype=jnp.float32, chunk=7,
+        cache_every=3,
+    )
+    assert x.shape == (2, 16, 16, 3)
+    assert np.all(np.isfinite(np.asarray(x)))
+
+
+def test_static_exit_cache_bucket_entry_anchors(ee_model):
+    """A bucket entered at t_hi % every != 0 must anchor on its first step:
+    drive the bucket's stateful apply directly with a NaN-poisoned initial
+    delta — if the entry anchor fires before any cached use, the NaNs never
+    reach the output."""
+    from duodiff_tpu.diffusion import ChunkedDDPMSampler
+    from duodiff_tpu.diffusion.sampling import make_block_cached_apply
+
+    _, params = ee_model
+    sched = NoiseSchedule.create(steps=20)
+    t_hi, exit_layer, every = 8, 4, 5  # 8 % 5 != 0
+    p = cache_outer_for(CFG.depth, exit_layer)
+    anchor, cached, p0 = truncated_ee_apply_cached(
+        CFG, params, exit_layer, p, dtype=jnp.float32
+    )
+
+    def apply(pp, state, x, t, y):
+        inner = make_block_cached_apply(
+            lambda xx, tt, yy: anchor(pp, xx, tt, yy),
+            lambda xx, tt, yy, d: cached(pp, xx, tt, yy, d),
+            every, t_hi,
+        )
+        return inner(state, x, t, y)
+
+    token_len = CFG.extras + CFG.num_patches
+    sampler = ChunkedDDPMSampler(
+        apply, sched, parametrization="predict_noise", chunk=6, params=p0,
+        init_state_fn=lambda x: jnp.zeros(
+            (x.shape[0], token_len, CFG.embed_dim), jnp.float32
+        ),
+    )
+    x, key = sampler.init(jax.random.PRNGKey(0), (2, 16, 16, 3))
+    poison = jnp.full((2, token_len, CFG.embed_dim), jnp.nan, jnp.float32)
+    x, key, _ = sampler.run(x, key, t_hi, 0, None, state=poison)
+    assert np.all(np.isfinite(np.asarray(x)))
 
 
 def test_static_exit_sample_runs(ee_model):
