@@ -36,8 +36,10 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--rows", type=str, default=(
         "celeba,celeba_int8,celeba_duodiff,celeba_duodiff_int8,"
-        "celeba_interleave2,celeba_cache3,imagenet64_cache3,celeba_ddim,"
+        "celeba_interleave2,celeba_cache3,imagenet64_cache3,"
+        "celeba_cache3_int8,celeba_ddim,"
         "celeba_static_exit,celeba_static_exit_int8,"
+        "celeba_static_exit_cache3,celeba_static_exit_cache3_int8,"
         "celeba_ee_threshold,celeba_dpm20,cifar10,imagenet64,imagenet256,"
         "imagenet256_decoded,imagenet256_int8,imagenet64_int8"
     ))
@@ -193,7 +195,7 @@ def main(argv=None):
 
     run("celeba_interleave2", interleave_fn)
 
-    def cache_fn(cfg_name, every=3):
+    def cache_fn(cfg_name, every=3, attn_impl=None):
         # training-free block caching (Delta-DiT/DeepCache family): middle
         # blocks recompute only on t % every == 0 anchors, their residual
         # delta substitutes in between — single model, no second training
@@ -203,7 +205,8 @@ def main(argv=None):
         from duodiff_tpu.diffusion import make_block_cached_apply
 
         model, params, cfg, _ = load_model_from_config(
-            f"configs/{cfg_name}", None, seed=0, gelu_approx=True
+            f"configs/{cfg_name}", None, seed=0, gelu_approx=True,
+            attn_impl=attn_impl,
         )
         k_half = cfg.depth // 2
         n_outer = max(1, -(-k_half // 3))  # sampler.py --cache_outer default
@@ -242,6 +245,10 @@ def main(argv=None):
 
     run("celeba_cache3", lambda: cache_fn("uvit_celeba.yaml"))
     run("imagenet64_cache3", lambda: cache_fn("uvit_imagenet64.yaml"))
+    # caching composes with the W8A8 kernels (same block modules under
+    # forward_anchor/forward_cached): anchors + outer blocks run int8
+    run("celeba_cache3_int8",
+        lambda: cache_fn("uvit_celeba.yaml", attn_impl="fused_int8"))
 
     def ddim_fn():
         apply_fn, params, cfg = load("uvit_celeba.yaml")
@@ -267,7 +274,7 @@ def main(argv=None):
 
     run("celeba_dpm20", dpm_fn)
 
-    def static_exit_fn(attn_impl="fused"):
+    def static_exit_fn(attn_impl="fused", cache_every=None):
         from duodiff_tpu.diffusion.static_exit import make_static_exit_sampler
         from duodiff_tpu.models.early_exit import init_early_exit_uvit
         from duodiff_tpu.config import UViTConfig
@@ -291,7 +298,7 @@ def main(argv=None):
         shape = (b, 64, 64, 3)
         sampler = make_static_exit_sampler(
             cfg, params, schedule=schedule, buckets=buckets,
-            attn_impl=attn_impl, gelu_approx=True,
+            attn_impl=attn_impl, gelu_approx=True, cache_every=cache_every,
         )
         return lambda key: sampler(key, shape)
 
@@ -299,6 +306,13 @@ def main(argv=None):
     # knob composition: bucketed static exits + int8 weight matmuls
     run("celeba_static_exit_int8",
         lambda: static_exit_fn(attn_impl="fused_int8"))
+    # triple composition: static exits + block caching inside each deep
+    # bucket (+ int8) — the deepest bucket's cached step runs 4 of 13
+    # blocks, the layer-8 bucket's 5 of 8, the layer-3 bucket uncached
+    run("celeba_static_exit_cache3",
+        lambda: static_exit_fn(cache_every=3))
+    run("celeba_static_exit_cache3_int8",
+        lambda: static_exit_fn(attn_impl="fused_int8", cache_every=3))
 
     def ee_threshold_fn():
         # dynamic-threshold AdaDiff parity mode: every layer + every probe/

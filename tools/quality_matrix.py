@@ -59,8 +59,9 @@ def main(argv=None):
                          "activation scales)")
     ap.add_argument("--methods", type=str, default=None,
                     help="comma list to restrict (ddpm,int8,int8_static,"
-                         "ddim50,dpm20,ee_dynamic,ee_static,ee_static_int8,"
-                         "duodiff,duodiff_int8)")
+                         "ddim50,dpm20,cache3,ee_dynamic,ee_static,"
+                         "ee_static_int8,ee_static_cache3,duodiff,"
+                         "duodiff_int8,interleave2,interleave4)")
     args = ap.parse_args(argv)
 
     import eesampler as eesampler_cli
@@ -194,11 +195,15 @@ def main(argv=None):
                 "--seed", str(args.seed),
             ])
             score("ee_dynamic", time.time() - t)
-        # ee_static_int8 = the bench matrix's best operating point
-        # (celeba_static_exit_int8) on trained weights
+        # ee_static_int8 = the static-exit + int8 composition;
+        # ee_static_cache3 = static exits with block caching composed into
+        # each bucket's truncated backbone (bench row
+        # celeba_static_exit_cache3) — scores the stale-delta approximation
+        # on top of the truncation approximation
         for name, extra in (
             ("ee_static", []),
             ("ee_static_int8", ["--attn_impl", "fused_int8"]),
+            ("ee_static_cache3", ["--cache_every", "3"]),
         ):
             if not want(name):
                 continue
