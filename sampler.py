@@ -86,9 +86,11 @@ def get_args(argv=None):
                              "blocks only on anchor steps (t %% N == 0, "
                              "always incl. t=0) and reuse their cached "
                              "residual delta in between — the cached "
-                             "steps run only the outer blocks. "
-                             "Single-model DDPM; excludes --t_switch/"
-                             "DDIM/DPM/--interleave_every")
+                             "steps run only the outer blocks. Plain DDPM "
+                             "(single model, or the DuoDiff pair with "
+                             "--t_switch: the full model's segment runs "
+                             "cached); excludes DDIM/DPM/"
+                             "--interleave_every")
     parser.add_argument("--cache_outer", type=int, default=None,
                         help="Blocks recomputed every step at EACH end of "
                              "the network under --cache_every (cached "
@@ -326,19 +328,69 @@ def main(argv=None):
         """DDPM / DuoDiff via chunked scans (bounded compile time; one
         compiled chunk-step scan reused across segments). Segments split at
         the DuoDiff handoff t = steps - t_switch (reference sampler.py:135)
-        and at each intermediate-save point (sampler.py:138)."""
+        and at each intermediate-save point (sampler.py:138). With
+        --cache_every, the late (full) model's segment runs block-cached —
+        that segment is where the compute goes (the shallow model is cheap
+        and stays dense); its entry step anchors, the delta rides the scan
+        carry."""
         early_sampler = ChunkedDDPMSampler(
             apply_early, schedule, parametrization=args.parametrization,
             params=params,
         )
-        late_sampler = (
-            ChunkedDDPMSampler(
-                apply_late, schedule, parametrization=args.parametrization,
-                params=late[1],
-            )
-            if late is not None and args.t_switch is not None
-            else None
-        )
+        late_sampler = None
+        late_init_state = None
+        if late is not None and args.t_switch is not None:
+            if args.cache_every is not None:
+                from duodiff_tpu.diffusion import make_block_cached_apply
+
+                late_model = late[0]
+                lcfg = late_model.config
+                lk_half = lcfg.depth // 2
+                l_outer = (
+                    args.cache_outer
+                    if args.cache_outer is not None
+                    else max(1, -(-lk_half // 3))
+                )
+                if not 1 <= l_outer <= lk_half:
+                    raise SystemExit(
+                        f"--cache_outer must be in [1, {lk_half}] for the "
+                        f"late model's depth {lcfg.depth}, got {l_outer}"
+                    )
+                late_entry = steps - args.t_switch - 1  # first late step
+
+                def apply_late_cached(p, state, x, t, yy):
+                    inner = make_block_cached_apply(
+                        lambda xx, tt, yy2: late_model.apply(
+                            {"params": p}, xx, tt, yy2, n_outer=l_outer,
+                            method=late_model.forward_anchor,
+                        ),
+                        lambda xx, tt, yy2, d: late_model.apply(
+                            {"params": p}, xx, tt, yy2, n_outer=l_outer,
+                            delta=d, method=late_model.forward_cached,
+                        ),
+                        args.cache_every, late_entry,
+                    )
+                    return inner(state, x, t, yy)
+
+                l_tokens = lcfg.extras + lcfg.num_patches
+
+                def late_init_state(x):
+                    return jnp.zeros(
+                        (x.shape[0], l_tokens, lcfg.embed_dim),
+                        late_model.dtype,
+                    )
+
+                late_sampler = ChunkedDDPMSampler(
+                    apply_late_cached, schedule,
+                    parametrization=args.parametrization,
+                    params=late[1], init_state_fn=late_init_state,
+                )
+            else:
+                late_sampler = ChunkedDDPMSampler(
+                    apply_late, schedule,
+                    parametrization=args.parametrization,
+                    params=late[1],
+                )
         handoff = steps - args.t_switch if late_sampler is not None else None
 
         # boundaries: after the update at t we may save (elapsed = steps - t;
@@ -352,17 +404,30 @@ def main(argv=None):
 
         x, key = early_sampler.init(key, shape, sharding=batch_shard)
         sampler = early_sampler
+        seg_state = None  # block-cache delta of the cached late segment
+
+        def seg_run(x, key, t_hi, t_lo):
+            nonlocal seg_state
+            if sampler is late_sampler and late_init_state is not None:
+                if seg_state is None:  # segment entry (anchors at t_hi)
+                    seg_state = late_init_state(x)
+                x, key, seg_state = sampler.run(
+                    x, key, t_hi, t_lo, y, state=seg_state
+                )
+                return x, key
+            return sampler.run(x, key, t_hi, t_lo, y)
+
         t_hi = steps - 1
         snapshots = {}
         for b in boundaries:
-            x, key = sampler.run(x, key, t_hi, b, y)
+            x, key = seg_run(x, key, t_hi, b)
             if b in save_ts:
                 snapshots[b] = x
             if handoff is not None and b == handoff:
                 sampler = late_sampler
             t_hi = b - 1
         if t_hi >= 0:
-            x, key = sampler.run(x, key, t_hi, 0, y)
+            x, key = seg_run(x, key, t_hi, 0)
         # ordered like --timesteps_save: the dump zips the two directly
         inter = [
             snapshots[steps - s]
@@ -486,20 +551,25 @@ def main(argv=None):
     if args.cache_every is not None:
         if args.cache_every < 1:
             raise SystemExit("--cache_every must be >= 1")
-        if (late is not None or args.t_switch is not None or args.use_ddim
-                or args.use_dpm_solver or args.pipeline_parallel
+        if (args.use_ddim or args.use_dpm_solver or args.pipeline_parallel
                 or args.interleave_every is not None or timesteps_save
                 or args.guidance_scale is not None):
-            raise SystemExit("--cache_every supports single-model plain "
-                             "DDPM sampling (no late model/--t_switch/"
-                             "DDIM/DPM/pipeline/--interleave_every/"
-                             "--timesteps_save/--guidance_scale)")
+            raise SystemExit("--cache_every supports plain DDPM sampling "
+                             "(single model, or the DuoDiff pair with "
+                             "--t_switch — the full model's segment runs "
+                             "cached; no DDIM/DPM/pipeline/"
+                             "--interleave_every/--timesteps_save/"
+                             "--guidance_scale)")
+        if late is not None and args.t_switch is None:
+            raise SystemExit("--cache_every with a late model needs "
+                             "--t_switch (the cached segment starts at the "
+                             "DuoDiff handoff)")
     elif args.cache_outer is not None:
         raise SystemExit("--cache_outer requires --cache_every")
 
     print(f"Sampling {args.batch_size} images on {jax.devices()[0].platform}...")
     tic = time.time()
-    if args.cache_every is not None:
+    if args.cache_every is not None and late is None:
         x, intermediates = run_block_cached(key, y)
     elif args.interleave_every is not None:
         x, intermediates = run_interleaved(key, y)

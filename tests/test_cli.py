@@ -178,6 +178,33 @@ def test_sampler_cli_block_cached(tmp_path, tiny_config):
     assert (out / "0.png").exists()
 
 
+def test_sampler_cli_duodiff_block_cached(tmp_path, tiny_config):
+    """--cache_every composes with the DuoDiff pair: the late (full) model
+    segment runs block-cached. cache_every=1 anchors every step, so it must
+    reproduce the uncached DuoDiff run bit for bit."""
+    from PIL import Image
+
+    def run(out, extra=()):
+        sampler_cli.main([
+            "--config_path", str(tiny_config),
+            "--config_path_late", str(tiny_config),
+            "--batch_size", "2",
+            "--parametrization", "predict_noise",
+            "--output_folder", str(out),
+            "--random_init",
+            "--num_timesteps", "8",
+            "--t_switch", "3",
+            "--seed", "4",
+        ] + list(extra))
+        return np.asarray(Image.open(out / "0.png"))
+
+    plain = run(tmp_path / "dd_plain")
+    anchored = run(tmp_path / "dd_c1", ["--cache_every", "1"])
+    np.testing.assert_array_equal(anchored, plain)
+    cached = run(tmp_path / "dd_c2", ["--cache_every", "2"])
+    assert cached.shape == plain.shape
+
+
 def test_sampler_cli_ddim(tmp_path, tiny_config):
     out = tmp_path / "out_ddim"
     sampler_cli.main([

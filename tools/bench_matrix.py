@@ -36,6 +36,7 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--rows", type=str, default=(
         "celeba,celeba_int8,celeba_duodiff,celeba_duodiff_int8,"
+        "celeba_duodiff_cache3,celeba_duodiff_cache3_int8,"
         "celeba_interleave2,celeba_cache3,imagenet64_cache3,"
         "celeba_cache3_int8,celeba_ddim,"
         "celeba_static_exit,celeba_static_exit_int8,"
@@ -195,6 +196,68 @@ def main(argv=None):
 
     run("celeba_interleave2", interleave_fn)
 
+    def duodiff_cache_fn(every=3, attn_impl=None):
+        # DuoDiff with the late (full) model's segment block-cached
+        # (sampler.py --t_switch + --cache_every) — the shallow segment is
+        # cheap and stays dense
+        import jax.numpy as jnp
+
+        from duodiff_tpu.diffusion import make_block_cached_apply
+
+        early_apply, early_params, _ = load(
+            "uvit_celeba_3.yaml", attn_impl=attn_impl
+        )
+        model, late_params, lcfg, _ = load_model_from_config(
+            "configs/uvit_celeba.yaml", None, seed=1, gelu_approx=True,
+            attn_impl=attn_impl,
+        )
+        n_outer = max(1, -(-(lcfg.depth // 2) // 3))
+        t_switch = 300
+        handoff = args.steps - t_switch
+
+        def late_apply(p, state, x, t, y):
+            inner = make_block_cached_apply(
+                lambda xx, tt, yy: model.apply(
+                    {"params": p}, xx, tt, yy, n_outer=n_outer,
+                    method=model.forward_anchor,
+                ),
+                lambda xx, tt, yy, d: model.apply(
+                    {"params": p}, xx, tt, yy, n_outer=n_outer, delta=d,
+                    method=model.forward_cached,
+                ),
+                every, handoff - 1,
+            )
+            return inner(state, x, t, y)
+
+        token_len = lcfg.extras + lcfg.num_patches
+
+        def init_state(x):
+            return jnp.zeros(
+                (x.shape[0], token_len, lcfg.embed_dim), model.dtype
+            )
+
+        early = ChunkedDDPMSampler(early_apply, schedule,
+                                   parametrization="predict_noise")
+        late_s = ChunkedDDPMSampler(
+            late_apply, schedule, parametrization="predict_noise",
+            params=late_params, init_state_fn=init_state,
+        )
+        shape = (b, 64, 64, 3)
+
+        def sample(key):
+            x, key = early.init(key, shape)
+            x, key = early.run(x, key, schedule.steps - 1, handoff,
+                               (None, early_params))
+            x, _, _ = late_s.run(x, key, handoff - 1, 0, None,
+                                 state=init_state(x))
+            return x
+
+        return sample
+
+    run("celeba_duodiff_cache3", duodiff_cache_fn)
+    run("celeba_duodiff_cache3_int8",
+        lambda: duodiff_cache_fn(attn_impl="fused_int8"))
+
     def cache_fn(cfg_name, every=3, attn_impl=None):
         # training-free block caching (Delta-DiT/DeepCache family): middle
         # blocks recompute only on t % every == 0 anchors, their residual
@@ -249,6 +312,10 @@ def main(argv=None):
     # forward_anchor/forward_cached): anchors + outer blocks run int8
     run("celeba_cache3_int8",
         lambda: cache_fn("uvit_celeba.yaml", attn_impl="fused_int8"))
+    # staler-delta sweep point (quality_matrix cache5 row gates it)
+    run("celeba_cache5_int8",
+        lambda: cache_fn("uvit_celeba.yaml", every=5,
+                         attn_impl="fused_int8"))
 
     def ddim_fn():
         apply_fn, params, cfg = load("uvit_celeba.yaml")

@@ -59,9 +59,10 @@ def main(argv=None):
                          "activation scales)")
     ap.add_argument("--methods", type=str, default=None,
                     help="comma list to restrict (ddpm,int8,int8_static,"
-                         "ddim50,dpm20,cache3,ee_dynamic,ee_static,"
-                         "ee_static_int8,ee_static_cache3,duodiff,"
-                         "duodiff_int8,interleave2,interleave4)")
+                         "ddim50,dpm20,cache3,cache3_int8,ee_dynamic,"
+                         "ee_static,ee_static_int8,ee_static_cache3,duodiff,"
+                         "duodiff_int8,duodiff_cache3,interleave2,"
+                         "interleave4)")
     args = ap.parse_args(argv)
 
     import eesampler as eesampler_cli
@@ -135,6 +136,14 @@ def main(argv=None):
         # t % 3 == 0 anchors) — scores the stale-delta approximation on the
         # same trained weights (bench row celeba_cache3)
         run_sampler("cache3", ["--cache_every", "3"])
+    if want("cache3_int8"):
+        # the bench.py TPU headline composition: block caching + int8 W8A8
+        # kernels in one sampler (bench row celeba_cache3_int8)
+        run_sampler("cache3_int8",
+                    ["--cache_every", "3", "--attn_impl", "fused_int8"])
+    if want("cache5"):
+        # staler-delta sweep point: anchors every 5 steps instead of 3
+        run_sampler("cache5", ["--cache_every", "5"])
 
     if args.shallow_config and args.shallow_checkpoint:
         # reference CLI contract: --config_path is the EARLY (shallow)
@@ -144,6 +153,9 @@ def main(argv=None):
         for name, extra in (
             ("duodiff", []),
             ("duodiff_int8", ["--attn_impl", "fused_int8"]),
+            # the late (full) model's segment block-cached (bench row
+            # celeba_duodiff_cache3)
+            ("duodiff_cache3", ["--cache_every", "3"]),
         ):
             if not want(name):
                 continue
