@@ -163,9 +163,12 @@ def main(argv=None):
     )
     variant_rows = [r for r in variant_rows if selected(r[0])]
     det_name = f"determinism {base_attn}/threefry (rerun)"
+    cache_row_names = ("block-cache every=3 vs dense",
+                       "block-cache every=5 vs dense",
+                       "block-cache every=3 + int8 vs dense")
     need_base = (bool(variant_rows) or selected(det_name)
                  or selected("DPM-20") or selected("rng rbg vs threefry")
-                 or selected("block-cache"))
+                 or any(selected(n) for n in cache_row_names))
 
     base = None
     if need_base:
@@ -197,17 +200,16 @@ def main(argv=None):
             "rbg_rerun_bitexact": bool(max_err(rbg[-1], rbg2[-1]) == 0.0),
         }
 
-    if selected("block-cache"):
-        # ---- block caching: stale middle-region delta vs dense ----
-        # Same RNG stream and kernels as the baseline (the stateful scan
-        # threads identical keys), so the deviation is PURELY the cached
-        # approximation — anchors every 3 steps, default n_outer.
-        print("block-cache every=3 vs dense ...", file=sys.stderr)
+    def cache_trajectory(every, attn, gelu):
+        # Same RNG stream and (for attn=base) kernels as the baseline (the
+        # stateful scan threads identical keys), so vs base the deviation
+        # is PURELY the cached approximation — anchors every N steps,
+        # default n_outer.
         from duodiff_tpu.diffusion import make_block_cached_apply
 
         model, params = init_uvit(
             cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16,
-            attn_impl=base_attn, gelu_approx=False,
+            attn_impl=attn, gelu_approx=gelu,
         )
         k_half = cfg.depth // 2
         n_outer = max(1, -(-k_half // 3))
@@ -220,7 +222,7 @@ def main(argv=None):
                 {"params": params}, x, t, y, n_outer=n_outer, delta=d,
                 method=model.forward_cached,
             ),
-            3, args.steps - 1,
+            every, args.steps - 1,
         )
         token_len = cfg.extras + cfg.num_patches
         cache_sampler = ChunkedDDPMSampler(
@@ -240,8 +242,25 @@ def main(argv=None):
             x, k, st = cache_sampler.run(x, k, t_hi, t_lo, state=st)
             snaps.append(jax.device_get(x))
             t_hi = t_lo - 1
-        results["block-cache every=3 vs dense"] = row(
+        return snaps
+
+    # ---- block caching: stale middle-region delta vs dense ----
+    for name, every in ((cache_row_names[0], 3), (cache_row_names[1], 5)):
+        if not selected(name):
+            continue
+        print(f"{name} ...", file=sys.stderr)
+        snaps = cache_trajectory(every, base_attn, False)
+        results[name] = row(
             snaps[-1], base[-1], "algorithmic",
+            traj=[max_err(a, b) for a, b in zip(snaps, base)],
+        )
+    if selected(cache_row_names[2]) and not args.smoke:
+        # the bench.py headline composition (int8 kernels + caching, tanh
+        # GELU as served) against the bf16 exact-GELU dense baseline
+        print("block-cache every=3 + int8 vs dense ...", file=sys.stderr)
+        snaps = cache_trajectory(3, "fused_int8", True)
+        results["block-cache every=3 + int8 vs dense"] = row(
+            snaps[-1], base[-1], "quantization+algorithmic",
             traj=[max_err(a, b) for a, b in zip(snaps, base)],
         )
 
