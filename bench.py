@@ -1,7 +1,8 @@
 """Headline benchmark: U-ViT CelebA-64, 1000-step DDPM sampling throughput.
 
 Prints exactly ONE JSON line:
-  {"metric": ..., "value": N, "unit": "samples/sec/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "samples/sec/chip", "vs_baseline": N,
+   "dense_int8_value": ..., "bf16_value": ...}
 
 Baseline: the reference repo publishes per-image generation times in
 demos/scatter_plots.ipynb (BASELINE.md); the CelebA-64 dense-model operating
@@ -12,9 +13,16 @@ The 1000-step reverse process runs as chunked on-device lax.scans (one
 compiled 100-step scan with a dynamic timestep vector, invoked 10x — bounded
 compile time on remote-compile TPU backends, bit-identical results) with the
 bf16 U-ViT forward using the Pallas VMEM-resident attention kernel.
+
+The TPU headline leg composes the two serving knobs whose quality is
+measured in README (trained-model palette stats + full-trajectory PSNR):
+int8 W8A8 kernels (67.2 dB vs bf16) and training-free block caching at
+cache_every=3 (67.7 dB; identical mode stats on the trained model). The
+dense-int8 and bf16 parity-numerics legs are reported alongside.
 Overridables: BENCH_BATCH, BENCH_STEPS, BENCH_CHUNK, BENCH_ATTN(xla|pallas),
-BENCH_REPS, BENCH_INT8_SCALES (a tools/calibrate_int8.py JSON — static MLP
-activation scales for the fused_int8 leg).
+BENCH_REPS, BENCH_CACHE_EVERY (block-cache anchor period for the headline
+leg; 0 disables caching), BENCH_INT8_SCALES (a tools/calibrate_int8.py
+JSON — static MLP activation scales for the fused_int8 legs).
 """
 
 import json
@@ -48,17 +56,23 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", "1000"))
     chunk = int(os.environ.get("BENCH_CHUNK", "100"))
     on_tpu = jax.default_backend() == "tpu"
-    # Default: measure BOTH the int8 W8A8 serving path (the headline; its
-    # quality is validated in README — 67 dB full-trajectory PSNR vs bf16,
-    # indistinguishable trained-model palette stats) and the bf16
-    # parity-numerics path, reported alongside. BENCH_ATTN=<impl> measures
-    # just that impl.
+    # Default legs on TPU, headline first: int8 + block-cache (the best
+    # single-model serving point, both knobs quality-validated in README),
+    # dense int8, and the bf16 parity-numerics path. BENCH_ATTN=<impl>
+    # measures just that impl (dense); BENCH_CACHE_EVERY tunes/disables
+    # the cache leg.
+    cache_every = int(os.environ.get("BENCH_CACHE_EVERY", "3"))
     if "BENCH_ATTN" in os.environ:
-        attns = [os.environ["BENCH_ATTN"]]
+        legs = [(os.environ["BENCH_ATTN"],
+                 cache_every if "BENCH_CACHE_EVERY" in os.environ else None)]
+        legs = [(a, c or None) for a, c in legs]
     elif on_tpu:
-        attns = ["fused_int8", "fused"]
+        legs = [("fused_int8", cache_every or None),
+                ("fused_int8", None), ("fused", None)]
+        if cache_every == 0:
+            legs = legs[1:]
     else:
-        attns = ["xla"]
+        legs = [("xla", None)]
     # tanh-approx GELU: below bf16 rounding, saves the VPU-bound erf
     # polynomial (~0.7 ms/block; duodiff_tpu.models.layers.Mlp docstring)
     gelu_approx = os.environ.get("BENCH_GELU", "tanh") == "tanh"
@@ -95,7 +109,7 @@ def main():
             print(f"bench: no static int8 scales ({e!r}); "
                   "using dynamic activation quantization", file=sys.stderr)
 
-    def measure(attn):
+    def measure(attn, cache=None):
         model, params = init_uvit(
             cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16, attn_impl=attn,
             gelu_approx=gelu_approx,
@@ -105,23 +119,55 @@ def main():
         # constant): keeps the ~90MB of weights out of the serialized
         # executable, which cuts cold compile and the persistent-cache
         # entry from 385MB to a few MB (see ChunkedDDPMSampler docstring)
-        sample = make_chunked_ddpm_sampler(
-            lambda p, x, t, y: model.apply({"params": p}, x, t, y),
-            schedule,
-            parametrization="predict_noise",
-            chunk=chunk,
-            params=params,
-        )
+        if cache:
+            # training-free block caching (sampler.py --cache_every): the
+            # centered blocks recompute on t % cache == 0 anchors, their
+            # residual delta rides the scan carry in between
+            from duodiff_tpu.diffusion import make_block_cached_apply
+            from duodiff_tpu.diffusion.sampling import ChunkedDDPMSampler
+
+            n_outer = max(1, -(-(cfg.depth // 2) // 3))
+
+            def apply(p, state, x, t, y):
+                inner = make_block_cached_apply(
+                    lambda xx, tt, yy: model.apply(
+                        {"params": p}, xx, tt, yy, n_outer=n_outer,
+                        method=model.forward_anchor,
+                    ),
+                    lambda xx, tt, yy, d: model.apply(
+                        {"params": p}, xx, tt, yy, n_outer=n_outer,
+                        delta=d, method=model.forward_cached,
+                    ),
+                    cache, steps - 1,
+                )
+                return inner(state, x, t, y)
+
+            token_len = cfg.extras + cfg.num_patches
+            sample = ChunkedDDPMSampler(
+                apply, schedule, parametrization="predict_noise",
+                chunk=chunk, params=params,
+                init_state_fn=lambda x: jnp.zeros(
+                    (x.shape[0], token_len, cfg.embed_dim), jnp.bfloat16
+                ),
+            ).sample
+        else:
+            sample = make_chunked_ddpm_sampler(
+                lambda p, x, t, y: model.apply({"params": p}, x, t, y),
+                schedule,
+                parametrization="predict_noise",
+                chunk=chunk,
+                params=params,
+            )
         print(
             f"bench: {steps}-step DDPM in {chunk}-step chunks, "
-            f"batch {batch}, attn={attn}, "
+            f"batch {batch}, attn={attn}, cache_every={cache}, "
             f"backend {jax.default_backend()}...",
             file=sys.stderr,
         )
         t0 = time.time()
         jax.block_until_ready(sample(jax.random.PRNGKey(0), shape))
-        print(f"bench[{attn}]: compile+first run {time.time() - t0:.1f}s",
-              file=sys.stderr)
+        print(f"bench[{attn},{cache}]: compile+first run "
+              f"{time.time() - t0:.1f}s", file=sys.stderr)
         t0 = time.time()
         for i in range(n_timed):
             x = jax.block_until_ready(
@@ -133,26 +179,35 @@ def main():
         # normalize to the 1000-step headline when BENCH_STEPS overrides
         return sps * steps / 1000.0
 
-    rates = {attns[0]: measure(attns[0])}
-    for attn in attns[1:]:
+    rates = {legs[0]: measure(*legs[0])}
+    for leg in legs[1:]:
         # secondary paths are best-effort: a flaky remote-compile on the
         # non-headline leg must not lose the headline measurement
         try:
-            rates[attn] = measure(attn)
+            rates[leg] = measure(*leg)
         except Exception as e:  # noqa: BLE001
-            print(f"bench[{attn}]: FAILED ({e!r})", file=sys.stderr)
-    head_attn = attns[0]
+            print(f"bench{leg}: FAILED ({e!r})", file=sys.stderr)
+    head_attn, head_cache = legs[0]
+    label = f"attn={head_attn}" + (
+        f", block-cache every {head_cache}" if head_cache else ""
+    )
     result = {
         "metric": "samples/sec/chip (U-ViT CelebA-64, 1000-step DDPM, "
-                  f"attn={head_attn})",
-        "value": round(rates[head_attn], 4),
+                  f"{label})",
+        "value": round(rates[legs[0]], 4),
         "unit": "samples/sec/chip",
-        "vs_baseline": round(rates[head_attn] / baseline, 3),
+        "vs_baseline": round(rates[legs[0]] / baseline, 3),
     }
-    if "fused" in rates and head_attn != "fused":
+    if ("fused_int8", None) in rates and legs[0] != ("fused_int8", None):
+        # the dense (uncached) int8 serving point
+        r = rates[("fused_int8", None)]
+        result["dense_int8_value"] = round(r, 4)
+        result["dense_int8_vs_baseline"] = round(r / baseline, 3)
+    if ("fused", None) in rates and legs[0] != ("fused", None):
         # the bf16 parity-numerics path, for the FID-parity claim
-        result["bf16_value"] = round(rates["fused"], 4)
-        result["bf16_vs_baseline"] = round(rates["fused"] / baseline, 3)
+        r = rates[("fused", None)]
+        result["bf16_value"] = round(r, 4)
+        result["bf16_vs_baseline"] = round(r / baseline, 3)
     print(json.dumps(result))
 
 

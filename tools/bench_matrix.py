@@ -42,7 +42,8 @@ def main(argv=None):
         "celeba_static_exit,celeba_static_exit_int8,"
         "celeba_static_exit_cache3,celeba_static_exit_cache3_int8,"
         "celeba_ee_threshold,celeba_dpm20,cifar10,imagenet64,imagenet256,"
-        "imagenet256_decoded,imagenet256_int8,imagenet64_int8"
+        "imagenet256_decoded,imagenet256_int8,imagenet64_int8,"
+        "imagenet64_cache3_int8,imagenet256_cache3_int8"
     ))
     p.add_argument("--output", type=str, default="bench_matrix.json")
     args = p.parse_args(argv)
@@ -316,6 +317,12 @@ def main(argv=None):
     run("celeba_cache5_int8",
         lambda: cache_fn("uvit_celeba.yaml", every=5,
                          attn_impl="fused_int8"))
+    # the big models benefit most: cached steps skip 13 of 17 (imagenet64)
+    # / 15 of 21 (imagenet256) blocks
+    run("imagenet64_cache3_int8",
+        lambda: cache_fn("uvit_imagenet64.yaml", attn_impl="fused_int8"))
+    run("imagenet256_cache3_int8",
+        lambda: cache_fn("uvit_imagenet256.yaml", attn_impl="fused_int8"))
 
     def ddim_fn():
         apply_fn, params, cfg = load("uvit_celeba.yaml")
