@@ -76,6 +76,24 @@ class ContinuousDiffusionBatcher:
     params-first closure the chunked samplers take; guidance wrappers
     (make_guided_apply) compose unchanged. ``y=None`` is passed for
     unconditional models (``conditional=False``).
+
+    ``cache=(apply_anchor, apply_cached, every, init_state)`` composes
+    training-free block caching (the sampler CLIs' ``--cache_every``) into
+    the mixed-timestep loop. SPMD needs the anchor/cached branch to be
+    slot-UNIFORM, so admissions are restricted to **phase-aligned waves**:
+    a request may only be admitted when ``can_admit_cached()`` is true
+    (global step counter ≡ 0 mod ``every``); every in-flight slot then
+    shares the same step-phase and the whole batch anchors together on
+    ``w % every == 0`` steps. Per-slot trajectories are bit-identical to
+    the corresponding sequential cached sampler: index-anchored
+    ``dpm_solver_sample(cache=...)`` for method="dpm"; for method="ddpm"
+    the t-anchored ``--cache_every`` convention requires
+    ``(schedule.steps - 1) % every == 0`` (e.g. every=3 at 1000 steps) so
+    that a fresh slot's first step is itself an anchor — enforced at
+    construction. apply_anchor/apply_cached are params-first like
+    ``apply_fn``: ``apply_anchor(params, x, t, y) -> (out, delta)``,
+    ``apply_cached(params, x, t, y, delta) -> out``;
+    ``init_state(x_slots) -> delta0`` builds the zero cache.
     """
 
     def __init__(
@@ -96,6 +114,7 @@ class ContinuousDiffusionBatcher:
         steps_per_poll: int = 5,
         conditional: bool = False,
         mesh=None,
+        cache: Optional[tuple] = None,
     ):
         if slots < 1:
             raise ValueError(f"slots must be >= 1, got {slots}")
@@ -109,6 +128,26 @@ class ContinuousDiffusionBatcher:
         self.params = params
         self.conditional = conditional
         self.steps_per_poll = steps_per_poll
+        if cache is not None:
+            if method not in ("ddpm", "dpm"):
+                raise ValueError(
+                    f"cache composes with ddpm/dpm methods, not {method!r}"
+                )
+            if cache[2] < 1:
+                raise ValueError(f"cache every must be >= 1, got {cache[2]}")
+            if method == "ddpm" and (schedule.steps - 1) % cache[2] != 0:
+                raise ValueError(
+                    "ddpm block caching in the continuous batcher needs "
+                    f"(steps - 1) % every == 0 so a fresh slot's first "
+                    f"step is an anchor (steps={schedule.steps}, "
+                    f"every={cache[2]}); use e.g. every=3 at 1000 steps"
+                )
+        self.cache = cache
+        self.cache_every = cache[2] if cache is not None else 1
+        # host mirror of the device-side global step counter state["w"]
+        # (advance() adds steps_per_poll); admissions must be phase-aligned
+        # when caching — see can_admit_cached()
+        self._w_host = 0
 
         if method == "ddpm":
             t_int = jnp.arange(schedule.steps - 1, -1, -1, dtype=jnp.int32)
@@ -172,10 +211,34 @@ class ContinuousDiffusionBatcher:
         n_trans = self.n_trans
         t_model_tab = tab["t_model"]
 
+        cache_every = self.cache_every
+
         def _step(params, state):
             ic = jnp.clip(state["i"], 0, n_trans - 1)
             y = state["y"] if conditional else None
-            mo = apply_fn(params, state["x"], t_model_tab[ic], y)
+            t_model = t_model_tab[ic]
+            extra = {}
+            if cache is None:
+                mo = apply_fn(params, state["x"], t_model, y)
+            else:
+                # phase-aligned admissions make every in-flight slot share
+                # the same step-phase, so the anchor/cached decision is one
+                # scalar: the global step counter's phase. See the class
+                # docstring for why this reproduces the sequential cached
+                # samplers' per-slot trajectories exactly.
+                apply_anchor, apply_cached = cache[0], cache[1]
+                use_anchor = (state["w"] % cache_every) == 0
+
+                def anchor(_d):
+                    return apply_anchor(params, state["x"], t_model, y)
+
+                def cached(d):
+                    return apply_cached(params, state["x"], t_model, y, d), d
+
+                mo, new_delta = jax.lax.cond(
+                    use_anchor, anchor, cached, state["delta"]
+                )
+                extra = {"delta": new_delta, "w": state["w"] + 1}
             new_x, new_x0p, new_key = jax.vmap(one_slot)(
                 mo, state["x"], state["x0_prev"], state["key"], ic
             )
@@ -193,6 +256,7 @@ class ContinuousDiffusionBatcher:
                 "i": jnp.where(live, state["i"] + 1, state["i"]),
                 "active": state["active"],
                 "y": state["y"],
+                **extra,
             }
 
         k = steps_per_poll
@@ -207,6 +271,7 @@ class ContinuousDiffusionBatcher:
             k1, init_key = jax.random.split(req_key)
             x0 = jax.random.normal(init_key, self.img_shape, dtype=jnp.float32)
             return {
+                **state,  # passthrough extras (cache delta, step counter)
                 "x": state["x"].at[slot].set(x0),
                 "x0_prev": state["x0_prev"].at[slot].set(0.0),
                 "key": state["key"].at[slot].set(k1),
@@ -233,6 +298,7 @@ class ContinuousDiffusionBatcher:
                 )
 
             return {
+                **state,  # passthrough extras (cache delta, step counter)
                 "x": sel(x0s, state["x"]),
                 "x0_prev": sel(jnp.zeros_like(x0s), state["x0_prev"]),
                 "key": sel(k1s, state["key"]),
@@ -272,6 +338,9 @@ class ContinuousDiffusionBatcher:
             "active": jnp.zeros((s,), bool),
             "y": jnp.zeros((s,), jnp.int32),
         }
+        if cache is not None:
+            self.state["delta"] = cache[3](self.state["x"])
+            self.state["w"] = jnp.zeros((), jnp.int32)
         if mesh is not None:
             # multi-chip serving: shard the slot axis over the mesh's data
             # axes — every device step then advances slots/n_data in-flight
@@ -290,7 +359,8 @@ class ContinuousDiffusionBatcher:
                     f"{n_data} data shards"
                 )
             self.state = {
-                k: jax.device_put(v, batch_sharding(mesh, v.ndim))
+                k: (jax.device_put(v, batch_sharding(mesh, v.ndim))
+                    if v.ndim > 0 else v)  # "w" is a replicated scalar
                 for k, v in self.state.items()
             }
         # host mirror of per-slot progress: slot -> steps completed
@@ -310,6 +380,7 @@ class ContinuousDiffusionBatcher:
     # speedup at 1.12x.)
 
     def admit(self, slot: int, key: jax.Array, class_id: Optional[int] = None):
+        self._assert_admissible()
         y = jnp.asarray(0 if class_id is None else int(class_id), jnp.int32)
         self.state = self._admit_fn(self.state, slot, key, y)
         self.steps_done[slot] = 0
@@ -319,6 +390,7 @@ class ContinuousDiffusionBatcher:
         Bit-identical to per-slot admit() calls."""
         if not assignments:
             return
+        self._assert_admissible()
         mask = np.zeros((self.slots,), bool)
         keys = np.zeros(self.state["key"].shape, self.state["key"].dtype)
         ys = np.zeros((self.slots,), np.int32)
@@ -371,8 +443,25 @@ class ContinuousDiffusionBatcher:
         ``slots`` order."""
         return self.begin_finish(slots)()
 
+    def can_admit_cached(self) -> bool:
+        """True when admissions are allowed right now. Always true without
+        caching; with caching, only on phase-aligned waves (global step
+        counter ≡ 0 mod every) so the new slot's first step is an anchor
+        and the whole batch stays phase-uniform. The serving loop holds
+        pending requests for at most every-1 waves."""
+        return self.cache is None or self._w_host % self.cache_every == 0
+
+    def _assert_admissible(self):
+        if not self.can_admit_cached():
+            raise RuntimeError(
+                "cached batcher: admissions only on phase-aligned waves "
+                f"(w={self._w_host}, every={self.cache_every}); check "
+                "can_admit_cached() before admitting"
+            )
+
     def advance(self):
         self.state = self._advance_fn(self.params, self.state)
+        self._w_host += self.steps_per_poll
         for slot, done in self.steps_done.items():
             self.steps_done[slot] = min(done + self.steps_per_poll,
                                         self.n_trans)
@@ -410,12 +499,13 @@ class ContinuousDiffusionBatcher:
         slot_owner: dict[int, int] = {}
         while pending or slot_owner:
             wave = {}
-            for slot in self.free_slots():
-                if not pending:
-                    break
-                job_id, (key, class_id) = pending.pop(0)
-                wave[slot] = (key, class_id)
-                slot_owner[slot] = job_id
+            if self.can_admit_cached():
+                for slot in self.free_slots():
+                    if not pending:
+                        break
+                    job_id, (key, class_id) = pending.pop(0)
+                    wave[slot] = (key, class_id)
+                    slot_owner[slot] = job_id
             self.admit_many(wave)
             self.advance()
             done = self.finished()

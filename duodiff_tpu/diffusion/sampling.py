@@ -938,6 +938,7 @@ def dpm_solver_sample(
     parametrization: str = "predict_noise",
     y: Optional[jax.Array] = None,
     x_init: Optional[jax.Array] = None,
+    cache: Optional[tuple] = None,
 ):
     """DPM-Solver++ multistep sampling (Lu et al. 2022, arXiv:2211.01095) —
     a training-free fast ODE solver: ~20 model calls reach near-1000-step
@@ -956,6 +957,17 @@ def dpm_solver_sample(
       D_i = (1 + 1/(2 r_i)) x0_{i-1} - 1/(2 r_i) x0_{i-2},
       h_i = lambda_i - lambda_{i-1},  r_i = h_{i-1} / h_i
       (first step: D_1 = x0_0).
+
+    ``cache=(apply_anchor, apply_cached, every, init_state)`` composes
+    training-free block caching (:func:`make_block_cached_apply`'s
+    anchor/cached model pair) into the solver: transition ``i`` runs the
+    full ``apply_anchor(x, t, y) -> (out, delta)`` when ``i % every == 0``
+    (the first transition always anchors — the zero-initialized delta is
+    never consumed) and the cheap ``apply_cached(x, t, y, delta)``
+    otherwise. Anchoring is INDEX-based here, not t-based like the DDPM
+    sampler's ``t % every == 0``: the DPM grid's t values are ~steps/
+    dpm_steps apart, so t-modulus anchoring would be meaningless.
+    ``apply_fn`` is ignored when ``cache`` is given.
     """
     assert order in (1, 2), order
     consts = dpm_solver_tables(schedule, dpm_steps)
@@ -972,17 +984,43 @@ def dpm_solver_sample(
         assert parametrization == "predict_noise", parametrization
         return (x - c["sigma_prev"] * model_output) / c["alpha_prev"]
 
-    def body(carry, c):
-        x, x0_prev = carry
+    if cache is not None:
+        apply_anchor, apply_cached, every, init_state = cache
+        if every < 1:
+            raise ValueError(f"cache every must be >= 1, got {every}")
+
+    def model_call(x, t_batch, delta, i):
+        if cache is None:
+            return apply_fn(x, t_batch, y), delta
+        use_anchor = (i % every) == 0
+
+        def anchor(_d):
+            return apply_anchor(x, t_batch, y)
+
+        def cached(d):
+            return apply_cached(x, t_batch, y, d), d
+
+        return jax.lax.cond(use_anchor, anchor, cached, delta)
+
+    def body(carry, ci):
+        x, x0_prev, delta = carry
+        c, i = ci
         t_batch = jnp.full((batch,), c["t_prev"], dtype=jnp.float32)
-        x0 = to_x0(apply_fn(x, t_batch, y), x, c)
+        mo, delta = model_call(x, t_batch, delta, i)
+        x0 = to_x0(mo, x, c)
         if order == 1:
             d = x0
         else:
             d2 = c["c_cur"] * x0 - c["c_prev"] * x0_prev
             d = jnp.where(c["is_first"] > 0, x0, d2)
         x = c["sigma_ratio"] * x - c["alpha_t"] * c["phi"] * d
-        return (x, x0), None
+        return (x, x0, delta), None
 
-    (x, _), _ = jax.lax.scan(body, (x, jnp.zeros_like(x)), consts)
+    n_trans = int(consts["phi"].shape[0])
+    delta0 = init_state(x) if cache is not None else jnp.zeros((0,))
+    (x, _, _), _ = jax.lax.scan(
+        body,
+        (x, jnp.zeros_like(x), delta0),
+        (consts, jnp.arange(n_trans, dtype=jnp.int32)),
+    )
     return x

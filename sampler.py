@@ -306,6 +306,37 @@ def main(argv=None):
         ))(params, late[1] if late else None, key, y, x_init)
         return x, list(inter)
 
+    def cache_n_outer(model_cfg):
+        k_half = model_cfg.depth // 2
+        n_outer = (
+            args.cache_outer
+            if args.cache_outer is not None
+            else max(1, -(-k_half // 3))
+        )
+        if not 1 <= n_outer <= k_half:
+            raise SystemExit(
+                f"--cache_outer must be in [1, {k_half}] for depth "
+                f"{model_cfg.depth}, got {n_outer}"
+            )
+        return n_outer
+
+    def cache_fns(p, n_outer):
+        """(anchor, cached, init_state) closures over params ``p`` for the
+        block-cache model pair (UViT.forward_anchor / forward_cached)."""
+        anchor = lambda xx, tt, yy2: model.apply(  # noqa: E731
+            {"params": p}, xx, tt, yy2, n_outer=n_outer,
+            method=model.forward_anchor,
+        )
+        cached = lambda xx, tt, yy2, d: model.apply(  # noqa: E731
+            {"params": p}, xx, tt, yy2, n_outer=n_outer, delta=d,
+            method=model.forward_cached,
+        )
+        token_len = cfg.extras + cfg.num_patches
+        init_state = lambda xx: jnp.zeros(  # noqa: E731
+            (xx.shape[0], token_len, cfg.embed_dim), model.dtype
+        )
+        return anchor, cached, init_state
+
     def run_dpm(key, y):
         x_init = None
         if batch_shard is not None:
@@ -313,15 +344,28 @@ def main(argv=None):
             x_init = jax.device_put(
                 jax.random.normal(ik, shape, jnp.float32), batch_shard
             )
-        x = jax.jit(lambda p, k, yy, xi: dpm_solver_sample(
-            lambda xx, tt, yy2: apply_early(p, xx, tt, yy2),
-            k, schedule=schedule, shape=shape,
-            dpm_steps=args.dpm_steps, order=args.dpm_order,
-            parametrization=args.parametrization
-            if args.parametrization != "predict_previous"
-            else "predict_noise",
-            y=yy, x_init=xi,
-        ))(params, key, y, x_init)
+
+        def sample(p, k, yy, xi):
+            cache = None
+            if args.cache_every is not None:
+                # block caching composed into the solver: anchors every
+                # --cache_every TRANSITIONS (index-based; see
+                # dpm_solver_sample's cache contract)
+                anchor, cached, init_state = cache_fns(
+                    p, cache_n_outer(cfg)
+                )
+                cache = (anchor, cached, args.cache_every, init_state)
+            return dpm_solver_sample(
+                lambda xx, tt, yy2: apply_early(p, xx, tt, yy2),
+                k, schedule=schedule, shape=shape,
+                dpm_steps=args.dpm_steps, order=args.dpm_order,
+                parametrization=args.parametrization
+                if args.parametrization != "predict_previous"
+                else "predict_noise",
+                y=yy, x_init=xi, cache=cache,
+            )
+
+        x = jax.jit(sample)(params, key, y, x_init)
         return x, []
 
     def run_ddpm(key, y):
@@ -471,38 +515,16 @@ def main(argv=None):
         centered region self-contained)."""
         from duodiff_tpu.diffusion import make_block_cached_apply
 
-        k_half = cfg.depth // 2
-        n_outer = (
-            args.cache_outer
-            if args.cache_outer is not None
-            else max(1, -(-k_half // 3))
-        )
-        if not 1 <= n_outer <= k_half:
-            raise SystemExit(
-                f"--cache_outer must be in [1, {k_half}] for depth "
-                f"{cfg.depth}, got {n_outer}"
-            )
+        n_outer = cache_n_outer(cfg)
 
         def apply_fn(p, state, x, t, yy):
+            anchor, cached, _ = cache_fns(p, n_outer)
             inner = make_block_cached_apply(
-                lambda xx, tt, yy2: model.apply(
-                    {"params": p}, xx, tt, yy2, n_outer=n_outer,
-                    method=model.forward_anchor,
-                ),
-                lambda xx, tt, yy2, d: model.apply(
-                    {"params": p}, xx, tt, yy2, n_outer=n_outer, delta=d,
-                    method=model.forward_cached,
-                ),
-                args.cache_every, steps - 1,
+                anchor, cached, args.cache_every, steps - 1
             )
             return inner(state, x, t, yy)
 
-        token_len = cfg.extras + cfg.num_patches
-
-        def init_state(x):
-            return jnp.zeros(
-                (x.shape[0], token_len, cfg.embed_dim), model.dtype
-            )
+        init_state = cache_fns(params, n_outer)[2]
 
         sampler = ChunkedDDPMSampler(
             apply_fn, schedule, parametrization=args.parametrization,
@@ -551,15 +573,18 @@ def main(argv=None):
     if args.cache_every is not None:
         if args.cache_every < 1:
             raise SystemExit("--cache_every must be >= 1")
-        if (args.use_ddim or args.use_dpm_solver or args.pipeline_parallel
+        if (args.use_ddim or args.pipeline_parallel
                 or args.interleave_every is not None or timesteps_save
                 or args.guidance_scale is not None):
-            raise SystemExit("--cache_every supports plain DDPM sampling "
-                             "(single model, or the DuoDiff pair with "
-                             "--t_switch — the full model's segment runs "
-                             "cached; no DDIM/DPM/pipeline/"
-                             "--interleave_every/--timesteps_save/"
-                             "--guidance_scale)")
+            raise SystemExit("--cache_every supports plain DDPM or "
+                             "DPM-Solver sampling (single model, or the "
+                             "DuoDiff pair with --t_switch — the full "
+                             "model's segment runs cached; no DDIM/"
+                             "pipeline/--interleave_every/"
+                             "--timesteps_save/--guidance_scale)")
+        if args.use_dpm_solver and late is not None:
+            raise SystemExit("--cache_every with --use_dpm_solver supports "
+                             "the single-model solver only")
         if late is not None and args.t_switch is None:
             raise SystemExit("--cache_every with a late model needs "
                              "--t_switch (the cached segment starts at the "
@@ -569,7 +594,8 @@ def main(argv=None):
 
     print(f"Sampling {args.batch_size} images on {jax.devices()[0].platform}...")
     tic = time.time()
-    if args.cache_every is not None and late is None:
+    if (args.cache_every is not None and late is None
+            and not args.use_dpm_solver):
         x, intermediates = run_block_cached(key, y)
     elif args.interleave_every is not None:
         x, intermediates = run_interleaved(key, y)

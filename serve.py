@@ -85,6 +85,15 @@ def get_args(argv=None):
                    help="continuous mode: device steps per host poll — "
                         "amortizes the host round-trip; finished slots "
                         "wait at most this many extra steps")
+    p.add_argument("--cache_every", type=int, default=None,
+                   help="training-free block caching (sampler.py's "
+                        "--cache_every): recompute the centered blocks "
+                        "only on anchor steps. dpm/ddpm methods; in "
+                        "continuous mode admissions are phase-aligned so "
+                        "the whole slot batch anchors together")
+    p.add_argument("--cache_outer", type=int, default=None,
+                   help="blocks per side recomputed every step under "
+                        "--cache_every (default ceil(depth/2 / 3))")
     return p.parse_args(argv)
 
 
@@ -181,6 +190,55 @@ class _ServiceBase:
         self.steps = steps
         self.method = method
 
+        # training-free block caching (see sampler.py run_block_cached /
+        # dpm_solver_sample's cache contract): params-first anchor/cached
+        # closures over the loaded model, shared by both serving modes
+        self.cache = None
+        if args.cache_every is not None:
+            if args.cache_every < 1:
+                raise SystemExit("--cache_every must be >= 1")
+            if method not in ("dpm", "ddpm"):
+                raise SystemExit(
+                    "--cache_every serving supports dpm/ddpm methods"
+                )
+            if args.guidance_scale is not None:
+                raise SystemExit(
+                    "--cache_every does not compose with --guidance_scale"
+                )
+            k_half = cfg.depth // 2
+            n_outer = (
+                args.cache_outer if args.cache_outer is not None
+                else max(1, -(-k_half // 3))
+            )
+            if not 1 <= n_outer <= k_half:
+                raise SystemExit(
+                    f"--cache_outer must be in [1, {k_half}] for depth "
+                    f"{cfg.depth}, got {n_outer}"
+                )
+            token_len = cfg.extras + cfg.num_patches
+
+            def cache_anchor(p, x, t, y):
+                return model.apply(
+                    {"params": p}, x, t, y, n_outer=n_outer,
+                    method=model.forward_anchor,
+                )
+
+            def cache_cached(p, x, t, y, d):
+                return model.apply(
+                    {"params": p}, x, t, y, n_outer=n_outer, delta=d,
+                    method=model.forward_cached,
+                )
+
+            def cache_init(x):
+                return jnp.zeros(
+                    (x.shape[0], token_len, cfg.embed_dim), model.dtype
+                )
+
+            self.cache = (cache_anchor, cache_cached, args.cache_every,
+                          cache_init)
+        elif args.cache_outer is not None:
+            raise SystemExit("--cache_outer requires --cache_every")
+
     def _resolve_labels(self, seed, class_id, count):
         """Validate class_id and return a (count,) int32 label array, or
         None for unconditional models. Identical semantics in both serving
@@ -262,12 +320,22 @@ class SamplerService(_ServiceBase):
             dpm_solver_sample,
         )
 
+        cache = self.cache
         if self.method == "dpm":
-            self._run = jax.jit(lambda p, k, y: dpm_solver_sample(
-                lambda xx, tt, yy: apply_fn(p, xx, tt, yy), k,
-                schedule=schedule, shape=self.shape, dpm_steps=self.steps,
-                parametrization=args.parametrization, y=y,
-            ))
+            def run_dpm(p, k, y):
+                c = None
+                if cache is not None:
+                    c = (lambda xx, tt, yy: cache[0](p, xx, tt, yy),
+                         lambda xx, tt, yy, d: cache[1](p, xx, tt, yy, d),
+                         cache[2], cache[3])
+                return dpm_solver_sample(
+                    lambda xx, tt, yy: apply_fn(p, xx, tt, yy), k,
+                    schedule=schedule, shape=self.shape,
+                    dpm_steps=self.steps,
+                    parametrization=args.parametrization, y=y, cache=c,
+                )
+
+            self._run = jax.jit(run_dpm)
         elif self.method == "ddim":
             # ddim_sample is predict_noise-form (reference sampler.py:103-126)
             self._run = jax.jit(lambda p, k, y: ddim_sample(
@@ -276,10 +344,27 @@ class SamplerService(_ServiceBase):
                 eta=0.0, y=y,
             )[0])
         else:  # ddpm
-            sampler = ChunkedDDPMSampler(
-                apply_fn, schedule,
-                parametrization=args.parametrization, params=params,
-            )
+            if cache is not None:
+                from duodiff_tpu.diffusion import make_block_cached_apply
+
+                def cached_apply(p, state, x, t, y):
+                    inner = make_block_cached_apply(
+                        lambda xx, tt, yy: cache[0](p, xx, tt, yy),
+                        lambda xx, tt, yy, d: cache[1](p, xx, tt, yy, d),
+                        cache[2], schedule.steps - 1,
+                    )
+                    return inner(state, x, t, y)
+
+                sampler = ChunkedDDPMSampler(
+                    cached_apply, schedule,
+                    parametrization=args.parametrization, params=params,
+                    init_state_fn=cache[3],
+                )
+            else:
+                sampler = ChunkedDDPMSampler(
+                    apply_fn, schedule,
+                    parametrization=args.parametrization, params=params,
+                )
             # params already threaded at construction; sample returns x
             self._run = lambda p, k, y: sampler.sample(k, self.shape, y=y)
 
@@ -331,6 +416,7 @@ class ContinuousSamplerService(_ServiceBase):
             ddim_steps=self.steps, dpm_steps=self.steps,
             steps_per_poll=args.steps_per_poll,
             conditional=cfg.num_classes > 0,
+            cache=self.cache,
         )
         self._cv = threading.Condition()
         self._queue = collections.deque()  # (key, y_scalar, future)
@@ -375,14 +461,23 @@ class ContinuousSamplerService(_ServiceBase):
                         self._slot_jobs.clear()
                         return
                     wave = {}
-                    for slot in batcher.free_slots():
-                        if not self._queue:
-                            break
-                        key, y, fut = self._queue.popleft()
-                        wave[slot] = (key, y)
-                        self._slot_jobs[slot] = fut
+                    # cached batcher: admissions only on phase-aligned
+                    # waves (every in-flight slot must share the anchor
+                    # phase); held requests wait at most every-1 waves
+                    if batcher.can_admit_cached():
+                        for slot in batcher.free_slots():
+                            if not self._queue:
+                                break
+                            key, y, fut = self._queue.popleft()
+                            wave[slot] = (key, y)
+                            self._slot_jobs[slot] = fut
                     batcher.admit_many(wave)
-                if self._slot_jobs:
+                    # queued-but-unadmitted requests (no free slot, or
+                    # phase-blocked admission) need the advance below to
+                    # make progress — without it a phase-blocked idle
+                    # batcher would spin forever at the same phase
+                    queued = bool(self._queue)
+                if self._slot_jobs or queued:
                     batcher.advance()
                 if deferred is not None:
                     for fut, img in zip(deferred[0], deferred[1]()):

@@ -149,3 +149,86 @@ def test_matches_manual_alternation(model):
         )
         x = sched.step("predict_noise", eps, x, t, z, "beta_tilde")
     np.testing.assert_allclose(got, np.asarray(x), atol=1e-5)
+
+
+def _dpm_cache_tuple(m, p, every):
+    return (
+        lambda xx, tt, yy: m.apply(
+            {"params": p}, xx, tt, yy, n_outer=1, method=m.forward_anchor,
+        ),
+        lambda xx, tt, yy, d: m.apply(
+            {"params": p}, xx, tt, yy, n_outer=1, delta=d,
+            method=m.forward_cached,
+        ),
+        every,
+        lambda xx: jnp.zeros((xx.shape[0], _token_len(), CFG.embed_dim)),
+    )
+
+
+def test_dpm_cached_every_one_equals_dense(model):
+    """cache every=1 anchors every solver transition -> bit-identical to
+    the dense DPM-Solver++ run (forward_anchor's prediction == __call__)."""
+    from duodiff_tpu.diffusion.sampling import dpm_solver_sample
+
+    m, p = model
+    shape = (2, 16, 16, 3)
+    sched = NoiseSchedule.create(steps=50)
+    key = jax.random.PRNGKey(11)
+    dense = dpm_solver_sample(
+        lambda xx, tt, yy: m.apply({"params": p}, xx, tt, yy),
+        key, schedule=sched, shape=shape, dpm_steps=8,
+    )
+    cached = dpm_solver_sample(
+        lambda *a: None, key, schedule=sched, shape=shape, dpm_steps=8,
+        cache=_dpm_cache_tuple(m, p, every=1),
+    )
+    np.testing.assert_array_equal(np.asarray(cached), np.asarray(dense))
+
+
+def test_dpm_cached_matches_manual_alternation(model):
+    """Index-based anchoring inside the solver scan is bit-identical to a
+    manual host loop over dpm_solver_tables that runs forward_anchor on
+    transitions i % every == 0 and forward_cached with the last anchor's
+    delta elsewhere (order-2 multistep update replicated host-side)."""
+    from duodiff_tpu.diffusion.sampling import (
+        dpm_solver_sample,
+        dpm_solver_tables,
+    )
+
+    m, p = model
+    every, dpm_steps = 2, 7
+    shape = (2, 16, 16, 3)
+    sched = NoiseSchedule.create(steps=40)
+    key = jax.random.PRNGKey(13)
+    got = np.asarray(dpm_solver_sample(
+        lambda *a: None, key, schedule=sched, shape=shape,
+        dpm_steps=dpm_steps, cache=_dpm_cache_tuple(m, p, every=every),
+    ))
+
+    consts = {k: np.asarray(v) for k, v in
+              dpm_solver_tables(sched, dpm_steps).items()}
+    _, init_key = jax.random.split(key)
+    x = jax.random.normal(init_key, shape)
+    x0_prev = jnp.zeros_like(x)
+    delta = None
+    for i in range(consts["phi"].shape[0]):
+        tb = jnp.full((shape[0],), float(consts["t_prev"][i]))
+        if i % every == 0:
+            eps, delta = m.apply(
+                {"params": p}, x, tb, None, n_outer=1,
+                method=m.forward_anchor,
+            )
+        else:
+            eps = m.apply(
+                {"params": p}, x, tb, None, n_outer=1, delta=delta,
+                method=m.forward_cached,
+            )
+        x0 = (x - consts["sigma_prev"][i] * eps) / consts["alpha_prev"][i]
+        if consts["is_first"][i] > 0:
+            d = x0
+        else:
+            d = consts["c_cur"][i] * x0 - consts["c_prev"][i] * x0_prev
+        x = (consts["sigma_ratio"][i] * x
+             - consts["alpha_t"][i] * consts["phi"][i] * d)
+        x0_prev = x0
+    np.testing.assert_allclose(got, np.asarray(x), atol=1e-5)

@@ -558,6 +558,34 @@ def test_sampler_cli_dpm_solver(tmp_path, tiny_config):
     assert (out / "0.png").exists() and (out / "grid_image.png").exists()
 
 
+def test_sampler_cli_dpm_solver_block_cached(tmp_path, tiny_config):
+    """--cache_every composes with --use_dpm_solver (index-anchored; see
+    dpm_solver_sample's cache contract). every=1 anchors every transition
+    so it must reproduce the dense DPM run bit for bit; every=3 must
+    differ (stale deltas actually consumed)."""
+    from PIL import Image
+
+    def run(out, extra=()):
+        sampler_cli.main([
+            "--config_path", str(tiny_config),
+            "--batch_size", "2",
+            "--parametrization", "predict_noise",
+            "--output_folder", str(out),
+            "--random_init",
+            "--num_timesteps", "50",
+            "--use_dpm_solver",
+            "--dpm_steps", "8",
+            "--seed", "6",
+        ] + list(extra))
+        return np.asarray(Image.open(out / "0.png"))
+
+    dense = run(tmp_path / "dpm_dense")
+    anchored = run(tmp_path / "dpm_c1", ["--cache_every", "1"])
+    np.testing.assert_array_equal(anchored, dense)
+    stale = run(tmp_path / "dpm_c3", ["--cache_every", "3"])
+    assert np.any(stale != dense)
+
+
 def test_main_cli_distillation(tmp_path, tiny_train_config, cifar_data):
     """--distill_config trains the student against a (here random-init)
     teacher and logs the distillation metrics."""

@@ -317,6 +317,121 @@ def test_validation_errors():
 
 
 # ---------------------------------------------------------------------------
+# block caching composed into the batcher (phase-aligned admissions)
+# ---------------------------------------------------------------------------
+
+
+def stub_anchor(params, x, t, y):
+    """Stub anchor/cached pair with real stale-delta semantics: the delta
+    depends on x, so consuming a stale one changes the output — any
+    phase-misalignment bug shows up as a bit-mismatch vs sequential."""
+    out = stub_apply(params, x, t, y)
+    delta = jnp.mean(x, axis=(1, 2, 3))[:, None] * jnp.ones((1, 4))
+    return out + 0.05 * jnp.mean(delta, axis=1)[:, None, None, None], delta
+
+
+def stub_cached(params, x, t, y, d):
+    out = stub_apply(params, x, t, y)
+    return out + 0.05 * jnp.mean(d, axis=1)[:, None, None, None]
+
+
+def _cache_tuple(every):
+    return (stub_anchor, stub_cached, every,
+            lambda x: jnp.zeros((x.shape[0], 4)))
+
+
+def _seq_cached(method, key, *, sched, every, steps=6):
+    """Dedicated bucket-1 sequential CACHED run (what sampler.py's
+    --cache_every executes): t-anchored ChunkedDDPMSampler for ddpm,
+    index-anchored dpm_solver_sample for dpm."""
+    from duodiff_tpu.diffusion import make_block_cached_apply
+
+    shape = (1,) + IMG
+    if method == "ddpm":
+        def apply_fn(params, state, x, t, y):
+            inner = make_block_cached_apply(
+                lambda xx, tt, yy: stub_anchor(params, xx, tt, yy),
+                lambda xx, tt, yy, d: stub_cached(params, xx, tt, yy, d),
+                every, sched.steps - 1,
+            )
+            return inner(state, x, t, y)
+
+        sampler = ChunkedDDPMSampler(
+            apply_fn, sched, parametrization="predict_noise", params=PARAMS,
+            init_state_fn=lambda x: jnp.zeros((x.shape[0], 4)),
+        )
+        return np.asarray(sampler.sample(key, shape))[0]
+    assert method == "dpm"
+    x = dpm_solver_sample(
+        lambda *a: None, key, schedule=sched, shape=shape, dpm_steps=steps,
+        cache=(
+            lambda xx, tt, yy: stub_anchor(PARAMS, xx, tt, yy),
+            lambda xx, tt, yy, d: stub_cached(PARAMS, xx, tt, yy, d),
+            every,
+            lambda xx: jnp.zeros((xx.shape[0], 4)),
+        ),
+    )
+    return np.asarray(x)[0]
+
+
+@pytest.mark.parametrize("method,steps,every", [
+    ("ddpm", 13, 3),   # (steps-1) % every == 0: t-anchor covers i == 0
+    ("dpm", 12, 2),    # index-anchored: any every
+])
+def test_cached_staggered_jobs_match_sequential(method, steps, every):
+    """5 jobs through 2 slots of a CACHED batcher (admissions held to
+    phase-aligned waves) == 5 dedicated sequential cached runs, bit-exact —
+    the continuous-serving form of the --cache_every contract."""
+    sched = NoiseSchedule.create(steps=steps)
+    batcher = ContinuousDiffusionBatcher(
+        stub_apply, sched, img_shape=IMG, slots=2, params=PARAMS,
+        method=method, dpm_steps=6, steps_per_poll=2,
+        cache=_cache_tuple(every),
+    )
+    keys = [jax.random.PRNGKey(300 + j) for j in range(5)]
+    got = batcher.run_jobs([(k, None) for k in keys])
+    for j, k in enumerate(keys):
+        want = _seq_cached(method, k, sched=sched, every=every)
+        np.testing.assert_array_equal(np.asarray(got[j]), want)
+    # and caching is not a no-op: the cached result differs from dense
+    dense = seq_reference(method, keys[0], sched=sched)
+    assert np.any(np.asarray(got[0]) != dense)
+
+
+def test_cached_admission_gating():
+    """Admitting off-phase must raise (a silent accept would consume a
+    zero/stale delta on the new slot's first step); run_jobs defers and
+    still completes."""
+    sched = NoiseSchedule.create(steps=13)
+    batcher = ContinuousDiffusionBatcher(
+        stub_apply, sched, img_shape=IMG, slots=1, params=PARAMS,
+        method="ddpm", steps_per_poll=1, cache=_cache_tuple(3),
+    )
+    assert batcher.can_admit_cached()
+    batcher.admit(0, jax.random.PRNGKey(0))
+    batcher.advance()  # w=1: off-phase
+    assert not batcher.can_admit_cached()
+    with pytest.raises(RuntimeError, match="phase-aligned"):
+        batcher.admit_many({0: (jax.random.PRNGKey(1), None)})
+
+
+def test_cached_validation():
+    sched = NoiseSchedule.create(steps=10)
+    with pytest.raises(ValueError, match="ddpm/dpm"):
+        ContinuousDiffusionBatcher(
+            stub_apply, sched, img_shape=IMG, slots=1, params=PARAMS,
+            method="ddim", cache=_cache_tuple(3),
+        )
+    # 10-step schedule: (steps-1)=9, every=2 leaves fresh slots' first
+    # step un-anchored -> must refuse
+    with pytest.raises(ValueError, match="anchor"):
+        ContinuousDiffusionBatcher(
+            stub_apply, sched, img_shape=IMG, slots=1, params=PARAMS,
+            method="ddpm", cache=_cache_tuple(2),
+        )
+
+
+# ---------------------------------------------------------------------------
 # serving integration (--slots)
 # ---------------------------------------------------------------------------
 
@@ -423,6 +538,39 @@ def test_continuous_server_matches_bucket_server(tmp_path):
         assert code == 400 and "error" in resp
         code, resp = _post(base + "/sample", {"n": 1, "class_id": 3})
         assert code == 400 and "error" in resp
+    finally:
+        httpd.shutdown()
+
+
+def test_cached_serving_matches_bucket(tmp_path):
+    """--cache_every serving: the continuous (--slots) server returns the
+    SAME images as the fixed-bucket-1 cached server for the same seeds
+    (phase-aligned admissions preserve the sequential cached trajectory),
+    and caching actually changes the computation vs the dense server."""
+    cfg = tmp_path / "tiny.yaml"
+    cfg.write_text(TINY_YAML)
+
+    httpd, _, base = _start_server(cfg, ["--bucket", "1"])
+    try:
+        _, dense = _post(base + "/sample", {"n": 1, "seed": 5})
+    finally:
+        httpd.shutdown()
+
+    httpd, _, base = _start_server(
+        cfg, ["--bucket", "1", "--cache_every", "2"]
+    )
+    try:
+        _, want = _post(base + "/sample", {"n": 2, "seed": 5})
+    finally:
+        httpd.shutdown()
+
+    httpd, _, base = _start_server(
+        cfg, ["--slots", "2", "--steps_per_poll", "2", "--cache_every", "2"]
+    )
+    try:
+        _, got = _post(base + "/sample", {"n": 2, "seed": 5})
+        assert got["images"] == want["images"]
+        assert got["images"][0] != dense["images"][0]
     finally:
         httpd.shutdown()
 

@@ -59,7 +59,8 @@ def main(argv=None):
                          "activation scales)")
     ap.add_argument("--methods", type=str, default=None,
                     help="comma list to restrict (ddpm,int8,int8_static,"
-                         "ddim50,dpm20,cache3,cache3_int8,ee_dynamic,"
+                         "ddim50,dpm20,cache3,cache3_int8,cache5_int8,"
+                         "cache7,ee_dynamic,"
                          "ee_static,ee_static_int8,ee_static_cache3,duodiff,"
                          "duodiff_int8,duodiff_cache3,interleave2,"
                          "interleave4)")
@@ -144,6 +145,14 @@ def main(argv=None):
     if want("cache5"):
         # staler-delta sweep point: anchors every 5 steps instead of 3
         run_sampler("cache5", ["--cache_every", "5"])
+    if want("cache5_int8"):
+        # headline-candidate composition: the staler cache5 point with the
+        # int8 W8A8 kernels (bench_matrix's celeba_cache5_int8 row)
+        run_sampler("cache5_int8",
+                    ["--cache_every", "5", "--attn_impl", "fused_int8"])
+    if want("cache7"):
+        # staleness-knee probe: 7-step-old deltas
+        run_sampler("cache7", ["--cache_every", "7"])
 
     if args.shallow_config and args.shallow_checkpoint:
         # reference CLI contract: --config_path is the EARLY (shallow)
