@@ -244,6 +244,9 @@ def test_main_cli_fsdp_resume(tmp_path, tiny_train_config, cifar_data):
         )
 
 
+@pytest.mark.slow  # ~124s: two fused-interpret CLI trainings; the
+# FSDP-vs-DP loss-parity claim itself is covered in the default set by
+# test_fsdp_train_step_hlo_and_loss (same assertion at the train-step level)
 def test_main_cli_train_fsdp(tmp_path, tiny_train_config, cifar_data):
     """--fsdp through the main.py CLI on the 8-device mesh, via the
     production fused-kernel path (interpret mode off-TPU): losses must

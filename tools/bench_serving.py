@@ -49,6 +49,10 @@ def get_args(argv=None):
     p.add_argument("--attn_impl", type=str, default=None)
     p.add_argument("--gelu_approx", action="store_true")
     p.add_argument("--int8_scales", type=str, default=None)
+    p.add_argument("--cache_every", type=int, default=None,
+                   help="block caching in both serving modes (continuous "
+                        "admissions become phase-aligned)")
+    p.add_argument("--cache_outer", type=int, default=None)
     p.add_argument("--modes", type=str, default="bucket,continuous")
     return p.parse_args(argv)
 
@@ -100,6 +104,10 @@ def main(argv=None):
         base_flags += ["--gelu_approx"]
     if args.int8_scales:
         base_flags += ["--int8_scales", args.int8_scales]
+    if args.cache_every is not None:
+        base_flags += ["--cache_every", str(args.cache_every)]
+    if args.cache_outer is not None:
+        base_flags += ["--cache_outer", str(args.cache_outer)]
 
     n_total = args.clients * args.requests_per_client
     results = {}
@@ -132,6 +140,7 @@ def main(argv=None):
             "max_ms": round(lat[-1], 1),
             "method": args.method,
             "steps": args.steps,
+            "cache_every": args.cache_every,
         }
         results[mode] = out
         print(json.dumps(out))

@@ -59,8 +59,8 @@ def main(argv=None):
                          "activation scales)")
     ap.add_argument("--methods", type=str, default=None,
                     help="comma list to restrict (ddpm,int8,int8_static,"
-                         "ddim50,dpm20,cache3,cache3_int8,cache5_int8,"
-                         "cache7,ee_dynamic,"
+                         "ddim50,dpm20,dpm20_cache3,cache3,cache3_int8,"
+                         "cache5_int8,cache7,ee_dynamic,"
                          "ee_static,ee_static_int8,ee_static_cache3,duodiff,"
                          "duodiff_int8,duodiff_cache3,interleave2,"
                          "interleave4)")
@@ -132,6 +132,13 @@ def main(argv=None):
         run_sampler("ddim50", ["--use_ddim", "--ddim_steps", "50"])
     if want("dpm20"):
         run_sampler("dpm20", ["--use_dpm_solver", "--dpm_steps", "20"])
+    if want("dpm20_cache3"):
+        # block caching composed into the fast solver (index-anchored, see
+        # dpm_solver_sample): deltas go stale over ~150 trained-t units —
+        # this row scores whether that still holds up on a trained model
+        run_sampler("dpm20_cache3",
+                    ["--use_dpm_solver", "--dpm_steps", "20",
+                     "--cache_every", "3"])
     if want("cache3"):
         # training-free block caching (middle-block residual reused between
         # t % 3 == 0 anchors) — scores the stale-delta approximation on the
@@ -153,6 +160,9 @@ def main(argv=None):
     if want("cache7"):
         # staleness-knee probe: 7-step-old deltas
         run_sampler("cache7", ["--cache_every", "7"])
+    if want("cache7_int8"):
+        run_sampler("cache7_int8",
+                    ["--cache_every", "7", "--attn_impl", "fused_int8"])
 
     if args.shallow_config and args.shallow_checkpoint:
         # reference CLI contract: --config_path is the EARLY (shallow)

@@ -286,6 +286,48 @@ def main(argv=None):
             dpm, base[-1], "solver+stochasticity",
         )
 
+    if selected("DPM-20 cached"):
+        # ---- block caching composed INTO the solver (sampler.py
+        # --use_dpm_solver --cache_every 3): same solver, same x_init — the
+        # deviation is purely the stale-delta approximation over the
+        # solver's ~50-t-unit transitions (vs ~1 t-unit for the DDPM cache
+        # rows). Deterministic: order-2 DPM consumes no per-step noise.
+        print("DPM-20 cached every=3 vs DPM-20 dense ...", file=sys.stderr)
+        model, params = init_uvit(
+            cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16,
+            attn_impl=base_attn, gelu_approx=False,
+        )
+        apply_fn = lambda x, t, y: model.apply({"params": params}, x, t, y)  # noqa: E731
+        k0, kx = jax.random.split(jax.random.PRNGKey(0))
+        x_init = jax.random.normal(kx, shape, jnp.float32)
+        dense_dpm = jax.device_get(dpm_solver_sample(
+            apply_fn, k0, schedule=schedule, shape=shape,
+            dpm_steps=20, order=2, x_init=x_init,
+        ))
+        n_outer = max(1, -(-(cfg.depth // 2) // 3))
+        token_len = cfg.extras + cfg.num_patches
+        cached_dpm = jax.device_get(dpm_solver_sample(
+            apply_fn, k0, schedule=schedule, shape=shape,
+            dpm_steps=20, order=2, x_init=x_init,
+            cache=(
+                lambda xx, tt, yy: model.apply(
+                    {"params": params}, xx, tt, yy, n_outer=n_outer,
+                    method=model.forward_anchor,
+                ),
+                lambda xx, tt, yy, d: model.apply(
+                    {"params": params}, xx, tt, yy, n_outer=n_outer,
+                    delta=d, method=model.forward_cached,
+                ),
+                3,
+                lambda xx: jnp.zeros(
+                    (xx.shape[0], token_len, cfg.embed_dim), jnp.bfloat16
+                ),
+            ),
+        ))
+        results["DPM-20 cached every=3 vs DPM-20 dense"] = row(
+            cached_dpm, dense_dpm, "algorithmic",
+        )
+
     if selected("static buckets"):
         # ---- early exit: static buckets vs dynamic threshold ----
         print("static-exit vs dynamic threshold ...", file=sys.stderr)
