@@ -323,9 +323,12 @@ def test_train_step_label_dropout():
         make_train_step,
     )
 
+    # smallest config that still exercises the label path: this test
+    # compiles TWO full train steps (the dominant cost), so keep the
+    # traced graph minimal — depth 1, one head, tiny patches
     cfg = UViTConfig(
-        img_size=16, patch_size=2, in_chans=3, embed_dim=32, depth=2,
-        num_heads=4, mlp_ratio=2, num_classes=5, normalize_timesteps=True,
+        img_size=8, patch_size=4, in_chans=3, embed_dim=16, depth=1,
+        num_heads=1, mlp_ratio=1, num_classes=5, normalize_timesteps=True,
     )
     model, params = init_uvit(cfg, jax.random.PRNGKey(0))
     sched = NoiseSchedule.create(steps=20)
@@ -347,7 +350,7 @@ def test_train_step_label_dropout():
     def loss(step, labels):
         state = create_train_state(params, tx)
         batch = {
-            "image": jnp.ones((4, 16, 16, 3)) * 0.1,
+            "image": jnp.ones((4, 8, 8, 3)) * 0.1,
             "label": labels,
         }
         _, m = step(state, batch, jax.random.PRNGKey(3))
