@@ -21,7 +21,9 @@ cache_every=3 (67.7 dB; identical mode stats on the trained model). The
 dense-int8 and bf16 parity-numerics legs are reported alongside.
 Overridables: BENCH_BATCH, BENCH_STEPS, BENCH_CHUNK, BENCH_ATTN(xla|pallas),
 BENCH_REPS, BENCH_CACHE_EVERY (block-cache anchor period for the headline
-leg; 0 disables caching), BENCH_INT8_SCALES (a tools/calibrate_int8.py
+leg; 0 disables caching), BENCH_CACHE_SCHEDULE (a
+tools/derive_cache_schedule.py JSON — drift-derived anchor table replacing
+the uniform period), BENCH_INT8_SCALES (a tools/calibrate_int8.py
 JSON — static MLP activation scales for the fused_int8 legs).
 """
 
@@ -62,14 +64,19 @@ def main():
     # measures just that impl (dense); BENCH_CACHE_EVERY tunes/disables
     # the cache leg.
     cache_every = int(os.environ.get("BENCH_CACHE_EVERY", "3"))
+    # BENCH_CACHE_SCHEDULE=<tools/derive_cache_schedule.py JSON>: replace
+    # the uniform anchor period of the headline leg with a drift-derived
+    # anchor table (resolved to an array after the jax imports below)
+    sched_path = os.environ.get("BENCH_CACHE_SCHEDULE") or None
+    head_cache = "sched" if sched_path else (cache_every or None)
     if "BENCH_ATTN" in os.environ:
         legs = [(os.environ["BENCH_ATTN"],
-                 cache_every if "BENCH_CACHE_EVERY" in os.environ else None)]
-        legs = [(a, c or None) for a, c in legs]
+                 head_cache if ("BENCH_CACHE_EVERY" in os.environ
+                                or sched_path) else None)]
     elif on_tpu:
-        legs = [("fused_int8", cache_every or None),
+        legs = [("fused_int8", head_cache),
                 ("fused_int8", None), ("fused", None)]
-        if cache_every == 0:
+        if head_cache is None:
             legs = legs[1:]
     else:
         legs = [("xla", None)]
@@ -79,6 +86,13 @@ def main():
 
     cfg = flagship_config()
     schedule = NoiseSchedule.create(steps=steps)
+    sched_table = None
+    if sched_path:
+        from duodiff_tpu.diffusion import load_cache_schedule
+
+        sched_table = jnp.asarray(
+            load_cache_schedule(sched_path, num_timesteps=steps)
+        )
     shape = (batch, 64, 64, 3)
     baseline = 1.0 / 1.92  # s/image from BASELINE.md CelebA dense point
     n_chips = jax.device_count()
@@ -128,6 +142,8 @@ def main():
 
             n_outer = max(1, -(-(cfg.depth // 2) // 3))
 
+            rule = sched_table if cache == "sched" else cache
+
             def apply(p, state, x, t, y):
                 inner = make_block_cached_apply(
                     lambda xx, tt, yy: model.apply(
@@ -138,7 +154,7 @@ def main():
                         {"params": p}, xx, tt, yy, n_outer=n_outer,
                         delta=d, method=model.forward_cached,
                     ),
-                    cache, steps - 1,
+                    rule, steps - 1,
                 )
                 return inner(state, x, t, y)
 
@@ -187,10 +203,16 @@ def main():
             rates[leg] = measure(*leg)
         except Exception as e:  # noqa: BLE001
             print(f"bench{leg}: FAILED ({e!r})", file=sys.stderr)
-    head_attn, head_cache = legs[0]
-    label = f"attn={head_attn}" + (
-        f", block-cache every {head_cache}" if head_cache else ""
-    )
+    head_attn, head_cache0 = legs[0]
+    if head_cache0 == "sched":
+        n_anchors = int(jnp.sum(sched_table))
+        cache_label = (f", block-cache derived schedule "
+                       f"({n_anchors} anchors)")
+    elif head_cache0:
+        cache_label = f", block-cache every {head_cache0}"
+    else:
+        cache_label = ""
+    label = f"attn={head_attn}" + cache_label
     result = {
         "metric": "samples/sec/chip (U-ViT CelebA-64, 1000-step DDPM, "
                   f"{label})",

@@ -1,3 +1,9 @@
+from duodiff_tpu.diffusion.cache_schedule import (
+    derive_anchor_table,
+    load_cache_schedule,
+    save_cache_schedule,
+    uniform_budget,
+)
 from duodiff_tpu.diffusion.continuous import ContinuousDiffusionBatcher
 from duodiff_tpu.diffusion.pipeline import DuoDiffPipeline
 from duodiff_tpu.diffusion.schedule import NoiseSchedule
@@ -29,6 +35,10 @@ __all__ = [
     "early_exit_select",
     "ChunkedDDPMSampler",
     "ChunkedEarlyExitSampler",
+    "derive_anchor_table",
+    "load_cache_schedule",
+    "save_cache_schedule",
+    "uniform_budget",
     "make_block_cached_apply",
     "make_chunked_ddpm_sampler",
     "make_guided_apply",

@@ -163,7 +163,7 @@ def make_interleaved_apply(
 def make_block_cached_apply(
     apply_anchor: Callable,
     apply_cached: Callable,
-    every: int,
+    every,
     t_first: int,
 ) -> Callable:
     """Training-free block caching (the Delta-DiT / DeepCache feature-cache
@@ -179,6 +179,14 @@ def make_block_cached_apply(
     reverse step, where no delta exists yet — without it the zero init
     would be consumed as a real cache).
 
+    ``every`` may instead be a 1-D boolean anchor TABLE indexed by t
+    (length = the schedule's step count): ``table[t]`` anchors step t.
+    This is how drift-derived non-uniform schedules ride the same scan
+    (``tools/derive_cache_schedule.py``: dense anchors where the cached
+    delta drifts fast, sparse where it doesn't). The ``t == t_first``
+    forced anchor applies to tables too, so chunked drivers and DuoDiff
+    segment entries keep their re-anchoring contract.
+
     Both model calls take ``(params, x, t, y)``-style leading params bound
     by the caller; here the signatures are
     ``apply_anchor(x, t, y) -> (out, delta)`` and
@@ -188,12 +196,24 @@ def make_block_cached_apply(
     pytree (initialize with zeros of the delta shape; see
     ``init_block_cache_state``).
     """
-    if every < 1:
-        raise ValueError(f"every must be >= 1, got {every}")
+    table = None
+    if isinstance(every, int):
+        if every < 1:
+            raise ValueError(f"every must be >= 1, got {every}")
+    else:
+        table = jnp.asarray(every)
+        if table.ndim != 1 or table.dtype != jnp.bool_:
+            raise ValueError(
+                "anchor table must be a 1-D boolean array indexed by t, "
+                f"got shape {table.shape} dtype {table.dtype}"
+            )
 
     def apply(state, x, t, y):
         t0 = jnp.asarray(t, jnp.int32).reshape(-1)[0]
-        use_anchor = ((t0 % every) == 0) | (t0 == t_first)
+        if table is None:
+            use_anchor = ((t0 % every) == 0) | (t0 == t_first)
+        else:
+            use_anchor = table[t0] | (t0 == t_first)
 
         def anchor(_state):
             return apply_anchor(x, t, y)
@@ -351,15 +371,13 @@ class ChunkedDDPMSampler:
         # are chunk-size invariant (tested).
         self._stateful = init_state_fn is not None
         self._init_state_fn = init_state_fn
-        if self._stateful and aux_fn is not None:
-            raise ValueError("stateful mode does not support aux_fn")
 
         if self._params_mode and self._stateful:
             def run_chunk(params, state, x, key, ts, y):
                 return ddpm_scan(
                     lambda st, xx, tt, yy: apply_fn(params, st, xx, tt, yy),
                     schedule, parametrization, x, key, ts, y,
-                    variance_mode, state=state,
+                    variance_mode, state=state, aux_fn=aux_fn,
                 )
         elif self._params_mode:
             def run_chunk(params, x, key, ts, y):
@@ -372,7 +390,7 @@ class ChunkedDDPMSampler:
             def run_chunk(state, x, key, ts, y):
                 return ddpm_scan(
                     apply_fn, schedule, parametrization, x, key, ts, y,
-                    variance_mode, state=state,
+                    variance_mode, state=state, aux_fn=aux_fn,
                 )
         else:
             def run_chunk(x, key, ts, y):
@@ -406,9 +424,9 @@ class ChunkedDDPMSampler:
 
     def run(self, x, key, t_start: int, t_end: int = 0, y=None, state=None):
         """Advance t = t_start down to t_end (inclusive). Returns (x, key),
-        plus host-concatenated aux rows (steps, ...) when aux_fn is set, or
-        (x, key, state) in stateful mode (pass the returned state to the
-        next segment)."""
+        with state appended in stateful mode (pass it to the next segment)
+        and host-concatenated aux rows (steps, ...) appended last when
+        aux_fn is set: (x, key[, state][, aux])."""
         import numpy as np
 
         if self._stateful and state is None:
@@ -417,20 +435,22 @@ class ChunkedDDPMSampler:
         all_ts = np.arange(t_start, t_end - 1, -1)
         aux_chunks = []
         if len(all_ts) == 0:
-            if self._stateful:
-                return x, key, state
             if self.aux_fn is None:
-                return x, key
+                return (x, key, state) if self._stateful else (x, key)
             # keep the aux contract total: a (0, ...)-rowed tree matching
             # one chunk's aux structure (eval_shape traces without running)
             ts1 = jnp.zeros((1,), jnp.asarray(all_ts).dtype)
             args = (x, key, ts1, y)
+            if self._stateful:
+                args = (state,) + args
             if self._params_mode:
                 args = (self.params,) + args
-            aux_shapes = jax.eval_shape(self._run_chunk, *args)[2]
+            aux_shapes = jax.eval_shape(self._run_chunk, *args)[-1]
             aux = jax.tree_util.tree_map(
                 lambda s: np.zeros((0,) + s.shape[1:], s.dtype), aux_shapes
             )
+            if self._stateful:
+                return x, key, state, aux
             return x, key, aux
         n_full = len(all_ts) // self.chunk
         rem = len(all_ts) - n_full * self.chunk
@@ -438,15 +458,14 @@ class ChunkedDDPMSampler:
 
         def step_chunk(x, key, ts, state):
             out = self._call_chunk(x, key, ts, y, state)
-            if self._stateful:
-                return out  # (x, key, state)
             if self.aux_fn is not None:
-                x, key, aux = out
                 # keep the aux rows on device: a device_get here would block
                 # the host between chunks and break the async dispatch
                 # pipeline; one transfer happens after the loop.
-                aux_chunks.append(aux)
-                return x, key, state
+                aux_chunks.append(out[-1])
+                out = out[:-1]
+            if self._stateful:
+                return out  # (x, key, state)
             return (*out, state)
 
         if rem:  # leading (shorter) remainder compiles once at its own length
@@ -455,14 +474,16 @@ class ChunkedDDPMSampler:
         for i in range(n_full):
             ts = jnp.asarray(all_ts[idx + i * self.chunk : idx + (i + 1) * self.chunk])
             x, key, state = step_chunk(x, key, ts, state)
-        if self._stateful:
-            return x, key, state
         if self.aux_fn is not None:
             aux = jax.tree_util.tree_map(
                 lambda *cs: np.concatenate(jax.device_get(list(cs)), axis=0),
                 *aux_chunks,
             )
+            if self._stateful:
+                return x, key, state, aux
             return x, key, aux
+        if self._stateful:
+            return x, key, state
         return x, key
 
     def sample(self, key, shape, y=None, t_start=None, t_end: int = 0,
@@ -471,13 +492,9 @@ class ChunkedDDPMSampler:
         x, key = self.init(key, shape, sharding=sharding)
         state = self._init_state_fn(x) if self._stateful else None
         out = self.run(x, key, t_start, t_end, y, state=state)
-        if self._stateful:
-            return out[0]
         if self.aux_fn is not None:
-            x, _, aux = out
-            return x, aux
-        x, _ = out
-        return x
+            return out[0], out[-1]
+        return out[0]
 
 
 def make_chunked_ddpm_sampler(

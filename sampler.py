@@ -96,6 +96,13 @@ def get_args(argv=None):
                              "the network under --cache_every (cached "
                              "region = the centered depth-2*N blocks). "
                              "Default: ceil(depth//2 / 3)")
+    parser.add_argument("--cache_schedule", type=str, default=None,
+                        help="Drift-derived anchor schedule JSON "
+                             "(tools/derive_cache_schedule.py) in place of "
+                             "the uniform --cache_every rule: anchors "
+                             "exactly the listed timesteps (plus the first "
+                             "reverse step). Plain DDPM or the DuoDiff "
+                             "pair; excludes --cache_every/DPM")
     parser.add_argument("--use_ddim", action="store_true")
     parser.add_argument("--ddim_steps", type=int, default=50)
     parser.add_argument("--ddim_eta", type=float, default=0.0)
@@ -271,6 +278,22 @@ def main(argv=None):
     timesteps_save = tuple(args.timesteps_save)
     steps = schedule.steps
 
+    # Anchor rule for block caching: the uniform --cache_every period, or a
+    # drift-derived boolean table (--cache_schedule) — both ride the same
+    # stateful scan (make_block_cached_apply accepts either).
+    cache_rule = args.cache_every
+    if args.cache_schedule is not None:
+        if args.cache_every is not None:
+            raise SystemExit(
+                "--cache_schedule and --cache_every are mutually exclusive"
+            )
+        from duodiff_tpu.diffusion import load_cache_schedule
+
+        cache_rule = jnp.asarray(
+            load_cache_schedule(args.cache_schedule, num_timesteps=steps)
+        )
+    cache_on = cache_rule is not None
+
     # Multi-chip: shard the sample batch over the mesh "data" axis (DDPM
     # sampling is embarrassingly parallel over the batch) and, with
     # --model_parallel N, the attention heads / MLP hidden over "model"
@@ -384,7 +407,7 @@ def main(argv=None):
         late_sampler = None
         late_init_state = None
         if late is not None and args.t_switch is not None:
-            if args.cache_every is not None:
+            if cache_on:
                 from duodiff_tpu.diffusion import make_block_cached_apply
 
                 late_model = late[0]
@@ -412,7 +435,7 @@ def main(argv=None):
                             {"params": p}, xx, tt, yy2, n_outer=l_outer,
                             delta=d, method=late_model.forward_cached,
                         ),
-                        args.cache_every, late_entry,
+                        cache_rule, late_entry,
                     )
                     return inner(state, x, t, yy)
 
@@ -520,7 +543,7 @@ def main(argv=None):
         def apply_fn(p, state, x, t, yy):
             anchor, cached, _ = cache_fns(p, n_outer)
             inner = make_block_cached_apply(
-                anchor, cached, args.cache_every, steps - 1
+                anchor, cached, cache_rule, steps - 1
             )
             return inner(state, x, t, yy)
 
@@ -570,32 +593,36 @@ def main(argv=None):
             raise SystemExit("--interleave_every supports plain DDPM "
                              "sampling (no --t_switch/DDIM/DPM/pipeline/"
                              "--timesteps_save)")
-    if args.cache_every is not None:
-        if args.cache_every < 1:
+    if cache_on:
+        if args.cache_every is not None and args.cache_every < 1:
             raise SystemExit("--cache_every must be >= 1")
         if (args.use_ddim or args.pipeline_parallel
                 or args.interleave_every is not None or timesteps_save
                 or args.guidance_scale is not None):
-            raise SystemExit("--cache_every supports plain DDPM or "
-                             "DPM-Solver sampling (single model, or the "
-                             "DuoDiff pair with --t_switch — the full "
-                             "model's segment runs cached; no DDIM/"
-                             "pipeline/--interleave_every/"
+            raise SystemExit("--cache_every/--cache_schedule supports "
+                             "plain DDPM or DPM-Solver sampling (single "
+                             "model, or the DuoDiff pair with --t_switch — "
+                             "the full model's segment runs cached; no "
+                             "DDIM/pipeline/--interleave_every/"
                              "--timesteps_save/--guidance_scale)")
+        if args.use_dpm_solver and args.cache_schedule is not None:
+            raise SystemExit("--cache_schedule is t-indexed; the solver's "
+                             "anchors are transition-indexed — use "
+                             "--cache_every with --use_dpm_solver")
         if args.use_dpm_solver and late is not None:
             raise SystemExit("--cache_every with --use_dpm_solver supports "
                              "the single-model solver only")
         if late is not None and args.t_switch is None:
-            raise SystemExit("--cache_every with a late model needs "
-                             "--t_switch (the cached segment starts at the "
-                             "DuoDiff handoff)")
+            raise SystemExit("--cache_every/--cache_schedule with a late "
+                             "model needs --t_switch (the cached segment "
+                             "starts at the DuoDiff handoff)")
     elif args.cache_outer is not None:
-        raise SystemExit("--cache_outer requires --cache_every")
+        raise SystemExit("--cache_outer requires --cache_every or "
+                         "--cache_schedule")
 
     print(f"Sampling {args.batch_size} images on {jax.devices()[0].platform}...")
     tic = time.time()
-    if (args.cache_every is not None and late is None
-            and not args.use_dpm_solver):
+    if cache_on and late is None and not args.use_dpm_solver:
         x, intermediates = run_block_cached(key, y)
     elif args.interleave_every is not None:
         x, intermediates = run_interleaved(key, y)

@@ -151,6 +151,72 @@ def test_matches_manual_alternation(model):
     np.testing.assert_allclose(got, np.asarray(x), atol=1e-5)
 
 
+def test_anchor_table_uniform_equals_every(model):
+    """A boolean anchor table equal to the uniform rule is bit-identical to
+    passing the int period (the --cache_schedule contract)."""
+    m, p = model
+    from duodiff_tpu.diffusion.cache_schedule import uniform_table
+
+    steps, every = 11, 3
+    shape = (2, 16, 16, 3)
+    key = jax.random.PRNGKey(9)
+    a, _ = _cached_sampler(m, p, every=every, chunk=4, steps=steps)
+    table = jnp.asarray(uniform_table(every, steps))
+    b, _ = _cached_sampler(m, p, every=table, chunk=4, steps=steps)
+    np.testing.assert_array_equal(
+        np.asarray(a.sample(key, shape)), np.asarray(b.sample(key, shape))
+    )
+
+
+def test_anchor_table_matches_manual(model):
+    """A non-uniform anchor table follows exactly the listed timesteps
+    (plus the forced first reverse step), verified against a manual loop."""
+    m, p = model
+    steps = 10
+    anchors = {0, 4, 7}  # deliberately non-uniform
+    table = jnp.asarray(
+        np.isin(np.arange(steps), sorted(anchors))
+    )
+    shape = (2, 16, 16, 3)
+    key = jax.random.PRNGKey(11)
+    cached, sched = _cached_sampler(m, p, every=table, chunk=steps,
+                                    steps=steps)
+    got = np.asarray(cached.sample(key, shape))
+
+    k, init_key = jax.random.split(key)
+    x = jax.random.normal(init_key, shape)
+    delta = None
+    for t in range(steps - 1, -1, -1):
+        k, zkey = jax.random.split(k)
+        tb = jnp.full((shape[0],), float(t))
+        if t in anchors or t == steps - 1:
+            eps, delta = m.apply(
+                {"params": p}, x, tb, None, n_outer=1,
+                method=m.forward_anchor,
+            )
+        else:
+            eps = m.apply(
+                {"params": p}, x, tb, None, n_outer=1, delta=delta,
+                method=m.forward_cached,
+            )
+        z = (
+            jax.random.normal(zkey, shape)
+            if t > 0 else jnp.zeros(shape)
+        )
+        x = sched.step("predict_noise", eps, x, t, z, "beta_tilde")
+    np.testing.assert_allclose(got, np.asarray(x), atol=1e-5)
+
+
+def test_anchor_table_validation():
+    def f2(*a, **k):
+        raise AssertionError("must not be called")
+
+    with pytest.raises(ValueError, match="1-D boolean"):
+        make_block_cached_apply(f2, f2, jnp.zeros((4,), jnp.int32), 3)
+    with pytest.raises(ValueError, match="every must be"):
+        make_block_cached_apply(f2, f2, 0, 3)
+
+
 def _dpm_cache_tuple(m, p, every):
     return (
         lambda xx, tt, yy: m.apply(

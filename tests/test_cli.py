@@ -178,6 +178,42 @@ def test_sampler_cli_block_cached(tmp_path, tiny_config):
     assert (out / "0.png").exists()
 
 
+def test_sampler_cli_cache_schedule(tmp_path, tiny_config):
+    """--cache_schedule: a derived anchor-table JSON replaces the uniform
+    rule; a table equal to the uniform anchors reproduces --cache_every
+    bit for bit."""
+    from PIL import Image
+
+    from duodiff_tpu.diffusion.cache_schedule import (
+        save_cache_schedule,
+        uniform_table,
+    )
+
+    def run(out, extra):
+        sampler_cli.main([
+            "--config_path", str(tiny_config),
+            "--batch_size", "2",
+            "--parametrization", "predict_noise",
+            "--output_folder", str(out),
+            "--random_init",
+            "--num_timesteps", "8",
+            "--seed", "6",
+        ] + list(extra))
+        return np.asarray(Image.open(out / "0.png"))
+
+    sched = tmp_path / "sched.json"
+    save_cache_schedule(sched, uniform_table(3, 8))
+    a = run(tmp_path / "cs_every", ["--cache_every", "3"])
+    b = run(tmp_path / "cs_table", ["--cache_schedule", str(sched)])
+    np.testing.assert_array_equal(a, b)
+
+    # wrong step count -> clear error
+    with pytest.raises(ValueError, match="num_timesteps=8"):
+        run(tmp_path / "cs_bad", [
+            "--cache_schedule", str(sched), "--num_timesteps", "9",
+        ])
+
+
 def test_sampler_cli_duodiff_block_cached(tmp_path, tiny_config):
     """--cache_every composes with the DuoDiff pair: the late (full) model
     segment runs block-cached. cache_every=1 anchors every step, so it must
