@@ -58,23 +58,34 @@ def inception():
     return init_inception(jax.random.PRNGKey(0))
 
 
+def test_inception_shapes_and_param_count_abstract():
+    """Graph wiring without the ~50s full-graph init compile: eval_shape
+    traces init + apply abstractly. Covers the (2048,) pool3 feature shape
+    and the ~21.8M-param structural check (every torchvision block made it
+    into the port); the compiled-forward twin runs in the slow set."""
+    import jax
+    import jax.numpy as jnp
+
+    from duodiff_tpu.models.inception import InceptionV3Features
+
+    model = InceptionV3Features()
+    x = jax.ShapeDtypeStruct((3, 299, 299, 3), jnp.float32)
+    variables = jax.eval_shape(model.init, jax.random.PRNGKey(0), x)
+    n = sum(np.prod(p.shape)
+            for p in jax.tree_util.tree_leaves(variables["params"]))
+    assert 21.5e6 < n < 22.5e6, n / 1e6
+    feats = jax.eval_shape(model.apply, variables, x)
+    assert feats.shape == (3, 2048)
+
+
+@pytest.mark.slow
 def test_inception_feature_shape(inception):
-    model, params = inception
     rng = np.random.RandomState(0)
+    model, params = inception
     imgs = rng.rand(3, 32, 32, 3).astype(np.float32)
     feats = extract_features(model, params, imgs, batch_size=2)
     assert feats.shape == (3, 2048)
     assert np.all(np.isfinite(feats))
-
-
-def test_inception_param_count(inception):
-    """The FID InceptionV3 trunk has ~21.8M params — a structural check that
-    every torchvision block made it into the port."""
-    import jax
-
-    _, params = inception
-    n = sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(params))
-    assert 21.5e6 < n < 22.5e6, n / 1e6
 
 
 def test_real_stats_npz_roundtrip(tmp_path):

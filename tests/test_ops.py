@@ -54,7 +54,9 @@ def test_pallas_attention_bf16_inputs(qkv):
 
 @pytest.mark.parametrize("h,d,l,b", [
     (2, 64, 9, 2),     # dh=32, tiny L
-    (16, 256, 33, 5),  # dh=16, odd batch (grp=1 fallback)
+    # odd batch (grp=1 fallback): the largest interpret-mode geometry — CI
+    # (-m slow) keeps it; the default set keeps the four cheaper edges
+    pytest.param(16, 256, 33, 5, marks=pytest.mark.slow),
     (4, 128, 128, 4),  # lane-aligned L
     (2, 64, 257, 2),   # flagship L: bulk-256 + 1-token-tail sdpa split
     (2, 64, 258, 2),   # class-cond L: 2-token tail
@@ -256,7 +258,9 @@ def test_dispatch_xla_default(qkv):
 @pytest.mark.parametrize("l,hidden", [
     (17, 512),    # one row chunk, two hidden chunks
     (257, 512),   # flagship L: 128+129 row chunks
-    (320, 128),   # 128/128/64 row chunks, single hidden chunk
+    # 128/128/64 row chunks, single hidden chunk: slow set (CI) — the
+    # remainder-row-chunk edge; the two cheaper geometries stay default
+    pytest.param(320, 128, marks=pytest.mark.slow),
 ])
 def test_pallas_mlp_bwd_matches_xla_grads(gelu_approx, l, hidden):
     """The hand-written Pallas MLP-sublayer backward (row/hidden-chunked,
@@ -307,7 +311,12 @@ def test_pallas_mlp_bwd_matches_xla_grads(gelu_approx, l, hidden):
 
 
 @pytest.mark.parametrize("gelu_approx", [False, True])
-@pytest.mark.parametrize("splits", [2, 4])
+@pytest.mark.parametrize("splits", [
+    # splits=2 moves to the slow set (CI): the opt-in D>=768 path's split
+    # arithmetic is fully exercised by splits=4 (more boundaries)
+    pytest.param(2, marks=pytest.mark.slow),
+    4,
+])
 def test_mlp_bwd_split_matches_mono(gelu_approx, splits):
     """The hidden-split MLP backward (D>=768 path: per-slice pallas calls +
     XLA LayerNorm recombination) must match the monolithic kernel to fp32

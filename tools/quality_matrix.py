@@ -57,10 +57,15 @@ def main(argv=None):
                     help="tools/calibrate_int8.py JSON for the checkpoint — "
                          "enables the int8_static row (static MLP "
                          "activation scales)")
+    ap.add_argument("--cache_schedule", type=str, default=None,
+                    help="tools/derive_cache_schedule.py JSON (derive it "
+                         "from this same checkpoint) — enables the "
+                         "cache_derived[_int8] rows")
     ap.add_argument("--methods", type=str, default=None,
                     help="comma list to restrict (ddpm,int8,int8_static,"
                          "ddim50,dpm20,dpm20_cache3,cache3,cache3_int8,"
-                         "cache5_int8,cache7,ee_dynamic,"
+                         "cache5_int8,cache7,cache_derived,"
+                         "cache_derived_int8,ee_dynamic,"
                          "ee_static,ee_static_int8,ee_static_cache3,duodiff,"
                          "duodiff_int8,duodiff_cache3,interleave2,"
                          "interleave4)")
@@ -163,6 +168,16 @@ def main(argv=None):
     if want("cache7_int8"):
         run_sampler("cache7_int8",
                     ["--cache_every", "7", "--attn_impl", "fused_int8"])
+    if want("cache_derived") and args.cache_schedule:
+        # drift-derived anchor schedule (tools/derive_cache_schedule.py,
+        # derived FROM this same checkpoint) — uniform-3's worst-case
+        # staleness at ~uniform-5's anchor count
+        run_sampler("cache_derived",
+                    ["--cache_schedule", args.cache_schedule])
+    if want("cache_derived_int8") and args.cache_schedule:
+        run_sampler("cache_derived_int8",
+                    ["--cache_schedule", args.cache_schedule,
+                     "--attn_impl", "fused_int8"])
 
     if args.shallow_config and args.shallow_checkpoint:
         # reference CLI contract: --config_path is the EARLY (shallow)

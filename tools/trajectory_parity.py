@@ -86,6 +86,10 @@ def main(argv=None):
                         help="substring filter: run only matching rows and "
                              "MERGE them into the existing json (the dense "
                              "baseline still runs when a dense row matches)")
+    parser.add_argument("--cache_schedule", type=str, default=None,
+                        help="derived anchor-table JSON "
+                             "(tools/derive_cache_schedule.py): adds "
+                             "'block-cache derived' rows")
     args = parser.parse_args(argv)
 
     def selected(name: str) -> bool:
@@ -165,7 +169,9 @@ def main(argv=None):
     det_name = f"determinism {base_attn}/threefry (rerun)"
     cache_row_names = ("block-cache every=3 vs dense",
                        "block-cache every=5 vs dense",
-                       "block-cache every=3 + int8 vs dense")
+                       "block-cache every=3 + int8 vs dense",
+                       "block-cache derived vs dense",
+                       "block-cache derived + int8 vs dense")
     need_base = (bool(variant_rows) or selected(det_name)
                  or selected("DPM-20") or selected("rng rbg vs threefry")
                  or any(selected(n) for n in cache_row_names))
@@ -263,6 +269,28 @@ def main(argv=None):
             snaps[-1], base[-1], "quantization+algorithmic",
             traj=[max_err(a, b) for a, b in zip(snaps, base)],
         )
+    if args.cache_schedule:
+        # drift-derived anchor table (tools/derive_cache_schedule.py) in
+        # place of the uniform period; same stateful scan
+        from duodiff_tpu.diffusion import load_cache_schedule
+
+        table = jnp.asarray(load_cache_schedule(
+            args.cache_schedule, num_timesteps=args.steps
+        ))
+        derived_rows = [(cache_row_names[3], base_attn, False,
+                         "algorithmic")]
+        if not args.smoke:
+            derived_rows.append((cache_row_names[4], "fused_int8", True,
+                                 "quantization+algorithmic"))
+        for name, attn, gelu, kind in derived_rows:
+            if not selected(name):
+                continue
+            print(f"{name} ...", file=sys.stderr)
+            snaps = cache_trajectory(table, attn, gelu)
+            results[name] = row(
+                snaps[-1], base[-1], kind,
+                traj=[max_err(a, b) for a, b in zip(snaps, base)],
+            )
 
     if selected("DPM-20"):
         # ---- solver: DPM-Solver++ 20 vs the DDPM-1000 ancestral baseline ----
