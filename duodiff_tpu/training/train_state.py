@@ -223,4 +223,7 @@ def make_train_step(
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics
 
+    # expose the loss assembly for tests of loss-level semantics (label
+    # dropout, distillation mixing) without a full grad+optimizer compile
+    train_step.loss_fn = loss_fn
     return train_step

@@ -684,14 +684,17 @@ def test_main_cli_train_tensor_parallel(tmp_path, tiny_train_config,
     bit-closely (same seed => same init and batches), proving the fused
     kernels compose with GSPMD TP sharding (VERDICT round 1, weak #3)."""
     losses = {}
-    for tag, extra in (
-        ("dp", []),
-        ("tp", ["--model_parallel", "2"]),
+    for tag, attn, extra in (
+        # the DP reference leg runs the cheap XLA path — fused-vs-xla is
+        # covered at tighter tolerance by the kernel unit tests, and
+        # interpret-mode fused execution dominates this test's wall time
+        ("dp", "xla", []),
+        ("tp", "fused", ["--model_parallel", "2"]),
     ):
         logdir = tmp_path / f"logs_tp_{tag}"
         logs = main_cli.main([
             "--config_path", str(tiny_train_config),
-            "--attn_impl", "fused",
+            "--attn_impl", attn,
             "--n_steps", "2",
             "--batch_size", "8",
             "--num_timesteps", "50",

@@ -150,9 +150,11 @@ def test_calibrate_and_apply_tiny_uvit(tmp_path):
         scales_dict_to_tuple,
     )
 
+    # depth 3 is the floor (one in-block + mid + one out-block name each);
+    # everything else minimal — three int8 interpret-mode graphs compile here
     cfg = UViTConfig(
-        img_size=16, patch_size=2, in_chans=3, embed_dim=32, depth=3,
-        num_heads=4, mlp_ratio=4, qkv_bias=False, mlp_time_embed=False,
+        img_size=8, patch_size=4, in_chans=3, embed_dim=16, depth=3,
+        num_heads=2, mlp_ratio=2, qkv_bias=False, mlp_time_embed=False,
         num_classes=-1, normalize_timesteps=True,
     )
     model_cal, params = init_uvit(
@@ -161,7 +163,7 @@ def test_calibrate_and_apply_tiny_uvit(tmp_path):
     )
     schedule = NoiseSchedule.create(steps=4)
     scales = calibrate_int8_mlp_scales(
-        model_cal, params, schedule, jax.random.PRNGKey(1), (2, 16, 16, 3),
+        model_cal, params, schedule, jax.random.PRNGKey(1), (2, 8, 8, 3),
         chunk=4, margin=1.1,
     )
     assert sorted(scales) == ["in_blocks_0", "mid_block", "out_blocks_0"]
@@ -181,7 +183,7 @@ def test_calibrate_and_apply_tiny_uvit(tmp_path):
     model_dyn, _ = init_uvit(
         cfg, jax.random.PRNGKey(0), attn_impl="fused_int8"
     )
-    x = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 16, 3))
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 8, 3))
     t = jnp.full((2,), 3.0, jnp.float32)
     o_sta = model_sta.apply({"params": params2}, x, t)
     o_dyn = model_dyn.apply({"params": params2}, x, t)

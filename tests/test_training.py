@@ -317,49 +317,40 @@ def test_train_step_label_dropout():
     from duodiff_tpu.config import UViTConfig
     from duodiff_tpu.diffusion import NoiseSchedule
     from duodiff_tpu.models.uvit import init_uvit
-    from duodiff_tpu.training.train_state import (
-        create_train_state,
-        make_optimizer,
-        make_train_step,
-    )
+    from duodiff_tpu.training.train_state import make_train_step
 
-    # smallest config that still exercises the label path: this test
-    # compiles TWO full train steps (the dominant cost), so keep the
-    # traced graph minimal — depth 1, one head, tiny patches
+    # label dropout is loss-level semantics, so evaluate the exposed
+    # .loss_fn EAGERLY (no jit): a full train-step compile here cost ~35s
+    # for zero extra coverage — the grad/optimizer plumbing is exercised
+    # by the CLI train tests
     cfg = UViTConfig(
         img_size=8, patch_size=4, in_chans=3, embed_dim=16, depth=1,
         num_heads=1, mlp_ratio=1, num_classes=5, normalize_timesteps=True,
     )
     model, params = init_uvit(cfg, jax.random.PRNGKey(0))
     sched = NoiseSchedule.create(steps=20)
-    tx = make_optimizer(lr=1e-3, weight_decay=0.0, beta1=0.9, beta2=0.999,
-                        max_grad_norm=1.0, num_warmup_steps=0,
-                        num_training_steps=10)
 
     def make(label_dropout):
         return make_train_step(
             lambda p, x, t, y: model.apply({"params": p}, x, t, y),
             sched, model_kind="uvit", parametrization="predict_noise",
             has_labels=True, label_dropout=label_dropout, null_label=4,
-        )
+        ).loss_fn
 
-    # build each step ONCE and reuse across label sets (every
-    # make_train_step is a fresh jit -> a fresh trace+compile)
-    step_drop, step_keep = make(1.0), make(0.0)
+    loss_drop, loss_keep = make(1.0), make(0.0)
 
-    def loss(step, labels):
-        state = create_train_state(params, tx)
+    def loss(loss_fn, labels):
         batch = {
             "image": jnp.ones((4, 8, 8, 3)) * 0.1,
             "label": labels,
         }
-        _, m = step(state, batch, jax.random.PRNGKey(3))
-        return float(m["train_loss"])
+        value, _ = loss_fn(params, batch, jax.random.PRNGKey(3))
+        return float(value)
 
     y = jnp.array([0, 1, 2, 3])
     nulls = jnp.full((4,), 4)
-    assert loss(step_drop, y) == loss(step_keep, nulls)
-    assert loss(step_keep, y) != loss(step_keep, nulls)
+    assert loss(loss_drop, y) == loss(loss_keep, nulls)
+    assert loss(loss_keep, y) != loss(loss_keep, nulls)
 
 
 def _opt_kwargs(**over):

@@ -38,7 +38,7 @@ def main(argv=None):
         "celeba,celeba_int8,celeba_duodiff,celeba_duodiff_int8,"
         "celeba_duodiff_cache3,celeba_duodiff_cache3_int8,"
         "celeba_interleave2,celeba_cache3,imagenet64_cache3,"
-        "celeba_cache3_int8,celeba_ddim,"
+        "celeba_cache3_int8,celeba_cache_derived_int8,celeba_ddim,"
         "celeba_static_exit,celeba_static_exit_int8,"
         "celeba_static_exit_cache3,celeba_static_exit_cache3_int8,"
         "celeba_ee_threshold,celeba_dpm20,cifar10,imagenet64,imagenet256,"
@@ -259,7 +259,7 @@ def main(argv=None):
     run("celeba_duodiff_cache3_int8",
         lambda: duodiff_cache_fn(attn_impl="fused_int8"))
 
-    def cache_fn(cfg_name, every=3, attn_impl=None):
+    def cache_fn(cfg_name, every=3, attn_impl=None, sched_path=None):
         # training-free block caching (Delta-DiT/DeepCache family): middle
         # blocks recompute only on t % every == 0 anchors, their residual
         # delta substitutes in between — single model, no second training
@@ -268,6 +268,13 @@ def main(argv=None):
 
         from duodiff_tpu.diffusion import make_block_cached_apply
 
+        rule = every
+        if sched_path:
+            # drift-derived anchor table (tools/derive_cache_schedule.py)
+            from duodiff_tpu.diffusion import load_cache_schedule
+
+            rule = jnp.asarray(
+                load_cache_schedule(sched_path, num_timesteps=args.steps))
         model, params, cfg, _ = load_model_from_config(
             f"configs/{cfg_name}", None, seed=0, gelu_approx=True,
             attn_impl=attn_impl,
@@ -285,7 +292,7 @@ def main(argv=None):
                     {"params": p}, xx, tt, yy, n_outer=n_outer, delta=d,
                     method=model.forward_cached,
                 ),
-                every, args.steps - 1,
+                rule, args.steps - 1,
             )
             return inner(state, x, t, y)
 
@@ -319,6 +326,12 @@ def main(argv=None):
                          attn_impl="fused_int8"))
     # the big models benefit most: cached steps skip 13 of 17 (imagenet64)
     # / 15 of 21 (imagenet256) blocks
+    # bench.py's headline composition: the committed drift-derived anchor
+    # schedule (114 anchors at uniform-3's measured PSNR) + int8 W8A8
+    run("celeba_cache_derived_int8",
+        lambda: cache_fn(
+            "uvit_celeba.yaml", attn_impl="fused_int8",
+            sched_path="assets/cache_schedule_celeba_flagship.json"))
     run("imagenet64_cache3_int8",
         lambda: cache_fn("uvit_imagenet64.yaml", attn_impl="fused_int8"))
     run("imagenet256_cache3_int8",

@@ -99,9 +99,13 @@ def main(argv=None):
                else max(1, -(-k_half // 3)))
     if not 1 <= n_outer <= k_half:
         raise SystemExit(f"--cache_outer must be in [1, {k_half}]")
+    y = None
     if cfg.num_classes > 0:
-        raise SystemExit("class-conditional schedule derivation not wired "
-                         "(pass labels through y)")
+        # class-conditional model: fixed random labels (the same draw
+        # tools/bench_matrix.py measures with) — drift is averaged over
+        # the batch, so a label mix is what the schedule should see
+        y = jax.random.randint(jax.random.PRNGKey(7), (args.batch,), 0,
+                               cfg.num_classes)
 
     schedule = NoiseSchedule.create(steps=args.steps)
     shape = (args.batch, cfg.img_size, cfg.img_size, cfg.in_chans)
@@ -131,7 +135,7 @@ def main(argv=None):
           f"attn={attn}, n_outer={n_outer}, backend "
           f"{jax.default_backend()} ...", file=sys.stderr)
     _, (drift_sq, norm_sq) = sampler.sample(
-        jax.random.PRNGKey(args.seed), shape
+        jax.random.PRNGKey(args.seed), shape, y=y
     )
     # rows follow ts = steps-1 .. 0; reindex by t. drift[t] for
     # t < steps-1 is ||delta_t - delta_{t+1}||; row 0 (t = steps-1) is vs

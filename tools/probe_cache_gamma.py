@@ -143,10 +143,15 @@ def main(argv=None):
         ),
     )
     key = jax.random.PRNGKey(0)
+    y = None
+    if cfg.num_classes > 0:
+        # same fixed label draw as tools/derive_cache_schedule.py
+        y = jax.random.randint(jax.random.PRNGKey(7), (args.batch,), 0,
+                               cfg.num_classes)
 
     def run(table):
         sampler.params = {"p": params, "table": jnp.asarray(table)}
-        return np.asarray(sampler.sample(key, shape), np.float64)
+        return np.asarray(sampler.sample(key, shape, y=y), np.float64)
 
     print("dense reference (all-anchor table) ...", file=sys.stderr)
     dense = run(np.ones((T,), bool))
