@@ -94,6 +94,12 @@ def get_args(argv=None):
     p.add_argument("--cache_outer", type=int, default=None,
                    help="blocks per side recomputed every step under "
                         "--cache_every (default ceil(depth/2 / 3))")
+    p.add_argument("--cache_schedule", type=str, default=None,
+                   help="drift-derived anchor-table JSON "
+                        "(tools/derive_cache_schedule.py) in place of the "
+                        "uniform --cache_every period; ddpm fixed-bucket "
+                        "serving only (continuous slots phase-align on a "
+                        "uniform period, and dpm anchors on grid indices)")
     return p.parse_args(argv)
 
 
@@ -194,8 +200,19 @@ class _ServiceBase:
         # dpm_solver_sample's cache contract): params-first anchor/cached
         # closures over the loaded model, shared by both serving modes
         self.cache = None
-        if args.cache_every is not None:
-            if args.cache_every < 1:
+        if args.cache_schedule is not None:
+            if args.cache_every is not None:
+                raise SystemExit(
+                    "--cache_schedule replaces --cache_every; pass one"
+                )
+            if method != "ddpm" or args.slots:
+                raise SystemExit(
+                    "--cache_schedule serving supports the ddpm "
+                    "fixed-bucket mode only (continuous slots phase-align "
+                    "on a uniform period; dpm anchors on grid indices)"
+                )
+        if args.cache_every is not None or args.cache_schedule is not None:
+            if args.cache_every is not None and args.cache_every < 1:
                 raise SystemExit("--cache_every must be >= 1")
             if method not in ("dpm", "ddpm"):
                 raise SystemExit(
@@ -234,8 +251,15 @@ class _ServiceBase:
                     (x.shape[0], token_len, cfg.embed_dim), model.dtype
                 )
 
-            self.cache = (cache_anchor, cache_cached, args.cache_every,
-                          cache_init)
+            rule = args.cache_every
+            if args.cache_schedule is not None:
+                from duodiff_tpu.diffusion import load_cache_schedule
+
+                rule = jnp.asarray(load_cache_schedule(
+                    args.cache_schedule,
+                    num_timesteps=self.schedule.steps,
+                ))
+            self.cache = (cache_anchor, cache_cached, rule, cache_init)
         elif args.cache_outer is not None:
             raise SystemExit("--cache_outer requires --cache_every")
 

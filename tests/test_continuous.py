@@ -575,6 +575,52 @@ def test_cached_serving_matches_bucket(tmp_path):
         httpd.shutdown()
 
 
+def test_cache_schedule_serving_matches_uniform(tmp_path):
+    """serve.py --cache_schedule (ddpm fixed-bucket): a table equal to the
+    uniform anchors reproduces --cache_every bit for bit, and the
+    unsupported modes (continuous slots, dpm) are rejected up front."""
+    import serve as serve_cli
+
+    from duodiff_tpu.diffusion.cache_schedule import (
+        save_cache_schedule,
+        uniform_table,
+    )
+
+    cfg = tmp_path / "tiny.yaml"
+    cfg.write_text(TINY_YAML)
+    sched = tmp_path / "sched.json"
+    save_cache_schedule(sched, uniform_table(2, 32))
+    ddpm = ["--method", "ddpm", "--steps", "32", "--bucket", "1"]
+
+    httpd, _, base = _start_server(cfg, ddpm + ["--cache_every", "2"])
+    try:
+        _, want = _post(base + "/sample", {"n": 1, "seed": 9})
+    finally:
+        httpd.shutdown()
+
+    httpd, _, base = _start_server(
+        cfg, ddpm + ["--cache_schedule", str(sched)]
+    )
+    try:
+        _, got = _post(base + "/sample", {"n": 1, "seed": 9})
+        assert got["images"] == want["images"]
+    finally:
+        httpd.shutdown()
+
+    with pytest.raises(SystemExit, match="fixed-bucket"):
+        serve_cli.ContinuousSamplerService(serve_cli.get_args([
+            "--config_path", str(cfg), "--random_init", "--port", "0",
+            "--method", "ddpm", "--steps", "32", "--num_timesteps", "32",
+            "--slots", "2", "--cache_schedule", str(sched),
+        ]))
+    with pytest.raises(SystemExit, match="fixed-bucket"):
+        serve_cli.SamplerService(serve_cli.get_args([
+            "--config_path", str(cfg), "--random_init", "--port", "0",
+            "--method", "dpm", "--steps", "4", "--num_timesteps", "32",
+            "--bucket", "1", "--cache_schedule", str(sched),
+        ]))
+
+
 @pytest.mark.slow
 def test_continuous_service_failure_propagation(tmp_path):
     """A crash in the sole device thread must FAIL every waiting request
