@@ -43,7 +43,8 @@ def main(argv=None):
         "celeba_static_exit_cache3,celeba_static_exit_cache3_int8,"
         "celeba_ee_threshold,celeba_dpm20,cifar10,imagenet64,imagenet256,"
         "imagenet256_decoded,imagenet256_int8,imagenet64_int8,"
-        "imagenet64_cache3_int8,imagenet256_cache3_int8"
+        "imagenet64_cache3_int8,imagenet64_cache_derived_int8,"
+        "imagenet256_cache3_int8"
     ))
     p.add_argument("--output", type=str, default="bench_matrix.json")
     args = p.parse_args(argv)
@@ -334,6 +335,12 @@ def main(argv=None):
             sched_path="assets/cache_schedule_celeba_flagship.json"))
     run("imagenet64_cache3_int8",
         lambda: cache_fn("uvit_imagenet64.yaml", attn_impl="fused_int8"))
+    # imagenet64's derived table beats uniform-3 on BOTH axes (70.0 dB at
+    # 208 anchors vs 66.5 at 334, tools/probe_cache_gamma.py)
+    run("imagenet64_cache_derived_int8",
+        lambda: cache_fn(
+            "uvit_imagenet64.yaml", attn_impl="fused_int8",
+            sched_path="assets/cache_schedule_imagenet64.json"))
     run("imagenet256_cache3_int8",
         lambda: cache_fn("uvit_imagenet256.yaml", attn_impl="fused_int8"))
 
