@@ -322,7 +322,7 @@ def make_static_exit_sampler(
     gelu_approx: bool = False,
     chunk: int = 100,
     guidance: tuple | None = None,
-    cache_every: int | None = None,
+    cache_every=None,
     cache_outer: int | None = None,
 ):
     """Build a reusable ``sample(key, shape, y=None)`` with per-bucket
@@ -336,13 +336,17 @@ def make_static_exit_sampler(
     truncated backbone: the centered region recomputes only on ``t % N ==
     0`` anchors (plus each bucket's entry step — the delta does not
     transfer across buckets, whose regions span different blocks) and its
-    residual delta substitutes in between. Buckets whose exit layer stops
-    at/inside the mid block run uncached (:func:`cache_outer_for`)."""
+    residual delta substitutes in between. ``cache_every`` may instead be a
+    1-D boolean anchor TABLE indexed by t (a drift-derived schedule,
+    ``tools/derive_cache_schedule.py``) — same contract as
+    :func:`make_block_cached_apply`, including the forced bucket-entry
+    anchor. Buckets whose exit layer stops at/inside the mid block run
+    uncached (:func:`cache_outer_for`)."""
     buckets = sorted(buckets, key=lambda b: -b[0])
     assert buckets[0][0] == schedule.steps - 1 and buckets[-1][1] == 0, (
         "buckets must cover the full timestep range"
     )
-    if cache_every is not None and cache_every < 1:
+    if isinstance(cache_every, int) and cache_every < 1:
         raise ValueError(f"cache_every must be >= 1, got {cache_every}")
     if cache_every is not None and guidance is not None:
         raise ValueError(
@@ -451,7 +455,7 @@ def static_exit_sample(
     gelu_approx: bool = False,
     chunk: int = 100,
     guidance: tuple | None = None,
-    cache_every: int | None = None,
+    cache_every=None,
     cache_outer: int | None = None,
 ):
     """One-shot convenience over make_static_exit_sampler."""

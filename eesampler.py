@@ -78,10 +78,17 @@ def get_args(argv=None):
              "on t %% N == 0 anchors). Requires --static_schedule/"
              "--derive_schedule_from")
     parser.add_argument(
+        "--cache_schedule", type=str, default=None,
+        help="Drift-derived anchor-table JSON "
+             "(tools/derive_cache_schedule.py) replacing the uniform "
+             "--cache_every rule inside the static-exit buckets (bucket "
+             "entry steps still re-anchor). Requires --static_schedule/"
+             "--derive_schedule_from; excludes --cache_every")
+    parser.add_argument(
         "--cache_outer", type=int, default=None,
-        help="Blocks kept live at each end under --cache_every (default "
-             "ceil(depth/2/3), auto-raised per bucket to keep the cached "
-             "region inside the truncation)")
+        help="Blocks kept live at each end under --cache_every/"
+             "--cache_schedule (default ceil(depth/2/3), auto-raised per "
+             "bucket to keep the cached region inside the truncation)")
     parser.add_argument(
         "--derive_quantile", type=float, default=0.5,
         help="Per-bucket exit depth = ceil of this quantile of the logged "
@@ -131,17 +138,23 @@ def main(argv=None):
     if args.threshold is None and args.static_schedule is None:
         raise SystemExit("--threshold is required (or pass --static_schedule)")
 
-    if args.cache_every is not None:
+    cache_on = args.cache_every is not None or args.cache_schedule is not None
+    if cache_on:
+        if args.cache_every is not None and args.cache_schedule is not None:
+            raise SystemExit("--cache_schedule and --cache_every are "
+                             "mutually exclusive")
         if args.static_schedule is None:
-            raise SystemExit("--cache_every requires --static_schedule or "
-                             "--derive_schedule_from (the dynamic-threshold "
-                             "path must compute every layer — caching would "
-                             "change the probe inputs it selects on)")
+            raise SystemExit("--cache_every/--cache_schedule requires "
+                             "--static_schedule or --derive_schedule_from "
+                             "(the dynamic-threshold path must compute "
+                             "every layer — caching would change the probe "
+                             "inputs it selects on)")
         if args.guidance_scale is not None:
-            raise SystemExit("--cache_every does not combine with "
-                             "--guidance_scale")
+            raise SystemExit("--cache_every/--cache_schedule does not "
+                             "combine with --guidance_scale")
     elif args.cache_outer is not None:
-        raise SystemExit("--cache_outer requires --cache_every")
+        raise SystemExit("--cache_outer requires --cache_every or "
+                         "--cache_schedule")
 
     mp = max(1, getattr(args, "model_parallel", 1) or 1)
     if mp > 1 and args.static_schedule:
@@ -219,10 +232,19 @@ def main(argv=None):
         )
 
         buckets = parse_exit_schedule(args.static_schedule)
+        cache_rule = args.cache_every
+        if args.cache_schedule is not None:
+            from duodiff_tpu.diffusion import load_cache_schedule
+
+            cache_rule = jnp.asarray(load_cache_schedule(
+                args.cache_schedule, num_timesteps=args.num_timesteps
+            ))
         print(f"Static-exit sampling {args.batch_size} images "
               f"(buckets={buckets}"
               + (f", cache_every={args.cache_every}"
-                 if args.cache_every else "") + ")...")
+                 if args.cache_every else "")
+              + (f", cache_schedule={args.cache_schedule}"
+                 if args.cache_schedule else "") + ")...")
         tic = time.time()
         x = static_exit_sample(
             cfg, params, key, schedule=schedule, shape=shape,
@@ -231,7 +253,7 @@ def main(argv=None):
             or ("fused" if jax.default_backend() == "tpu" else "auto"),
             gelu_approx=args.gelu_approx,
             guidance=guidance,
-            cache_every=args.cache_every,
+            cache_every=cache_rule,
             cache_outer=args.cache_outer,
         )
         x = jax.block_until_ready(x)

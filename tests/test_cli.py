@@ -523,19 +523,38 @@ def test_eesampler_cli_static_schedule(tmp_path, tiny_config):
 
 
 def test_eesampler_cli_static_schedule_cached(tmp_path, tiny_config):
-    """--cache_every composes block caching into the static-exit buckets;
-    the shallow (layer-1) bucket has nothing to cache and runs uncached."""
-    out = tmp_path / "out_ee_static_cache"
-    eesampler_cli.main([
-        "--config_path", str(tiny_config),
-        "--batch_size", "2",
-        "--static_schedule", "7-4:1,3-0:3",
-        "--cache_every", "2",
-        "--output_folder", str(out),
-        "--random_init",
-        "--num_timesteps", "8",
-    ])
-    assert (out / "0.png").exists()
+    """--cache_every composes block caching into the static-exit buckets
+    (the shallow layer-1 bucket has nothing to cache and runs uncached);
+    --cache_schedule with the uniform-equivalent anchor table reproduces it
+    bit for bit."""
+    from PIL import Image
+
+    from duodiff_tpu.diffusion.cache_schedule import (
+        save_cache_schedule,
+        uniform_table,
+    )
+
+    def run(out, extra):
+        eesampler_cli.main([
+            "--config_path", str(tiny_config),
+            "--batch_size", "2",
+            "--static_schedule", "7-4:1,3-0:3",
+            "--output_folder", str(out),
+            "--random_init",
+            "--num_timesteps", "8",
+        ] + list(extra))
+        assert (out / "0.png").exists()
+        return np.asarray(Image.open(out / "0.png"))
+
+    a = run(tmp_path / "out_ee_static_cache", ["--cache_every", "2"])
+    sched = tmp_path / "ee_sched.json"
+    save_cache_schedule(sched, uniform_table(2, 8))
+    b = run(tmp_path / "out_ee_static_sched", ["--cache_schedule", str(sched)])
+    np.testing.assert_array_equal(a, b)
+
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        run(tmp_path / "nope_both",
+            ["--cache_every", "2", "--cache_schedule", str(sched)])
 
 
 def test_eesampler_cli_cache_every_needs_static_schedule(tmp_path,

@@ -133,6 +133,25 @@ def test_static_exit_cache_every1_bitexact(ee_model):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+def test_static_exit_cache_table_uniform_equals_every(ee_model):
+    """A boolean anchor table equivalent to the uniform rule must reproduce
+    the --cache_every path bit for bit through the bucketed sampler (the
+    --cache_schedule contract: derived tables ride the same scan)."""
+    from duodiff_tpu.diffusion.cache_schedule import uniform_table
+
+    _, params = ee_model
+    sched = NoiseSchedule.create(steps=16)
+    buckets = [(15, 8, 3), (7, 0, 5)]
+    kw = dict(schedule=sched, shape=(2, 16, 16, 3), buckets=buckets,
+              dtype=jnp.float32, chunk=5)
+    ref = static_exit_sample(CFG, params, jax.random.PRNGKey(3),
+                             cache_every=3, **kw)
+    table = jnp.asarray(uniform_table(3, 16))
+    got = static_exit_sample(CFG, params, jax.random.PRNGKey(3),
+                             cache_every=table, **kw)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_static_exit_cache_runs_mixed_buckets(ee_model):
     """cache_every with a schedule mixing cacheable (deep) and uncacheable
     (shallow, exit <= mid) buckets: shallow buckets silently run uncached;

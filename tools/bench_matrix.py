@@ -37,10 +37,12 @@ def main(argv=None):
     p.add_argument("--rows", type=str, default=(
         "celeba,celeba_int8,celeba_duodiff,celeba_duodiff_int8,"
         "celeba_duodiff_cache3,celeba_duodiff_cache3_int8,"
+        "celeba_duodiff_cache_derived_int8,"
         "celeba_interleave2,celeba_cache3,imagenet64_cache3,"
         "celeba_cache3_int8,celeba_cache_derived_int8,celeba_ddim,"
         "celeba_static_exit,celeba_static_exit_int8,"
         "celeba_static_exit_cache3,celeba_static_exit_cache3_int8,"
+        "celeba_static_exit_cache_derived_int8,"
         "celeba_ee_threshold,celeba_dpm20,cifar10,imagenet64,imagenet256,"
         "imagenet256_decoded,imagenet256_int8,imagenet64_int8,"
         "imagenet64_cache3_int8,imagenet64_cache_derived_int8,"
@@ -198,14 +200,21 @@ def main(argv=None):
 
     run("celeba_interleave2", interleave_fn)
 
-    def duodiff_cache_fn(every=3, attn_impl=None):
+    def duodiff_cache_fn(every=3, attn_impl=None, sched_path=None):
         # DuoDiff with the late (full) model's segment block-cached
-        # (sampler.py --t_switch + --cache_every) — the shallow segment is
+        # (sampler.py --t_switch + --cache_every, or --cache_schedule when
+        # sched_path names a derived anchor table) — the shallow segment is
         # cheap and stays dense
         import jax.numpy as jnp
 
         from duodiff_tpu.diffusion import make_block_cached_apply
 
+        rule = every
+        if sched_path is not None:
+            from duodiff_tpu.diffusion import load_cache_schedule
+
+            rule = jnp.asarray(
+                load_cache_schedule(sched_path, num_timesteps=args.steps))
         early_apply, early_params, _ = load(
             "uvit_celeba_3.yaml", attn_impl=attn_impl
         )
@@ -227,7 +236,7 @@ def main(argv=None):
                     {"params": p}, xx, tt, yy, n_outer=n_outer, delta=d,
                     method=model.forward_cached,
                 ),
-                every, handoff - 1,
+                rule, handoff - 1,
             )
             return inner(state, x, t, y)
 
@@ -259,6 +268,10 @@ def main(argv=None):
     run("celeba_duodiff_cache3", duodiff_cache_fn)
     run("celeba_duodiff_cache3_int8",
         lambda: duodiff_cache_fn(attn_impl="fused_int8"))
+    run("celeba_duodiff_cache_derived_int8",
+        lambda: duodiff_cache_fn(
+            attn_impl="fused_int8",
+            sched_path="assets/cache_schedule_celeba_flagship.json"))
 
     def cache_fn(cfg_name, every=3, attn_impl=None, sched_path=None):
         # training-free block caching (Delta-DiT/DeepCache family): middle
@@ -368,7 +381,7 @@ def main(argv=None):
 
     run("celeba_dpm20", dpm_fn)
 
-    def static_exit_fn(attn_impl="fused", cache_every=None):
+    def static_exit_fn(attn_impl="fused", cache_every=None, sched_path=None):
         from duodiff_tpu.diffusion.static_exit import make_static_exit_sampler
         from duodiff_tpu.models.early_exit import init_early_exit_uvit
         from duodiff_tpu.config import UViTConfig
@@ -377,6 +390,12 @@ def main(argv=None):
         raw = load_config("configs/deediff_celeba.yaml")
         cfg = UViTConfig.from_dict(raw["model_params"])
         import jax.numpy as jnp
+
+        if sched_path is not None:
+            from duodiff_tpu.diffusion import load_cache_schedule
+
+            cache_every = jnp.asarray(
+                load_cache_schedule(sched_path, num_timesteps=args.steps))
 
         _, params = init_early_exit_uvit(
             cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16,
@@ -407,6 +426,13 @@ def main(argv=None):
         lambda: static_exit_fn(cache_every=3))
     run("celeba_static_exit_cache3_int8",
         lambda: static_exit_fn(attn_impl="fused_int8", cache_every=3))
+    # quadruple composition: static exits + drift-derived anchor table +
+    # int8 — the derived table holds uniform-3's staleness budget at ~1/3
+    # the anchors, so the deep buckets anchor far less often
+    run("celeba_static_exit_cache_derived_int8",
+        lambda: static_exit_fn(
+            attn_impl="fused_int8",
+            sched_path="assets/cache_schedule_celeba_flagship.json"))
 
     def ee_threshold_fn():
         # dynamic-threshold AdaDiff parity mode: every layer + every probe/

@@ -66,7 +66,8 @@ def main(argv=None):
                          "ddim50,dpm20,dpm20_cache3,cache3,cache3_int8,"
                          "cache5_int8,cache7,cache_derived,"
                          "cache_derived_int8,ee_dynamic,"
-                         "ee_static,ee_static_int8,ee_static_cache3,duodiff,"
+                         "ee_static,ee_static_int8,ee_static_cache3,"
+                         "ee_static_cache_derived_int8,duodiff,"
                          "duodiff_int8,duodiff_cache3,interleave2,"
                          "interleave4)")
     args = ap.parse_args(argv)
@@ -250,8 +251,17 @@ def main(argv=None):
             ("ee_static", []),
             ("ee_static_int8", ["--attn_impl", "fused_int8"]),
             ("ee_static_cache3", ["--cache_every", "3"]),
+            # drift-derived anchors inside the buckets (requires
+            # --cache_schedule; bench row
+            # celeba_static_exit_cache_derived_int8)
+            ("ee_static_cache_derived_int8",
+             ["--cache_schedule", args.cache_schedule or "",
+              "--attn_impl", "fused_int8"]),
         ):
             if not want(name):
+                continue
+            if name == "ee_static_cache_derived_int8" and (
+                    not args.cache_schedule):
                 continue
             t = time.time()
             eesampler_cli.main([
