@@ -164,6 +164,7 @@ def test_use_checkpoint_same_params_outputs_and_grads():
         )
 
 
+@pytest.mark.slow  # default-set coverage: test_use_checkpoint_same_params_outputs_and_grads (backbone)
 def test_use_checkpoint_early_exit_grads():
     """Remat composes with the EarlyExitUViT wrapper (probes/heads read
     block-boundary activations, which remat keeps live)."""

@@ -117,6 +117,7 @@ def test_sampler_cli_pipeline_parallel(tmp_path, tiny_config):
         assert (out / f"{i}.png").exists()
 
 
+@pytest.mark.slow  # default-set coverage: the --fixed_class validation test (SystemExit) stays default
 def test_sampler_cli_fixed_class(tmp_path, tiny_config):
     """--fixed_class: unguided conditional sampling with a fixed label
     (the reference's --class_id draws random labels by design)."""
@@ -307,17 +308,17 @@ def test_main_cli_train_and_resume(tmp_path, tiny_train_config, cifar_data):
         "--config_path", str(tiny_train_config),
         "--n_steps", "4",
         "--batch_size", "4",
-        "--num_timesteps", "50",
+        "--num_timesteps", "10",
         "--dataset", "cifar10",
         "--data_path", str(cifar_data),
         "--log_path", str(logdir),
         "--exp_name", "t1",
         "--save_every_n_steps", "2",
         "--num_warmup_steps", "1",
-        "--n_samples", "2",
-        "--sample_height", "32",
-        "--sample_width", "32",
     ]
+    # no --log_every_n_steps => no in-training sampling (that path is
+    # covered by test_main_cli_train_deediff_frozen, which also checks the
+    # probe diagnostics it logs)
     logs = main_cli.main(common)
     assert logs, "train produced no logs"
     assert (logdir / "t1" / "cifar10_uvit_last").exists()
@@ -438,6 +439,7 @@ def test_main_cli_async_checkpoint_and_resume(tmp_path, tiny_train_config,
     assert logs2 and logs2[0]["step"] > 4
 
 
+@pytest.mark.slow  # default-set coverage: test_train_step_ema_tracks_params + test_sampler_cli_use_ema
 def test_main_cli_train_ema_and_resume(tmp_path, tiny_train_config, cifar_data):
     """--ema_decay tracks EMA params, checkpoints them, and restores them on
     resume (they must differ from the live params after training)."""
@@ -641,6 +643,7 @@ def test_sampler_cli_dpm_solver_block_cached(tmp_path, tiny_config):
     assert np.any(stale != dense)
 
 
+@pytest.mark.slow  # default-set coverage: test_train_step_distillation
 def test_main_cli_distillation(tmp_path, tiny_train_config, cifar_data):
     """--distill_config trains the student against a (here random-init)
     teacher and logs the distillation metrics."""
@@ -714,7 +717,7 @@ def test_main_cli_train_tensor_parallel(tmp_path, tiny_train_config,
         logs = main_cli.main([
             "--config_path", str(tiny_train_config),
             "--attn_impl", attn,
-            "--n_steps", "2",
+            "--n_steps", "1",
             "--batch_size", "8",
             "--num_timesteps", "50",
             "--dataset", "cifar10",

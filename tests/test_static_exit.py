@@ -140,13 +140,14 @@ def test_static_exit_cache_table_uniform_equals_every(ee_model):
     from duodiff_tpu.diffusion.cache_schedule import uniform_table
 
     _, params = ee_model
-    sched = NoiseSchedule.create(steps=16)
-    buckets = [(15, 8, 3), (7, 0, 5)]
+    sched = NoiseSchedule.create(steps=12)
+    buckets = [(11, 0, 5)]  # one cacheable bucket: the table-threading
+    # proof doesn't need the multi-bucket plumbing (CLI test covers it)
     kw = dict(schedule=sched, shape=(2, 16, 16, 3), buckets=buckets,
-              dtype=jnp.float32, chunk=5)
+              dtype=jnp.float32, chunk=6)
     ref = static_exit_sample(CFG, params, jax.random.PRNGKey(3),
                              cache_every=3, **kw)
-    table = jnp.asarray(uniform_table(3, 16))
+    table = jnp.asarray(uniform_table(3, 12))
     got = static_exit_sample(CFG, params, jax.random.PRNGKey(3),
                              cache_every=table, **kw)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))

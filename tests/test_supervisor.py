@@ -13,6 +13,8 @@ import subprocess
 import sys
 import textwrap
 import time
+
+import pytest
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
@@ -61,6 +63,7 @@ def test_usage_error_not_retried(tmp_path):
     assert "crash" not in kinds and kinds[-1] == "fatal"
 
 
+@pytest.mark.slow  # default-set coverage: test_crash_twice_then_succeed exercises the restart loop
 def test_budget_exhausted(tmp_path):
     child = tmp_path / "child.py"
     child.write_text("import sys; sys.exit(7)")
@@ -101,6 +104,7 @@ def test_auto_resume_appended_to_main_py(tmp_path):
     assert rc == 0
 
 
+@pytest.mark.slow  # default-set coverage: test_crash_twice_then_succeed exercises the restart loop
 def test_sigterm_forwarded_no_restart(tmp_path):
     """TERM to the supervisor reaches the child (which saves and exits,
     like the Trainer's preemption handler) and is not retried."""

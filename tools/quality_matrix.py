@@ -68,7 +68,8 @@ def main(argv=None):
                          "cache_derived_int8,ee_dynamic,"
                          "ee_static,ee_static_int8,ee_static_cache3,"
                          "ee_static_cache_derived_int8,duodiff,"
-                         "duodiff_int8,duodiff_cache3,interleave2,"
+                         "duodiff_int8,duodiff_cache3,"
+                         "duodiff_cache_derived_int8,interleave2,"
                          "interleave4)")
     args = ap.parse_args(argv)
 
@@ -191,8 +192,16 @@ def main(argv=None):
             # the late (full) model's segment block-cached (bench row
             # celeba_duodiff_cache3)
             ("duodiff_cache3", ["--cache_every", "3"]),
+            # derived anchor table on the late segment (requires
+            # --cache_schedule; bench row celeba_duodiff_cache_derived_int8)
+            ("duodiff_cache_derived_int8",
+             ["--cache_schedule", args.cache_schedule or "",
+              "--attn_impl", "fused_int8"]),
         ):
             if not want(name):
+                continue
+            if name == "duodiff_cache_derived_int8" and (
+                    not args.cache_schedule):
                 continue
             t = time.time()
             sampler_cli.main([
