@@ -28,6 +28,25 @@ _cache_dir = os.environ.get(
     "JAX_COMPILATION_CACHE_DIR",
     str(Path.home() / ".cache" / "jax_duodiff_cpu_tests"),
 )
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+if _cache_dir not in ("", "off"):  # JAX_COMPILATION_CACHE_DIR=off disables
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+# The suite accumulates millions of long-lived objects (jaxprs, compiled
+# executables, module fixtures); CPython's generational GC rescans them on
+# the frequent collections jax tracing triggers, inflating late-suite tests
+# ~2x (measured: the TP CLI test runs 30s alone, 66s late in the suite).
+# Freezing survivors into the permanent generation at each module boundary
+# keeps the GC's scan set small; the memory retained by frozen garbage is
+# irrelevant next to the host's RAM.
+import gc  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _gc_freeze_between_modules():
+    gc.collect()
+    gc.freeze()
+    yield
