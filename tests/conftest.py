@@ -12,9 +12,15 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# The suite is XLA-CPU-compile-bound on this 1-core host; LLVM -O0 codegen
+# roughly halves the compile-heavy modules (test_static_exit cold: 81s ->
+# 44s) and wins net even on the interpret-execution-heavy kernel tests
+# (cold TP-CLI + fused-grads pair: 94s -> 66s). Pass the flag yourself (any
+# level) to override.
+if "xla_backend_optimization_level" not in flags:
+    flags = (flags + " --xla_backend_optimization_level=0").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

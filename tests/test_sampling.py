@@ -7,6 +7,7 @@ schedule (20 steps) and stub models so the scans compile in milliseconds.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from duodiff_tpu.diffusion import (
     NoiseSchedule,
@@ -490,13 +491,8 @@ def test_params_mode_matches_closure_and_keeps_executable_weight_free():
     )
 
 
-def test_params_mode_early_exit_matches_closure():
-    """ChunkedEarlyExitSampler params threading: identical samples and exit
-    diagnostics vs the closure form (incl. through the CFG-EE wrapper's
-    leading-argument passthrough)."""
+def _ee_params_mode_setup():
     from duodiff_tpu.config import UViTConfig
-    from duodiff_tpu.diffusion import make_guided_apply_ee
-    from duodiff_tpu.diffusion.sampling import ChunkedEarlyExitSampler
     from duodiff_tpu.models.early_exit import init_early_exit_uvit
 
     cfg = UViTConfig(
@@ -507,8 +503,15 @@ def test_params_mode_early_exit_matches_closure():
         cfg, jax.random.PRNGKey(1), dtype=jnp.float32
     )
     sched = NoiseSchedule.create(steps=8)
-    key = jax.random.PRNGKey(6)
-    shape = (2, 8, 8, 3)
+    return model, params, sched, jax.random.PRNGKey(6), (2, 8, 8, 3)
+
+
+def test_params_mode_early_exit_matches_closure():
+    """ChunkedEarlyExitSampler params threading: identical samples and exit
+    diagnostics vs the closure form."""
+    from duodiff_tpu.diffusion.sampling import ChunkedEarlyExitSampler
+
+    model, params, sched, key, shape = _ee_params_mode_setup()
     y = jnp.array([1, 2])
 
     closure = ChunkedEarlyExitSampler(
@@ -525,7 +528,19 @@ def test_params_mode_early_exit_matches_closure():
     np.testing.assert_array_equal(errc, errt)
     np.testing.assert_array_equal(idxc, idxt)
 
-    # CFG-EE wrapper passes the threaded params tree through untouched
+
+@pytest.mark.slow  # default-set coverage: test_eesampler_cli_guided runs the
+# guided+threaded EE path end to end; this pins the closure/threaded
+# equivalence through the CFG-EE wrapper specifically
+def test_params_mode_early_exit_guided_matches_closure():
+    """The CFG-EE wrapper passes the threaded params tree through
+    untouched: guided closure and guided threaded samplers agree."""
+    from duodiff_tpu.diffusion import make_guided_apply_ee
+    from duodiff_tpu.diffusion.sampling import ChunkedEarlyExitSampler
+
+    model, params, sched, key, shape = _ee_params_mode_setup()
+    y = jnp.array([1, 2])
+
     guided_closure = ChunkedEarlyExitSampler(
         make_guided_apply_ee(
             lambda x, t, yy: model.apply({"params": params}, x, t, yy),

@@ -125,8 +125,10 @@ def test_static_exit_cache_every1_bitexact(ee_model):
     _, params = ee_model
     sched = NoiseSchedule.create(steps=16)
     buckets = [(15, 8, 3), (7, 0, 5)]
+    # chunk divides both 8-step buckets: one compiled scan length per
+    # bucket/variant instead of two (this 1-core suite is compile-bound)
     kw = dict(schedule=sched, shape=(2, 16, 16, 3), buckets=buckets,
-              dtype=jnp.float32, chunk=5)
+              dtype=jnp.float32, chunk=4)
     ref = static_exit_sample(CFG, params, jax.random.PRNGKey(3), **kw)
     got = static_exit_sample(CFG, params, jax.random.PRNGKey(3),
                              cache_every=1, **kw)
@@ -162,8 +164,8 @@ def test_static_exit_cache_runs_mixed_buckets(ee_model):
     buckets = [(19, 9, 2), (8, 0, 4)]  # layer-2 bucket: cache_outer_for=None
     x = static_exit_sample(
         CFG, params, jax.random.PRNGKey(0), schedule=sched,
-        shape=(2, 16, 16, 3), buckets=buckets, dtype=jnp.float32, chunk=7,
-        cache_every=3,
+        shape=(2, 16, 16, 3), buckets=buckets, dtype=jnp.float32, chunk=11,
+        cache_every=3,  # chunk >= both bucket lengths: one scan per bucket
     )
     assert x.shape == (2, 16, 16, 3)
     assert np.all(np.isfinite(np.asarray(x)))
@@ -195,7 +197,7 @@ def test_static_exit_cache_bucket_entry_anchors(ee_model):
 
     token_len = CFG.extras + CFG.num_patches
     sampler = ChunkedDDPMSampler(
-        apply, sched, parametrization="predict_noise", chunk=6, params=p0,
+        apply, sched, parametrization="predict_noise", chunk=9, params=p0,
         init_state_fn=lambda x: jnp.zeros(
             (x.shape[0], token_len, CFG.embed_dim), jnp.float32
         ),
@@ -212,7 +214,7 @@ def test_static_exit_sample_runs(ee_model):
     buckets = [(19, 10, 1), (9, 0, 5)]
     x = static_exit_sample(
         CFG, params, jax.random.PRNGKey(0), schedule=sched,
-        shape=(2, 16, 16, 3), buckets=buckets, dtype=jnp.float32, chunk=7,
+        shape=(2, 16, 16, 3), buckets=buckets, dtype=jnp.float32, chunk=10,
     )
     assert x.shape == (2, 16, 16, 3)
     assert np.all(np.isfinite(np.asarray(x)))
