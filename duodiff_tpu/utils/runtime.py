@@ -21,8 +21,16 @@ def setup_compilation_cache():
         str(Path.home() / ".cache" / f"jax_duodiff_{backend}"),
     )
     try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        if cache_dir in ("", "off"):
+            # JAX_COMPILATION_CACHE_DIR=off (or empty) means DISABLE. JAX
+            # itself reads the env var as a literal path default, so we must
+            # both clear the config and drop the env var, or a relative
+            # ./off directory gets created and silently used as a cache.
+            os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)
+            jax.config.update("jax_compilation_cache_dir", None)
+        else:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     except Exception:
         pass

@@ -34,7 +34,12 @@ _cache_dir = os.environ.get(
     "JAX_COMPILATION_CACHE_DIR",
     str(Path.home() / ".cache" / "jax_duodiff_cpu_tests"),
 )
-if _cache_dir not in ("", "off"):  # JAX_COMPILATION_CACHE_DIR=off disables
+if _cache_dir in ("", "off"):  # JAX_COMPILATION_CACHE_DIR=off disables
+    # JAX reads the env var natively as a cache-dir default, so "off" would
+    # otherwise become a literal ./off directory with caching still enabled.
+    os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)
+    jax.config.update("jax_compilation_cache_dir", None)
+else:
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
