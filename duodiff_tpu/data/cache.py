@@ -1,14 +1,14 @@
-"""One-time uint8 memmap cache of a decoded+transformed dataset.
+"""One-time memmap cache of a decoded+transformed dataset.
 
 The image datasets (CelebA, ImageNet) pay a JPEG decode + crop/resize per
 item per epoch — on a 1-CPU host that is the training wall (NOTES.md: the
 device step is ~118ms while the host feeds ~1 batch/287ms). Caching the
-post-transform uint8 images as one (N, H, W, 3) .npy memmap turns every
-later __getitem__ into a page-cache memcpy, and the batch assembler's fused
-uint8->float path consumes it directly.
+post-transform images as one (N, H, W, 3) .npy memmap (dtype = whatever the
+base dataset yields: float32 for the tensor-mode-resized sets, uint8 for
+raw ones) turns every later __getitem__ into a page-cache memcpy.
 
-Sizes are modest for the fixed-size datasets (CelebA-64: 2.4 GB,
-ImageNet-64: 6.4 GB); imagenet256 (106 GB) should only be cached on disks
+Sizes are modest for the fixed-size datasets (CelebA-64 float32: 9.5 GB,
+ImageNet-64 float32: 26 GB); imagenet256 (106 GB) should only be cached on disks
 that can take it — the cache is opt-in (--cache_data).
 
 The build is atomic and concurrency-safe: each builder writes to a
@@ -32,7 +32,7 @@ import numpy as np
 
 
 class MemmapCachedDataset:
-    """Wraps any dataset with integer indexing returning (uint8 HWC, label).
+    """Wraps any dataset with integer indexing returning (HWC array, label).
 
     Exposes the same contract plus the loader's scale/offset attributes.
     """
@@ -80,7 +80,7 @@ class MemmapCachedDataset:
             print(f"Building dataset cache {key}: {n} images, {gb:.1f} GB "
                   f"(one-time)")
         images = np.lib.format.open_memmap(
-            tmp / "images.npy", mode="w+", dtype=np.uint8, shape=shape
+            tmp / "images.npy", mode="w+", dtype=img0.dtype, shape=shape
         )
         labels = np.empty((n,), np.int32)
 

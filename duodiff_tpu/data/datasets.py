@@ -5,11 +5,15 @@ indexable returning (image NHWC float32, label int). Transforms match the
 reference pipelines:
 
   - CIFAR-10: [0,1] -> Normalize(0.5, 0.5) (datasets/cifar10.py:22-27).
-  - CelebA: Normalize +/- CenterCrop(178) + Resize(64) bilinear
-    (datasets/celeba.py:26-33). Normalize is affine so it commutes exactly
-    with crop/bilinear-resize; we crop/resize in PIL first.
-  - ImageNet: ImageFolder over 256x256 images, optional Resize(64)
-    (datasets/imagenet.py:29-44).
+  - CelebA: Normalize -> CenterCrop(178) -> Resize(64) applied to the
+    *tensor* (datasets/celeba.py:26-33), i.e. torchvision tensor-mode
+    bilinear with antialias (the >=0.17 default). Reproduced exactly:
+    crop on the decoded uint8 (lossless), then
+    duodiff_tpu.data.resize.resize_bilinear (torch-interpolate-parity
+    float math, no uint8 re-quantization). Normalize is affine and the
+    resize is linear, so fusing scale/offset after the resize is exact.
+  - ImageNet: ImageFolder over 256x256 images, optional tensor-mode
+    Resize(64) with the same semantics (datasets/imagenet.py:29-44).
 """
 
 from __future__ import annotations
@@ -22,6 +26,7 @@ import numpy as np
 from PIL import Image
 
 from duodiff_tpu.data.loader import DataLoader
+from duodiff_tpu.data.resize import resize_bilinear
 from duodiff_tpu.data.sampler import ResumableSeedableSampler
 
 IMG_EXTENSIONS = {".jpg", ".jpeg", ".png", ".bmp", ".webp"}
@@ -73,8 +78,11 @@ class Cifar10Dataset:
 
 
 class CelebADataset:
-    """CelebA aligned faces: CenterCrop(178) + Resize(64x64) bilinear
-    (reference datasets/celeba.py:26-33, split='all')."""
+    """CelebA aligned faces: CenterCrop(178) + tensor-mode antialiased
+    bilinear Resize(64x64) (reference datasets/celeba.py:26-33,
+    split='all'). Items are float32 HWC in 0..255 (the resize is float
+    math, matching the reference's resize-after-ToTensor order); the
+    loader's fused scale/offset maps them to the normalized range."""
 
     def __init__(self, data_dir, normalize: bool = True, size: int = 64):
         root = Path(data_dir) / "celeba" / "img_align_celeba"
@@ -94,12 +102,12 @@ class CelebADataset:
     def __getitem__(self, i):
         img = Image.open(self.files[i]).convert("RGB")
         w, h = img.size
-        # center crop to 178x178
+        # center crop to 178x178 (lossless on the decoded uint8)
         cw = ch = 178
         left, top = (w - cw) // 2, (h - ch) // 2
         img = img.crop((left, top, left + cw, top + ch))
-        img = img.resize((self.size, self.size), Image.BILINEAR)
-        return np.asarray(img, dtype=np.uint8), 0
+        arr = np.asarray(img, dtype=np.float32)
+        return resize_bilinear(arr, self.size, self.size, antialias=True), 0
 
 
 class ImageFolderDataset:
@@ -134,7 +142,14 @@ class ImageFolderDataset:
         path, label = self.samples[i]
         img = Image.open(path).convert("RGB")
         if self.resize_to is not None:
-            img = img.resize((self.resize_to, self.resize_to), Image.BILINEAR)
+            # tensor-mode antialiased bilinear, float math (reference
+            # resizes after ToTensor+Normalize: datasets/imagenet.py:30-39)
+            arr = np.asarray(img, dtype=np.float32)
+            return (
+                resize_bilinear(arr, self.resize_to, self.resize_to,
+                                antialias=True),
+                label,
+            )
         return np.asarray(img, dtype=np.uint8), label
 
 
@@ -166,8 +181,10 @@ def get_celeba_dataloader(
     num_workers: int = 8, cache_data: bool = False,
 ) -> DataLoader:
     ds = CelebADataset(data_dir, normalize=normalize)
+    # "aa" key suffix: tensor-mode antialiased float resize (cache contents
+    # changed vs the earlier uint8 PIL pipeline; length-only staleness check)
     ds = _maybe_cache(ds, cache_data, data_dir,
-                      f"celeba64_norm{int(normalize)}", num_workers)
+                      f"celeba64aa_norm{int(normalize)}", num_workers)
     sampler = ResumableSeedableSampler(len(ds), seed=seed)
     return DataLoader(ds, batch_size, sampler, num_workers=num_workers)
 
@@ -188,7 +205,8 @@ def get_imagenet_dataloader(
     )
     ds = _maybe_cache(
         ds, cache_data, data_dir,
-        f"imagenet{64 if resize else 256}_norm{int(normalize)}", num_workers,
+        f"imagenet{'64aa' if resize else '256'}_norm{int(normalize)}",
+        num_workers,
     )
     sampler = ResumableSeedableSampler(len(ds), seed=seed)
     return DataLoader(ds, batch_size, sampler, num_workers=num_workers)

@@ -57,18 +57,19 @@ class DataLoader:
             self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
         items = list(self._pool.map(self.dataset.__getitem__, indices))
         labels = np.asarray([it[1] for it in items], dtype=np.int32)
-        images_u8 = [np.ascontiguousarray(it[0]) for it in items]
+        images = [np.ascontiguousarray(it[0]) for it in items]
         scale = float(getattr(self.dataset, "scale", 1.0 / 255.0))
         offset = float(getattr(self.dataset, "offset", 0.0))
-        out = np.empty((len(images_u8),) + images_u8[0].shape, np.float32)
+        out = np.empty((len(images),) + images[0].shape, np.float32)
         assembler = _native_assembler()
-        if assembler is not None:
+        if assembler is not None and images[0].dtype == np.uint8:
             # fused uint8 -> scale/offset -> contiguous NHWC float32 batch in
             # one native pass (duodiff_tpu/data/_native)
-            assembler(images_u8, scale, offset, out,
+            assembler(images, scale, offset, out,
                       n_threads=min(self.num_workers, 8))
         else:
-            np.multiply(np.stack(images_u8), scale, out=out, casting="unsafe")
+            # float items (tensor-mode-resized datasets) or no native lib
+            np.multiply(np.stack(images), scale, out=out, casting="unsafe")
             out += offset
         return {"image": out, "label": labels}
 

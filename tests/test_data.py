@@ -229,6 +229,63 @@ def test_memmap_cache_identity_and_reuse(tmp_path):
     assert len(rebuilt) == 4
 
 
+# ---------------- tensor-mode resize parity (reference dataset semantics) --
+
+
+@pytest.mark.parametrize("antialias", [True, False])
+@pytest.mark.parametrize(
+    "geom", [(178, 178, 64, 64), (256, 256, 64, 64), (218, 178, 64, 64),
+             (32, 32, 299, 299)]
+)
+def test_resize_matches_torch_interpolate(geom, antialias):
+    """resize_bilinear must reproduce torch F.interpolate exactly — the
+    reference resizes the normalized TENSOR (datasets/celeba.py:26-33), so
+    torchvision tensor-mode semantics (= F.interpolate bilinear,
+    align_corners=False) are the parity target."""
+    import torch
+    import torch.nn.functional as F
+
+    from duodiff_tpu.data.resize import resize_bilinear
+
+    h, w, oh, ow = geom
+    x = np.random.RandomState(0).standard_normal((h, w, 3)).astype(np.float32)
+    xt = torch.from_numpy(x).permute(2, 0, 1)[None]
+    want = (
+        F.interpolate(xt, size=(oh, ow), mode="bilinear",
+                      align_corners=False, antialias=antialias)[0]
+        .permute(1, 2, 0).numpy()
+    )
+    got = resize_bilinear(x, oh, ow, antialias=antialias)
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_celeba_pipeline_matches_reference_transform(celeba_dir):
+    """End-to-end: our CelebA batch must match the reference's exact
+    transform chain ToTensor -> Normalize(.5,.5) -> CenterCrop(178) ->
+    tensor-mode Resize(64, antialias) (datasets/celeba.py:26-33) computed
+    with torch on the same files."""
+    import torch
+    import torch.nn.functional as F
+
+    dl = get_celeba_dataloader(4, seed=0, data_dir=celeba_dir, num_workers=2)
+    batch = dl.next_batch()
+
+    files = sorted((celeba_dir / "celeba" / "img_align_celeba").iterdir())
+    idx = ResumableSeedableSampler(len(files), seed=0).next_indices(4)
+    want = []
+    for i in idx:
+        arr = np.asarray(Image.open(files[i]).convert("RGB"), np.float32)
+        t = torch.from_numpy(arr / 255.0).permute(2, 0, 1)[None]
+        t = (t - 0.5) / 0.5
+        h, w = t.shape[-2:]
+        top, left = (h - 178) // 2, (w - 178) // 2
+        t = t[..., top:top + 178, left:left + 178]
+        t = F.interpolate(t, size=(64, 64), mode="bilinear",
+                          align_corners=False, antialias=True)
+        want.append(t[0].permute(1, 2, 0).numpy())
+    np.testing.assert_allclose(batch["image"], np.stack(want), atol=1e-5)
+
+
 def test_dataloader_factory_with_cache(tmp_path):
     """get_dataloader(..., cache_data=True) serves batches from the cache."""
     from duodiff_tpu.data import get_dataloader
@@ -246,7 +303,7 @@ def test_dataloader_factory_with_cache(tmp_path):
                         cache_data=True)
     batch = dl.next_batch()
     assert batch["image"].shape == (4, 64, 64, 3)
-    assert (tmp_path / "_duodiff_cache" / "imagenet64_norm1" /
+    assert (tmp_path / "_duodiff_cache" / "imagenet64aa_norm1" /
             "meta.json").exists()
     dl2 = get_dataloader("imagenet64", 4, seed=0, data_dir=tmp_path,
                          cache_data=True)
