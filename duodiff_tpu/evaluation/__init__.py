@@ -4,10 +4,20 @@ from duodiff_tpu.evaluation.fid import (
     fid_from_features,
     frechet_distance,
 )
+from duodiff_tpu.evaluation.metrics import (
+    fd_rand,
+    radial_power_spectrum,
+    random_inception,
+    spectral_distance,
+)
 
 __all__ = [
     "compute_statistics",
     "extract_features",
     "frechet_distance",
     "fid_from_features",
+    "fd_rand",
+    "radial_power_spectrum",
+    "random_inception",
+    "spectral_distance",
 ]

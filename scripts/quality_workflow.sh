@@ -6,6 +6,10 @@
 set -e
 WORK=${WORK:-/tmp/duodiff_quality}
 STEPS=${STEPS:-12000}
+# matrix sample count per method: 32 reproduces the round-2 table quickly;
+# 128 is the validated FD-rand operating point (Frechet estimates over 2048-d
+# features need every sample they can get — see tools/score_quality.py)
+MATRIX_BATCH=${MATRIX_BATCH:-32}
 
 # 1. synthetic palette dataset + backbone training + DDPM sampling + metrics
 python tools/convergence_probe.py --config configs/uvit_cifar10.yaml \
@@ -44,7 +48,7 @@ python tools/quality_matrix.py \
     --shallow_config configs/uvit_cifar10_3.yaml \
     --shallow_checkpoint $WORK/logs/shallow/cifar10_uvit_last \
     --int8_scales $WORK/int8_scales.json \
-    --t_switch 300 --palette_k 4 --batch 32 --out $WORK/qm
+    --t_switch 300 --palette_k 4 --batch $MATRIX_BATCH --out $WORK/qm
 
 cat $WORK/qm/quality_matrix.json
 
@@ -59,4 +63,4 @@ python tools/quality_matrix.py \
     --config configs/uvit_cifar10.yaml --checkpoint $BACKBONE \
     --shallow_config configs/uvit_cifar10_3.yaml \
     --interleave_shallow_checkpoint $WORK/logs/shallow_all/cifar10_uvit_last \
-    --methods interleave2,interleave4 --palette_k 4 --batch 32 --out $WORK/qm
+    --methods interleave2,interleave4 --palette_k 4 --batch $MATRIX_BATCH --out $WORK/qm

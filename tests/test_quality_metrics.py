@@ -1,0 +1,173 @@
+"""FD-rand + spectral quality metrics (duodiff_tpu/evaluation/metrics.py).
+
+The reference's quality gate is FID on canonical Inception weights
+(reference fid.py:34-39) — unavailable here, so the repo's falsifiable
+substitute is a Frechet distance on SEEDED RANDOM inception features plus a
+radial power-spectrum distance. These tests pin that both metrics actually
+discriminate distributions (same-dist pairs score near the noise floor,
+cross-dist pairs score far above it) — without that property the
+quality-vs-speed table would be decorative.
+"""
+
+import json
+import pickle
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+from convergence_probe import (  # noqa: E402
+    PALETTES,
+    TEXTURE_CLASSES,
+    _gaussian_random_field,
+    make_palette_images,
+    make_textured_images,
+    write_textured_cifar,
+)
+from duodiff_tpu.evaluation.metrics import (  # noqa: E402
+    radial_power_spectrum,
+    spectral_distance,
+)
+
+
+def _grf_set(alpha, n=24, size=32, seed=0):
+    rng = np.random.RandomState(seed)
+    imgs = np.stack([
+        _gaussian_random_field(rng, size, alpha) for _ in range(n)
+    ])
+    imgs = 0.5 + 0.15 * imgs
+    return np.clip(imgs, 0, 1)[..., None].repeat(3, axis=-1)
+
+
+def test_spectral_distance_discriminates():
+    rough_a = _grf_set(1.0, seed=0)
+    rough_b = _grf_set(1.0, seed=1)
+    smooth = _grf_set(3.0, seed=2)
+    same = spectral_distance(rough_a, rough_b)
+    diff = spectral_distance(rough_a, smooth)
+    assert diff > 5 * same, (same, diff)
+    # log-power units: alpha 1 vs alpha 3 differs by ~2 decades at the
+    # highest radial bins, so the RMS over bins must be far above 0.1
+    assert diff > 0.5, diff
+
+
+def test_spectral_slope_matches_alpha():
+    # P(f) ~ f^-alpha means the radial log-spectrum has slope -alpha in
+    # log-log; fit the generated fields and recover alpha within 15%
+    for alpha in (1.0, 2.0, 3.0):
+        spec = radial_power_spectrum(_grf_set(alpha, n=48))
+        r = np.arange(len(spec), dtype=np.float64)
+        mask = (r >= 2) & (r <= 12)  # mid-band: clear of DC and clip damage
+        slope = np.polyfit(np.log10(r[mask]), spec[mask], 1)[0]
+        assert abs(-slope - alpha) < 0.15 * alpha + 0.15, (alpha, slope)
+
+
+def test_spectral_distance_sees_blur_that_mode_stats_miss():
+    # the motivating case: a 3x3 box blur barely moves mean color / std-based
+    # mode stats but destroys high-frequency power — spec distance must see it
+    rng = np.random.RandomState(0)
+    ks = rng.randint(0, len(TEXTURE_CLASSES), 32)
+    imgs = make_textured_images(rng, ks).astype(np.float32) / 255.0
+    blurred = (
+        imgs
+        + np.roll(imgs, 1, axis=1) + np.roll(imgs, -1, axis=1)
+        + np.roll(imgs, 1, axis=2) + np.roll(imgs, -1, axis=2)
+    ) / 5.0
+    rng2 = np.random.RandomState(7)
+    ks2 = rng2.randint(0, len(TEXTURE_CLASSES), 32)
+    fresh = make_textured_images(rng2, ks2).astype(np.float32) / 255.0
+    floor = spectral_distance(imgs, fresh)
+    damage = spectral_distance(imgs, blurred)
+    assert damage > 4 * floor, (floor, damage)
+    # ... while the mean-color mode assignment is unchanged
+    means = imgs.mean(axis=(1, 2))
+    means_b = blurred.mean(axis=(1, 2))
+    assert np.abs(means - means_b).max() < 0.02
+
+
+def test_textured_cifar_layout(tmp_path):
+    write_textured_cifar(tmp_path, seed=0, per_batch=64)
+    root = tmp_path / "cifar10" / "cifar-10-batches-py"
+    with open(root / "data_batch_1", "rb") as f:
+        d = pickle.load(f)
+    rows = d[b"data"]
+    assert rows.shape == (64, 3072) and rows.dtype == np.uint8
+    imgs = rows.reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1) / 255.0
+    labels = np.asarray(d[b"labels"])
+    # class spectra order by alpha: rougher class -> more high-band power
+    hi_power = []
+    for k in range(len(TEXTURE_CLASSES)):
+        spec = radial_power_spectrum(imgs[labels == k])
+        hi_power.append(spec[8:14].mean())
+    assert all(a > b for a, b in zip(hi_power, hi_power[1:])), hi_power
+
+
+@pytest.mark.slow
+def test_fd_rand_discriminates():
+    # inception@299^2 on the 1-core CPU host is minutes of compile+run —
+    # slow set (CI runs it; the numpy spectral tests above stay default)
+    # FD-rand on seeded random inception features: two palette draws sit
+    # near the noise floor; palette-vs-textured is far above it. Small N and
+    # few batches keep this CPU-affordable; the Frechet estimator's N<D bias
+    # is shared by all three terms so the RATIO is the meaningful check.
+    from duodiff_tpu.evaluation.fid import extract_features, fid_from_features
+    from duodiff_tpu.evaluation.metrics import random_inception
+
+    rng = np.random.RandomState(0)
+    pal = PALETTES[4]
+    a = make_palette_images(rng, rng.randint(0, 4, 24), pal) / 255.0
+    b = make_palette_images(rng, rng.randint(0, 4, 24), pal) / 255.0
+    t = make_textured_images(rng, rng.randint(0, len(TEXTURE_CLASSES), 24))
+    t = t / 255.0
+
+    model, params = random_inception()
+    fa = extract_features(model, params, a.astype(np.float32), batch_size=8)
+    fb = extract_features(model, params, b.astype(np.float32), batch_size=8)
+    ft = extract_features(model, params, t.astype(np.float32), batch_size=8)
+    assert fa.shape == (24, 2048)
+    floor = fid_from_features(fa, fb)
+    cross = fid_from_features(fa, ft)
+    assert cross > 3 * floor, (floor, cross)
+
+
+@pytest.mark.slow
+def test_score_quality_cli(tmp_path):
+    # end-to-end scorer: a fake matrix dir with a faithful 'ddpm' set and a
+    # blurred 'cache' set; the scorer must rank the damaged method above the
+    # baseline on both metrics and merge fields into quality_matrix.json
+    from PIL import Image
+
+    import score_quality
+
+    rng = np.random.RandomState(3)
+    ks = rng.randint(0, len(TEXTURE_CLASSES), 24)
+    good = make_textured_images(rng, ks)
+    blurred = good.astype(np.float32)
+    blurred = (
+        blurred
+        + np.roll(blurred, 1, axis=1) + np.roll(blurred, -1, axis=1)
+        + np.roll(blurred, 1, axis=2) + np.roll(blurred, -1, axis=2)
+    ) / 5.0
+    for name, imgs in (("ddpm", good), ("cache", blurred.astype(np.uint8))):
+        d = tmp_path / name
+        d.mkdir()
+        for i, im in enumerate(imgs):
+            Image.fromarray(im).save(d / f"{i:03d}.png")
+    (tmp_path / "quality_matrix.json").write_text(
+        json.dumps({"ddpm": {"n_samples": 24}, "cache": {"n_samples": 24}})
+    )
+
+    table = score_quality.main([
+        "--out", str(tmp_path), "--distribution", "textured",
+        "--ref_n", "24", "--batch_size", "8",
+    ])
+    rows = table["rows"]
+    assert set(rows) == {"real_vs_real", "ddpm", "cache"}
+    assert rows["cache"]["fd_rand_vs_dense"] > rows["ddpm"]["fd_rand_vs_dense"]
+    assert rows["cache"]["spec_vs_dense"] > 4 * rows["ddpm"]["spec_vs_dense"]
+    assert rows["ddpm"]["fd_rand_vs_dense"] == 0.0  # self-distance
+    qm = json.loads((tmp_path / "quality_matrix.json").read_text())
+    assert "fd_rand_vs_real" in qm["cache"] and "spec_vs_dense" in qm["ddpm"]

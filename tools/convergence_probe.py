@@ -65,6 +65,79 @@ PALETTES = {
 }
 
 
+# textured distribution (VERDICT r2 #1): Gaussian random fields with
+# class-distinct power-law spectra P(f) ~ f^-alpha and class-distinct base
+# colors. Unlike the solid palettes, these have real spatial structure at
+# every frequency — the first thing stale cache deltas / int8 quantization
+# would damage — and the spectra are KNOWN, so a radial-spectrum metric
+# (duodiff_tpu.evaluation.metrics) has a ground truth to compare against.
+# alpha spans rough (1.0) to smooth blobs (3.4).
+TEXTURE_CLASSES = [
+    # (alpha, base RGB, contrast, per-channel field gains)
+    (1.0, (190, 70, 70), 30.0, (1.0, 0.55, 0.55)),
+    (1.8, (70, 190, 70), 30.0, (0.55, 1.0, 0.55)),
+    (2.6, (70, 70, 190), 30.0, (0.55, 0.55, 1.0)),
+    (3.4, (165, 165, 70), 30.0, (1.0, 1.0, 0.45)),
+]
+# nearest-base-color mode assignment reuses measure() unchanged
+TEXTURE_PALETTE = np.array([c for _, c, _, _ in TEXTURE_CLASSES], np.float32)
+
+
+def _gaussian_random_field(rng: np.random.RandomState, size: int,
+                           alpha: float) -> np.ndarray:
+    """(size, size) real field, mean 0 std 1, with power spectrum ~ f^-alpha."""
+    f = np.fft.fftfreq(size) * size
+    fx, fy = np.meshgrid(f, f, indexing="ij")
+    r = np.sqrt(fx**2 + fy**2)
+    r[0, 0] = 1.0  # DC amplitude zeroed below
+    amp = r ** (-alpha / 2.0)
+    amp[0, 0] = 0.0
+    noise = rng.randn(size, size) + 1j * rng.randn(size, size)
+    field = np.fft.ifft2(noise * amp).real
+    return (field - field.mean()) / (field.std() + 1e-12)
+
+
+def make_textured_images(rng: np.random.RandomState, ks: np.ndarray,
+                         size: int = 32) -> np.ndarray:
+    """(N, size, size, 3) uint8 textured images for class indices ks."""
+    out = np.empty((len(ks), size, size, 3), np.uint8)
+    for i, k in enumerate(ks):
+        alpha, base, contrast, gains = TEXTURE_CLASSES[int(k)]
+        field = _gaussian_random_field(rng, size, alpha)
+        img = (np.asarray(base, np.float32)[None, None]
+               + contrast * field[:, :, None]
+               * np.asarray(gains, np.float32)[None, None])
+        out[i] = np.clip(img, 0, 255).astype(np.uint8)
+    return out
+
+
+def write_textured_cifar(data_dir: Path, seed: int = 0,
+                         per_batch: int = 512) -> None:
+    """Textured images in the CIFAR-10 binary layout (same trick as
+    write_palette_cifar; rows are (3, 32, 32) channel-major flattened)."""
+    root = data_dir / "cifar10" / "cifar-10-batches-py"
+    root.mkdir(parents=True, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    k = len(TEXTURE_CLASSES)
+    for i in range(1, 6):
+        ks = rng.randint(0, k, per_batch)
+        imgs = make_textured_images(rng, ks)  # (N, H, W, 3)
+        rows = imgs.transpose(0, 3, 1, 2).reshape(per_batch, 3072)
+        with open(root / f"data_batch_{i}", "wb") as f:
+            pickle.dump({b"data": rows, b"labels": ks.tolist()}, f)
+
+
+def make_palette_images(rng: np.random.RandomState, ks: np.ndarray,
+                        palette: np.ndarray, size: int = 32) -> np.ndarray:
+    """(N, size, size, 3) uint8 palette images (solid color + sigma-6 pixel
+    noise — the exact write_palette_cifar distribution)."""
+    n = len(ks)
+    imgs = palette[ks][:, :, None] + rng.randn(
+        n, 3, size * size).astype(np.float32) * 6.0
+    imgs = np.clip(imgs, 0, 255).astype(np.uint8)
+    return imgs.reshape(n, 3, size, size).transpose(0, 2, 3, 1)
+
+
 def write_palette_cifar(data_dir: Path, palette: np.ndarray, seed: int = 0,
                         per_batch: int = 256) -> None:
     """Write solid-color images in the CIFAR-10 binary layout the cifar10
@@ -75,11 +148,10 @@ def write_palette_cifar(data_dir: Path, palette: np.ndarray, seed: int = 0,
     k = len(palette)
     for i in range(1, 6):
         ks = rng.randint(0, k, per_batch)
-        imgs = palette[ks][:, :, None] + rng.randn(
-            per_batch, 3, 1024).astype(np.float32) * 6.0
-        imgs = np.clip(imgs, 0, 255).astype(np.uint8).reshape(per_batch, 3072)
+        imgs = make_palette_images(rng, ks, palette)  # same RNG stream as r2
+        rows = imgs.transpose(0, 3, 1, 2).reshape(per_batch, 3072)
         with open(root / f"data_batch_{i}", "wb") as f:
-            pickle.dump({b"data": imgs, b"labels": ks.tolist()}, f)
+            pickle.dump({b"data": rows, b"labels": ks.tolist()}, f)
 
 
 def write_palette_imagefolder(data_dir: Path, palette: np.ndarray,
@@ -139,6 +211,13 @@ def main(argv=None):
     # T=100 vs dataset 0.023).
     ap.add_argument("--num_timesteps", type=int, default=1000)
     ap.add_argument("--palette_k", type=int, default=4, choices=[1, 4, 8])
+    ap.add_argument("--distribution", type=str, default="palette",
+                    choices=["palette", "textured"],
+                    help="textured = Gaussian random fields with "
+                         "class-distinct power-law spectra (real spatial "
+                         "structure; cifar10 layout only) — the harder "
+                         "synthetic benchmark for the FD-rand/spectral "
+                         "quality table")
     ap.add_argument("--sample_batch", type=int, default=32)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--save_every", type=int, default=None,
@@ -164,11 +243,17 @@ def main(argv=None):
 
     work = Path(args.workdir or tempfile.mkdtemp(prefix="duodiff_conv_"))
     work.mkdir(parents=True, exist_ok=True)
-    palette = PALETTES[args.palette_k]
-    if args.dataset == "imagenet64":
-        write_palette_imagefolder(work / "data", palette, seed=args.seed)
+    if args.distribution == "textured":
+        if args.dataset != "cifar10":
+            raise SystemExit("--distribution textured is cifar10-layout only")
+        palette = TEXTURE_PALETTE
+        write_textured_cifar(work / "data", seed=args.seed)
     else:
-        write_palette_cifar(work / "data", palette, seed=args.seed)
+        palette = PALETTES[args.palette_k]
+        if args.dataset == "imagenet64":
+            write_palette_imagefolder(work / "data", palette, seed=args.seed)
+        else:
+            write_palette_cifar(work / "data", palette, seed=args.seed)
 
     if args.config is None:
         if args.dataset == "imagenet64":

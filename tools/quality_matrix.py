@@ -29,7 +29,11 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, os.path.dirname(_HERE))
 sys.path.insert(0, _HERE)
 
-from convergence_probe import PALETTES, measure  # noqa: E402 (tools/ sibling)
+from convergence_probe import (  # noqa: E402 (tools/ sibling)
+    PALETTES,
+    TEXTURE_PALETTE,
+    measure,
+)
 
 
 def main(argv=None):
@@ -49,6 +53,11 @@ def main(argv=None):
                          "interleave4 rows (the DuoDiff shallow is only "
                          "trained for its t >= T-t_switch regime)")
     ap.add_argument("--palette_k", type=int, default=4, choices=[1, 4, 8])
+    ap.add_argument("--distribution", type=str, default="palette",
+                    choices=["palette", "textured"],
+                    help="textured = score mode stats against the texture "
+                         "base colors (checkpoint trained via "
+                         "convergence_probe --distribution textured)")
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--num_timesteps", type=int, default=1000)
     ap.add_argument("--seed", type=int, default=1)
@@ -76,7 +85,8 @@ def main(argv=None):
     import eesampler as eesampler_cli
     import sampler as sampler_cli
 
-    palette = PALETTES[args.palette_k]
+    palette = (TEXTURE_PALETTE if args.distribution == "textured"
+               else PALETTES[args.palette_k])
     out_root = Path(args.out)
     only = set(args.methods.split(",")) if args.methods else None
 
