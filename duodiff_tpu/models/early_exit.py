@@ -192,6 +192,9 @@ class EarlyExitUViT(nn.Module):
     # fused_int8 static MLP activation scales / calibration mode (see UViT)
     int8_mlp_scales: Optional[tuple] = None
     int8_calibrate: bool = False
+    # TP x fused kernels (see UViT)
+    tp_mesh: Optional[jax.sharding.Mesh] = None
+    tp_axis: str = "model"
 
     @nn.compact
     def __call__(
@@ -215,7 +218,8 @@ class EarlyExitUViT(nn.Module):
             gelu_approx=self.gelu_approx, qkv_layout=self.qkv_layout,
             use_checkpoint=self.use_checkpoint,
             int8_mlp_scales=self.int8_mlp_scales,
-            int8_calibrate=self.int8_calibrate, name="uvit"
+            int8_calibrate=self.int8_calibrate, tp_mesh=self.tp_mesh,
+            tp_axis=self.tp_axis, name="uvit"
         )
         tokens = uvit.embed_tokens(x, timesteps, y)
 
@@ -289,14 +293,15 @@ def init_early_exit_uvit(
     config: UViTConfig, key: jax.Array, dtype=jnp.float32,
     attn_impl: str = "auto", gelu_approx: bool = False,
     qkv_layout: str = "packed", use_checkpoint: bool = False,
-    int8_mlp_scales=None, int8_calibrate: bool = False,
+    int8_mlp_scales=None, int8_calibrate: bool = False, tp_mesh=None,
+    tp_axis: str = "model",
 ):
     """Create an EarlyExitUViT and initialize parameters."""
     model = EarlyExitUViT(
         config=config, dtype=dtype, attn_impl=attn_impl,
         gelu_approx=gelu_approx, qkv_layout=qkv_layout,
         use_checkpoint=use_checkpoint, int8_mlp_scales=int8_mlp_scales,
-        int8_calibrate=int8_calibrate,
+        int8_calibrate=int8_calibrate, tp_mesh=tp_mesh, tp_axis=tp_axis,
     )
     x = jnp.zeros((1, config.img_size, config.img_size, config.in_chans), jnp.float32)
     t = jnp.zeros((1,), jnp.float32)

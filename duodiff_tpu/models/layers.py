@@ -172,11 +172,16 @@ class _QKVProj(nn.Module):
                 if self.use_bias
                 else None
             )
-        if raw:  # fused-kernel path: hand the packed params to pallas_block
+        if raw:  # fused-kernel path: hand the raw params to pallas_block
+            if raw == "heads":
+                # TP shard_map path (parallel/tp_fused.py): the un-reshaped
+                # (D, 3, H, Dh) kernel, so the H axis stays shardable
+                assert self.qkv_layout == "heads", self.qkv_layout
+                return kernel, raw_bias
             if self.qkv_layout == "heads":
                 # (D, 3, H, Dh) -> (D, 3D) is exactly the K-major packing;
                 # free single-chip (replicated params), an all-gather under
-                # TP — use a non-fused attn_impl there
+                # TP — use the raw="heads" shard_map path there
                 return kernel.reshape(d, 3 * d), (
                     raw_bias.reshape(3 * d) if raw_bias is not None else None
                 )
@@ -233,6 +238,9 @@ class _OutProj(nn.Module):
             kernel = self.param("kernel", trunc_normal_init, (d, d))
         bias = self.param("bias", nn.initializers.zeros, (d,))
         if raw:  # fused-kernel path
+            if raw == "heads":
+                assert self.qkv_layout == "heads", self.qkv_layout
+                return kernel, bias  # (H, Dh, D) un-reshaped for shard_map
             if self.qkv_layout == "heads":
                 return kernel.reshape(d, d), bias
             return kernel, bias
@@ -278,8 +286,8 @@ class Attention(nn.Module):
             qkv_layout=self.qkv_layout,
             name="proj",
         )
-        if raw:  # fused-kernel path: packed (qkv, proj) params, no compute
-            return qkv(None, raw=True), proj(None, raw=True)
+        if raw:  # fused-kernel path: raw (qkv, proj) params, no compute
+            return qkv(None, raw=raw), proj(None, raw=raw)
         q, k, v = qkv(x)  # 3 x (B, H, L, Dh)
         out = multi_head_attention(q, k, v, impl=self.attn_impl)
         return proj(out.astype(self.dtype))
@@ -318,6 +326,12 @@ class Block(nn.Module):
     # activation amaxes into the "int8_calib" collection (the calibration
     # forward — no Pallas, works on CPU).
     int8_calibrate: bool = False
+    # Tensor parallelism x fused kernels: when a mesh with a >1 "model"
+    # axis is passed (and qkv_layout == "heads"), attn_impl "fused" runs
+    # the sublayer kernels inside shard_map on head-/hidden-sharded weight
+    # shards — no per-step weight repack/all-gather (parallel/tp_fused.py).
+    tp_mesh: Optional[jax.sharding.Mesh] = None
+    tp_axis: str = "model"
 
     @nn.compact
     def __call__(self, x, skip: Optional[jax.Array] = None):
@@ -389,6 +403,33 @@ class Block(nn.Module):
                 x.astype(self.dtype), ln2_scale, ln2_bias, w1, b1, w2, b2,
                 eps=1e-5, gelu_approx=self.gelu_approx, interpret=interpret,
                 static_scales=self.int8_mlp_scales,
+            )
+        tp = (
+            self.tp_mesh is not None
+            and self.tp_mesh.shape.get(self.tp_axis, 1) > 1
+        )
+        if self.attn_impl == "fused" and tp:
+            assert self.qkv_layout == "heads", (
+                "TP fused kernels need the heads qkv layout"
+            )
+            from duodiff_tpu.parallel.tp_fused import (
+                tp_fused_attn_sublayer,
+                tp_fused_mlp_sublayer,
+            )
+
+            ln_scale, ln_bias = _LNParams(name="norm1")(d)
+            (wqkv, bqkv), (wp, bp) = attn(None, raw="heads")
+            x = tp_fused_attn_sublayer(
+                x.astype(self.dtype), ln_scale, ln_bias, wqkv, bqkv, wp, bp,
+                mesh=self.tp_mesh, axis=self.tp_axis, eps=1e-5,
+                interpret=interpret,
+            )
+            ln2_scale, ln2_bias = _LNParams(name="norm2")(d)
+            (w1, b1), (w2, b2) = mlp(None, raw=True)
+            return tp_fused_mlp_sublayer(
+                x.astype(self.dtype), ln2_scale, ln2_bias, w1, b1, w2, b2,
+                mesh=self.tp_mesh, axis=self.tp_axis, eps=1e-5,
+                gelu_approx=self.gelu_approx, interpret=interpret,
             )
         if self.attn_impl == "fused":
             from duodiff_tpu.ops.pallas_block import (

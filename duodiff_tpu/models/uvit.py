@@ -65,6 +65,10 @@ class UViT(nn.Module):
     int8_mlp_scales: Optional[tuple] = None
     # fused_int8 only: calibration forward (XLA int8 math + amax sowing)
     int8_calibrate: bool = False
+    # TP x fused kernels: mesh handed to each Block so attn_impl "fused"
+    # runs head-sharded shard_map sublayers (parallel/tp_fused.py)
+    tp_mesh: Optional[jax.sharding.Mesh] = None
+    tp_axis: str = "model"
 
     def setup(self):
         cfg = self.config
@@ -93,6 +97,8 @@ class UViT(nn.Module):
             gelu_approx=self.gelu_approx,
             mlp_impl=self.mlp_impl,
             qkv_layout=self.qkv_layout,
+            tp_mesh=self.tp_mesh,
+            tp_axis=self.tp_axis,
         )
         # nn.remat preserves the param structure, so checkpoints are
         # interchangeable between the two settings
@@ -260,7 +266,7 @@ def init_uvit(
     attn_impl: str = "auto", gelu_approx: bool = False,
     mlp_impl: str = "auto", qkv_layout: str = "packed",
     use_checkpoint: bool = False, int8_mlp_scales=None,
-    int8_calibrate: bool = False,
+    int8_calibrate: bool = False, tp_mesh=None, tp_axis: str = "model",
 ):
     """Create a UViT module and initialize its parameters.
 
@@ -270,7 +276,7 @@ def init_uvit(
         config=config, dtype=dtype, attn_impl=attn_impl,
         gelu_approx=gelu_approx, mlp_impl=mlp_impl, qkv_layout=qkv_layout,
         use_checkpoint=use_checkpoint, int8_mlp_scales=int8_mlp_scales,
-        int8_calibrate=int8_calibrate,
+        int8_calibrate=int8_calibrate, tp_mesh=tp_mesh, tp_axis=tp_axis,
     )
     x = jnp.zeros((1, config.img_size, config.img_size, config.in_chans), jnp.float32)
     t = jnp.zeros((1,), jnp.float32)

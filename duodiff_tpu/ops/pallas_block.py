@@ -94,15 +94,23 @@ def _kernel(*refs, num_heads: int, scale: float, eps: float, has_qkv_bias: bool)
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
-def _kernel_v2(*refs, num_heads: int, eps: float, has_qkv_bias: bool):
-    """Batch-only grid variant: per sample, ONE full-width (L, D) x (D, 3D)
+def _kernel_v2(*refs, num_heads: int, head_dim: int, eps: float,
+               has_qkv_bias: bool, residual: bool):
+    """Batch-only grid variant: per sample, ONE full-width (L, D) x (D, 3A)
     QKV matmul (full MXU tiles vs the (b, h)-grid version's N=64 per-head
     projections), then a static unrolled head loop over 64-column lane
     slices of the packed result. Weights have constant block indices, so
     Pallas DMAs them once instead of once per (batch, head) program.
 
+    A = num_heads * head_dim is the attention width; single-chip A == D, but
+    under tensor parallelism each shard holds H/mp heads (A = D/mp) of the
+    same math — the kernel only needs head_dim passed explicitly instead of
+    deriving it from D. residual=False skips the ``x +`` term so a TP shard
+    emits its partial projection for the row-parallel psum outside
+    (duodiff_tpu/parallel/tp_fused.py).
+
     The softmax scale is pre-folded into the q columns of the delivered
-    weight (and bias) by the wrapper — a loop-invariant (D, 3D) op XLA
+    weight (and bias) by the wrapper — a loop-invariant (D, 3A) op XLA
     hoists out of the sampling scan — so the kernel runs no scale pass at
     all and q slices straight out of the packed bf16 qkv."""
     if has_qkv_bias:
@@ -113,7 +121,8 @@ def _kernel_v2(*refs, num_heads: int, eps: float, has_qkv_bias: bool):
         bqkv_ref = None
 
     g, l, d = x_ref.shape
-    dh = d // num_heads
+    dh = head_dim
+    da = num_heads * dh  # attention width A
     for i in range(g):
         xv = x_ref[i].astype(jnp.float32)  # (L, D)
         _, _, xn = _ln_fwd(xv, g_ref[0].astype(jnp.float32),
@@ -123,13 +132,13 @@ def _kernel_v2(*refs, num_heads: int, eps: float, has_qkv_bias: bool):
         qkv = jnp.dot(xn, wqkv_ref[:], preferred_element_type=jnp.float32)
         if has_qkv_bias:
             qkv = qkv + bqkv_ref[0].astype(jnp.float32)
-        qkv = qkv.astype(x_ref.dtype)  # (L, 3D), packed (K H Dh), q scaled
+        qkv = qkv.astype(x_ref.dtype)  # (L, 3A), packed (K H Dh), q scaled
 
         heads = []
         for h in range(num_heads):
             q = jax.lax.slice(qkv, (0, h * dh), (l, (h + 1) * dh))
-            k = jax.lax.slice(qkv, (0, d + h * dh), (l, d + (h + 1) * dh))
-            v = jax.lax.slice(qkv, (0, 2 * d + h * dh), (l, 2 * d + (h + 1) * dh))
+            k = jax.lax.slice(qkv, (0, da + h * dh), (l, da + (h + 1) * dh))
+            v = jax.lax.slice(qkv, (0, 2 * da + h * dh), (l, 2 * da + (h + 1) * dh))
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -146,11 +155,13 @@ def _kernel_v2(*refs, num_heads: int, eps: float, has_qkv_bias: bool):
             denom = jnp.sum(e, axis=-1, keepdims=True)
             o = jnp.dot(e.astype(v.dtype), v, preferred_element_type=jnp.float32)
             heads.append((o / denom).astype(x_ref.dtype))
-        # one full-width K=D output projection instead of num_heads K=Dh
+        # one full-width K=A output projection instead of num_heads K=Dh
         # partial matmuls (K=64 runs the MXU at half rate)
-        merged = jnp.concatenate(heads, axis=1)  # (L, D)
+        merged = jnp.concatenate(heads, axis=1)  # (L, A)
         proj = jnp.dot(merged, wp_ref[:], preferred_element_type=jnp.float32)
-        o_ref[i] = (xv + proj + bp_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
+        if residual:
+            proj = proj + xv
+        o_ref[i] = (proj + bp_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
 
 
 def _group_size_v2(b: int, l: int, d: int, itemsize: int,
@@ -218,14 +229,18 @@ def _ln_bwd_dx(dxn, x_hat, rstd, gamma):
     return rstd * (dxh - m1 - x_hat * m2)
 
 
-def _attn_bwd_kernel(*refs, num_heads: int, scale: float, eps: float,
-                     has_qkv_bias: bool):
+def _attn_bwd_kernel(*refs, num_heads: int, head_dim: int, scale: float,
+                     eps: float, has_qkv_bias: bool, residual: bool):
     """Backward of the fused attention sublayer for one batch group.
 
     Recomputes LN, QKV, and the fp32 softmax in VMEM (no saved activations
     beyond x itself), emits dx per batch block, and accumulates the weight
     gradients in fp32 VMEM across the sequential grid — they are written to
     constant-index output blocks, zero-initialized at program 0.
+
+    Rectangular (A = num_heads * head_dim != D) weights and residual=False
+    mirror _kernel_v2's TP-shard mode: dx then excludes the identity (dy)
+    path, which the shard_map wrapper accounts for outside.
     """
     if has_qkv_bias:
         (x_ref, dy_ref, g_ref, b_ref, wqkv_ref, bqkv_ref, wp_ref,
@@ -246,7 +261,8 @@ def _attn_bwd_kernel(*refs, num_heads: int, scale: float, eps: float,
         dbp_ref[:] = jnp.zeros_like(dbp_ref)
 
     g, l, d = x_ref.shape
-    dh = d // num_heads
+    dh = head_dim
+    da = num_heads * dh  # attention width A
     gamma = g_ref[0].astype(jnp.float32)
     beta = b_ref[0].astype(jnp.float32)
     bdt = x_ref.dtype
@@ -267,15 +283,15 @@ def _attn_bwd_kernel(*refs, num_heads: int, scale: float, eps: float,
         dm = jax.lax.dot_general(
             dyb, wp_ref[:], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (L, D)
+        )  # (L, A)
         dm_b = dm.astype(bdt)
 
         dqs, dks, dvs, os_ = [], [], [], []
         for h in range(num_heads):
             q = jax.lax.slice(qkv, (0, h * dh), (l, (h + 1) * dh))
-            k = jax.lax.slice(qkv, (0, d + h * dh), (l, d + (h + 1) * dh))
+            k = jax.lax.slice(qkv, (0, da + h * dh), (l, da + (h + 1) * dh))
             v = jax.lax.slice(
-                qkv, (0, 2 * d + h * dh), (l, 2 * d + (h + 1) * dh)
+                qkv, (0, 2 * da + h * dh), (l, 2 * da + (h + 1) * dh)
             )
             # scale folded into q (one (L, Dh) pass vs scaling the (L, L)
             # scores); all 1/denom normalizations factored onto (L, Dh) /
@@ -324,8 +340,8 @@ def _attn_bwd_kernel(*refs, num_heads: int, scale: float, eps: float,
                 preferred_element_type=jnp.float32,
             ).astype(bdt))
 
-        merged = jnp.concatenate(os_, axis=1)          # (L, D)
-        dqkv = jnp.concatenate(dqs + dks + dvs, axis=1)  # (L, 3D), (K H Dh)
+        merged = jnp.concatenate(os_, axis=1)          # (L, A)
+        dqkv = jnp.concatenate(dqs + dks + dvs, axis=1)  # (L, 3A), (K H Dh)
 
         # weight grads (contract L)
         dwp_ref[:] += jax.lax.dot_general(
@@ -340,16 +356,17 @@ def _attn_bwd_kernel(*refs, num_heads: int, scale: float, eps: float,
         if has_qkv_bias:
             dbqkv_ref[:] += jnp.sum(dqkv_f, axis=0, keepdims=True)
 
-        # dxn = dqkv @ Wqkv^T (contract 3D)
+        # dxn = dqkv @ Wqkv^T (contract 3A)
         dxn = jax.lax.dot_general(
             dqkv, wqkv_ref[:], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         dg_ref[:] += jnp.sum(dxn * x_hat, axis=0, keepdims=True)
         db_ref[:] += jnp.sum(dxn, axis=0, keepdims=True)
-        dx_ref[i] = (dy + _ln_bwd_dx(dxn, x_hat, rstd, gamma)).astype(
-            dx_ref.dtype
-        )
+        dx = _ln_bwd_dx(dxn, x_hat, rstd, gamma)
+        if residual:
+            dx = dx + dy
+        dx_ref[i] = dx.astype(dx_ref.dtype)
 
 
 def _erf_poly(x: jax.Array) -> jax.Array:
@@ -376,8 +393,10 @@ def _gelu(h: jax.Array, approx: bool) -> jax.Array:
 
 
 def _mlp_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
-                *, eps: float, gelu_approx: bool):
-    """x + fc2(gelu(fc1(LN(x)))) for a batch group, fully VMEM-resident."""
+                *, eps: float, gelu_approx: bool, residual: bool = True):
+    """x + fc2(gelu(fc1(LN(x)))) for a batch group, fully VMEM-resident.
+    residual=False emits the bare fc2 output (+ bias) — a TP shard's
+    hidden-slice partial, psum-reduced outside (parallel/tp_fused.py)."""
     g, l, d = x_ref.shape
     for i in range(g):
         xv = x_ref[i].astype(jnp.float32)  # (L, D)
@@ -388,7 +407,9 @@ def _mlp_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
         ) + b1_ref[0].astype(jnp.float32)
         h = _gelu(h, gelu_approx).astype(x_ref.dtype)
         out = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
-        o_ref[i] = (xv + out + b2_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
+        if residual:
+            out = out + xv
+        o_ref[i] = (out + b2_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
 
 
 def _block_kernel(*refs, num_heads: int, eps: float,
@@ -646,15 +667,18 @@ def _group_size_mlp(b: int, l: int, d: int, hidden: int, itemsize: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "eps", "interpret")
+    jax.jit, static_argnames=("num_heads", "eps", "interpret", "head_dim",
+                              "residual")
 )
 def _attn_sublayer_bwd_impl(
     x, dy, ln_scale, ln_bias, qkv_kernel, qkv_bias, proj_kernel,
     *, num_heads: int, eps: float, interpret: bool,
+    head_dim: int | None = None, residual: bool = True,
 ):
     b, l, d = x.shape
     h = num_heads
-    dh = d // h
+    dh = head_dim if head_dim is not None else d // h
+    da = h * dh
     scale = float(dh) ** -0.5
     dtype = x.dtype
     itemsize = jnp.dtype(dtype).itemsize
@@ -664,17 +688,17 @@ def _attn_sublayer_bwd_impl(
     grp = _group_size_v2(b, l, d, itemsize, budget_bytes=5 * 2**20)
     row = pl.BlockSpec((grp, l, d), lambda i: (i, 0, 0))
     vec = pl.BlockSpec((1, d), lambda i: (0, 0))
-    const_dd = pl.BlockSpec((d, d), lambda i: (0, 0))
-    const_d3d = pl.BlockSpec((d, 3 * d), lambda i: (0, 0))
-    vec3 = pl.BlockSpec((1, 3 * d), lambda i: (0, 0))
+    const_ad = pl.BlockSpec((da, d), lambda i: (0, 0))
+    const_d3a = pl.BlockSpec((d, 3 * da), lambda i: (0, 0))
+    vec3 = pl.BlockSpec((1, 3 * da), lambda i: (0, 0))
 
-    in_specs = [row, row, vec, vec, const_d3d]
+    in_specs = [row, row, vec, vec, const_d3a]
     args = [x, dy, ln_scale.reshape(1, d), ln_bias.reshape(1, d),
             qkv_kernel.astype(dtype)]
     if has_bias:
         in_specs.append(vec3)
-        args.append(qkv_bias.astype(jnp.float32).reshape(1, 3 * d))
-    in_specs.append(const_dd)
+        args.append(qkv_bias.astype(jnp.float32).reshape(1, 3 * da))
+    in_specs.append(const_ad)
     args.append(proj_kernel.astype(dtype))
 
     f32 = jnp.float32
@@ -682,32 +706,34 @@ def _attn_sublayer_bwd_impl(
         jax.ShapeDtypeStruct((b, l, d), dtype),       # dx
         jax.ShapeDtypeStruct((1, d), f32),            # d ln_scale
         jax.ShapeDtypeStruct((1, d), f32),            # d ln_bias
-        jax.ShapeDtypeStruct((d, 3 * d), f32),        # d qkv_kernel
+        jax.ShapeDtypeStruct((d, 3 * da), f32),       # d qkv_kernel
     ]
-    out_specs = [row, vec, vec, const_d3d]
+    out_specs = [row, vec, vec, const_d3a]
     if has_bias:
-        out_shape.append(jax.ShapeDtypeStruct((1, 3 * d), f32))
+        out_shape.append(jax.ShapeDtypeStruct((1, 3 * da), f32))
         out_specs.append(vec3)
     out_shape += [
-        jax.ShapeDtypeStruct((d, d), f32),            # d proj_kernel
+        jax.ShapeDtypeStruct((da, d), f32),           # d proj_kernel
         jax.ShapeDtypeStruct((1, d), f32),            # d proj_bias
     ]
-    out_specs += [const_dd, vec]
+    out_specs += [const_ad, vec]
 
     outs = pl.pallas_call(
         functools.partial(
             _attn_bwd_kernel,
             num_heads=h,
+            head_dim=dh,
             scale=scale,
             eps=eps,
             has_qkv_bias=has_bias,
+            residual=residual,
         ),
         out_shape=tuple(out_shape),
         grid=(b // grp,),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * b * l * d * (4 * d + 2 * l),
+            flops=2 * 2 * b * l * da * (4 * d + 2 * l),
             bytes_accessed=3 * b * l * d * itemsize,
             transcendentals=b * h * l * l,
         ),
@@ -715,7 +741,7 @@ def _attn_sublayer_bwd_impl(
     )(*args)
     if has_bias:
         dx, dg, db, dwqkv, dbqkv, dwp, dbp = outs
-        dbqkv = dbqkv.reshape(3 * d)
+        dbqkv = dbqkv.reshape(3 * da)
     else:
         dx, dg, db, dwqkv, dwp, dbp = outs
         dbqkv = None
@@ -725,7 +751,8 @@ def _attn_sublayer_bwd_impl(
 def _attn_sublayer_reference(
     x, ln_scale, ln_bias, qkv_kernel, qkv_bias, proj_kernel, proj_bias,
     *, num_heads: int, eps: float, sdpa: str = "xla",
-    interpret: bool = False,
+    interpret: bool = False, head_dim: int | None = None,
+    residual: bool = True,
 ):
     """Replica of the fused attention sublayer's numerics (fp32 LN and
     softmax, bf16 matmul operands, post-normalized attention output,
@@ -739,7 +766,8 @@ def _attn_sublayer_reference(
     — the D>=768 on-TPU backward path)."""
     b, l, d = x.shape
     h = num_heads
-    dh = d // h
+    dh = head_dim if head_dim is not None else d // h
+    da = h * dh
     bdt = x.dtype
     f32 = jnp.float32
 
@@ -753,9 +781,9 @@ def _attn_sublayer_reference(
         qkv = qkv + qkv_bias.astype(f32)
     qkv = qkv.astype(bdt)
     # packed column order (K H Dh): [q | k | v] each (B, L, H, Dh)
-    q = qkv[..., :d].reshape(b, l, h, dh)
-    k = qkv[..., d:2 * d].reshape(b, l, h, dh)
-    v = qkv[..., 2 * d:].reshape(b, l, h, dh)
+    q = qkv[..., :da].reshape(b, l, h, dh)
+    k = qkv[..., da:2 * da].reshape(b, l, h, dh)
+    v = qkv[..., 2 * da:].reshape(b, l, h, dh)
     if sdpa == "flash":
         from duodiff_tpu.ops.pallas_attention import (
             flash_attention_trainable,
@@ -767,7 +795,7 @@ def _attn_sublayer_reference(
             q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
             v.transpose(0, 2, 1, 3), interpret,
         )
-        merged = o.transpose(0, 2, 1, 3).reshape(b, l, d).astype(bdt)
+        merged = o.transpose(0, 2, 1, 3).reshape(b, l, da).astype(bdt)
     else:
         scale = float(dh) ** -0.5
         qsc = (q.astype(f32) * scale).astype(bdt)
@@ -781,11 +809,13 @@ def _attn_sublayer_reference(
             "bhlm,bmhe->blhe", e.astype(bdt), v, preferred_element_type=f32
         )
         o = (o / jnp.swapaxes(denom, 1, 2)).astype(bdt)
-        merged = o.reshape(b, l, d)
+        merged = o.reshape(b, l, da)
     proj = jnp.dot(
         merged, proj_kernel.astype(bdt), preferred_element_type=f32
     )
-    return (xv + proj + proj_bias.astype(f32)).astype(bdt)
+    if residual:
+        proj = proj + xv
+    return (proj + proj_bias.astype(f32)).astype(bdt)
 
 
 def attn_bwd_fits(b: int, l: int, d: int, itemsize: int,
@@ -814,6 +844,7 @@ def attn_bwd_fits(b: int, l: int, d: int, itemsize: int,
 def _attn_sublayer_bwd(
     x, dy, ln_scale, ln_bias, qkv_kernel, qkv_bias, proj_kernel,
     *, num_heads: int, eps: float, interpret: bool,
+    head_dim: int | None = None, residual: bool = True,
 ):
     """Attention-sublayer backward dispatch: the hand-written Pallas kernel
     when its VMEM residents fit (D<=512-class models), else a recompute
@@ -839,13 +870,15 @@ def _attn_sublayer_bwd(
         return _attn_sublayer_bwd_impl(
             x, dy, ln_scale, ln_bias, qkv_kernel, qkv_bias, proj_kernel,
             num_heads=num_heads, eps=eps, interpret=interpret,
+            head_dim=head_dim, residual=residual,
         )
     fallback = os.environ.get("DUODIFF_ATTN_BWD_FALLBACK")
     if fallback not in ("flash", "xla"):
         fallback = "xla" if interpret else "flash"
     ref = functools.partial(
         _attn_sublayer_reference, num_heads=num_heads, eps=eps,
-        sdpa=fallback, interpret=interpret,
+        sdpa=fallback, interpret=interpret, head_dim=head_dim,
+        residual=residual,
     )
     zero_bp = jnp.zeros((d,), jnp.float32)  # additive: grads independent
     if qkv_bias is not None:
@@ -865,10 +898,11 @@ def _attn_sublayer_bwd(
     return dx, dg, db, dwqkv, dbqkv, dwp, dbp
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
 def fused_attn_sublayer_trainable(
     x, ln_scale, ln_bias, qkv_kernel, qkv_bias, proj_kernel, proj_bias,
-    num_heads, eps=1e-5, interpret=False, variant="v2",
+    num_heads, eps=1e-5, interpret=False, variant="v2", head_dim=None,
+    residual=True,
 ):
     """fused_attn_sublayer with a hand-written Pallas backward (recomputes
     LN/QKV/softmax in VMEM; weight grads accumulated across the sequential
@@ -876,23 +910,28 @@ def fused_attn_sublayer_trainable(
     return fused_attn_sublayer(
         x, ln_scale, ln_bias, qkv_kernel, qkv_bias, proj_kernel, proj_bias,
         num_heads=num_heads, eps=eps, interpret=interpret, variant=variant,
+        head_dim=head_dim, residual=residual,
     )
 
 
 def _fas_fwd(x, ln_scale, ln_bias, qkv_kernel, qkv_bias, proj_kernel,
-             proj_bias, num_heads, eps, interpret, variant):
+             proj_bias, num_heads, eps, interpret, variant, head_dim,
+             residual):
     y = fused_attn_sublayer(
         x, ln_scale, ln_bias, qkv_kernel, qkv_bias, proj_kernel, proj_bias,
         num_heads=num_heads, eps=eps, interpret=interpret, variant=variant,
+        head_dim=head_dim, residual=residual,
     )
     return y, (x, ln_scale, ln_bias, qkv_kernel, qkv_bias, proj_kernel)
 
 
-def _fas_bwd(num_heads, eps, interpret, variant, res, dy):
+def _fas_bwd(num_heads, eps, interpret, variant, head_dim, residual, res,
+             dy):
     x, ln_scale, ln_bias, qkv_kernel, qkv_bias, proj_kernel = res
     dx, dg, db, dwqkv, dbqkv, dwp, dbp = _attn_sublayer_bwd(
         x, dy.astype(x.dtype), ln_scale, ln_bias, qkv_kernel, qkv_bias,
         proj_kernel, num_heads=num_heads, eps=eps, interpret=interpret,
+        head_dim=head_dim, residual=residual,
     )
     return (dx, dg, db, dwqkv, dbqkv, dwp, dbp)
 
@@ -996,7 +1035,7 @@ def _mlp_bwd_config(b: int, l: int, d: int, hidden: int, itemsize: int,
 def _mlp_bwd_kernel(x_ref, dy_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref,
                     dx_ref, dg_ref, db_ref, dw1_ref, db1_ref, dw2_ref,
                     db2_ref, *, eps: float, gelu_approx: bool,
-                    row_target: int, hc: int):
+                    row_target: int, hc: int, residual: bool = True):
     """Backward of the fused MLP sublayer y = x + fc2(gelu(fc1(LN(x)))).
 
     Everything except the row-summed weight gradients is row-independent
@@ -1061,17 +1100,20 @@ def _mlp_bwd_kernel(x_ref, dy_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref,
                 )
             dg_ref[:] += jnp.sum(dxn * x_hat, axis=0, keepdims=True)
             db_ref[:] += jnp.sum(dxn, axis=0, keepdims=True)
-            dx = dy + _ln_bwd_dx(dxn, x_hat, rstd, gamma)
+            dx = _ln_bwd_dx(dxn, x_hat, rstd, gamma)
+            if residual:
+                dx = dx + dy
             dx_ref[i, r0:r0 + rn, :] = dx.astype(dx_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("eps", "gelu_approx", "interpret", "config")
+    jax.jit, static_argnames=("eps", "gelu_approx", "interpret", "config",
+                              "residual")
 )
 def _mlp_sublayer_bwd_impl(
     x, dy, ln_scale, ln_bias, w1, b1, w2,
     *, eps: float, gelu_approx: bool, interpret: bool,
-    config: tuple | None = None,
+    config: tuple | None = None, residual: bool = True,
 ):
     b, l, d = x.shape
     hidden = w1.shape[1]
@@ -1091,7 +1133,7 @@ def _mlp_sublayer_bwd_impl(
     outs = pl.pallas_call(
         functools.partial(
             _mlp_bwd_kernel, eps=eps, gelu_approx=gelu_approx,
-            row_target=row_target, hc=hc,
+            row_target=row_target, hc=hc, residual=residual,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, l, d), dtype),      # dx
@@ -1322,7 +1364,8 @@ def mlp_bwd_fits(b: int, l: int, d: int, hidden: int, itemsize: int) -> bool:
     return _mlp_bwd_config(b, l, d, hidden, itemsize) is not None
 
 
-def _mlp_reference(x, ln_scale, ln_bias, w1, b1, w2, b2, *, eps, gelu_approx):
+def _mlp_reference(x, ln_scale, ln_bias, w1, b1, w2, b2, *, eps, gelu_approx,
+                   residual=True):
     """Pure-XLA replica of _mlp_kernel's numerics, used as the recompute
     backward of fused_mlp_sublayer (one extra fc1-fwd matmul instead of
     saving the (B, L, 4D) hidden activation to HBM)."""
@@ -1335,12 +1378,15 @@ def _mlp_reference(x, ln_scale, ln_bias, w1, b1, w2, b2, *, eps, gelu_approx):
     ) + b1.astype(jnp.float32)
     h = jax.nn.gelu(h, approximate=gelu_approx).astype(x.dtype)
     out = jnp.dot(h, w2.astype(x.dtype), preferred_element_type=jnp.float32)
-    return (xv + out + b2.astype(jnp.float32)).astype(x.dtype)
+    if residual:
+        out = out + xv
+    return (out + b2.astype(jnp.float32)).astype(x.dtype)
 
 
 def _mlp_sublayer_bwd(
     x, dy, ln_scale, ln_bias, w1, b1, w2, b2,
     *, eps: float, gelu_approx: bool, interpret: bool,
+    residual: bool = True,
 ):
     """MLP-sublayer backward dispatch: the monolithic Pallas kernel when its
     full-width dW residents fit VMEM (D<=512-class models), else the XLA
@@ -1363,46 +1409,52 @@ def _mlp_sublayer_bwd(
         return _mlp_sublayer_bwd_impl(
             x, dy.astype(x.dtype), ln_scale, ln_bias, w1, b1, w2,
             eps=eps, gelu_approx=gelu_approx, interpret=interpret,
+            residual=residual,
         )
-    if (os.environ.get("DUODIFF_MLP_BWD_SPLIT") == "1"
+    if (residual
+            and os.environ.get("DUODIFF_MLP_BWD_SPLIT") == "1"
             and _mlp_bwd_split_config(b_, l, d, hidden, itemsize) is not None):
         return _mlp_sublayer_bwd_split(
             x, dy.astype(x.dtype), ln_scale, ln_bias, w1, b1, w2,
             eps=eps, gelu_approx=gelu_approx, interpret=interpret,
         )
     _, vjp = jax.vjp(
-        functools.partial(_mlp_reference, eps=eps, gelu_approx=gelu_approx),
+        functools.partial(_mlp_reference, eps=eps, gelu_approx=gelu_approx,
+                          residual=residual),
         x, ln_scale, ln_bias, w1, b1, w2, b2,
     )
     return vjp(dy.astype(x.dtype))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
 def fused_mlp_sublayer_trainable(
     x, ln_scale, ln_bias, w1, b1, w2, b2,
-    eps=1e-5, gelu_approx=False, interpret=False,
+    eps=1e-5, gelu_approx=False, interpret=False, residual=True,
 ):
     """fused_mlp_sublayer with a recompute (XLA) backward."""
     return fused_mlp_sublayer(
         x, ln_scale, ln_bias, w1, b1, w2, b2,
         eps=eps, gelu_approx=gelu_approx, interpret=interpret,
+        residual=residual,
     )
 
 
 def _fms_fwd(x, ln_scale, ln_bias, w1, b1, w2, b2, eps, gelu_approx,
-             interpret):
+             interpret, residual):
     y = fused_mlp_sublayer(
         x, ln_scale, ln_bias, w1, b1, w2, b2,
         eps=eps, gelu_approx=gelu_approx, interpret=interpret,
+        residual=residual,
     )
     return y, (x, ln_scale, ln_bias, w1, b1, w2, b2)
 
 
-def _fms_bwd(eps, gelu_approx, interpret, res, dy):
+def _fms_bwd(eps, gelu_approx, interpret, residual, res, dy):
     x, ln_scale, ln_bias, w1, b1, w2, b2 = res
     return tuple(_mlp_sublayer_bwd(
         x, dy, ln_scale, ln_bias, w1, b1, w2, b2,
         eps=eps, gelu_approx=gelu_approx, interpret=interpret,
+        residual=residual,
     ))
 
 
@@ -1410,7 +1462,7 @@ fused_mlp_sublayer_trainable.defvjp(_fms_fwd, _fms_bwd)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("eps", "gelu_approx", "interpret")
+    jax.jit, static_argnames=("eps", "gelu_approx", "interpret", "residual")
 )
 def fused_mlp_sublayer(
     x: jax.Array,
@@ -1424,12 +1476,15 @@ def fused_mlp_sublayer(
     eps: float = 1e-5,
     gelu_approx: bool = False,
     interpret: bool = False,
+    residual: bool = True,
 ) -> jax.Array:
     """Compute ``x + fc2(gelu(fc1(layernorm(x))))`` in one kernel.
 
     The hidden (L, mlp_ratio*D) activation never touches HBM (the XLA version
     writes + re-reads it between the two matmuls), and LayerNorm statistics
-    stay fp32 in VMEM.
+    stay fp32 in VMEM. The kernel is shape-general in ``hidden``: a TP shard
+    passes its local fc1 columns / fc2 rows with residual=False and psums
+    the partial outside (parallel/tp_fused.py).
     """
     b, l, d = x.shape
     hidden = fc1_kernel.shape[1]
@@ -1441,7 +1496,7 @@ def fused_mlp_sublayer(
         # the same numerics
         return _mlp_reference(
             x, ln_scale, ln_bias, fc1_kernel, fc1_bias, fc2_kernel,
-            fc2_bias, eps=eps, gelu_approx=gelu_approx,
+            fc2_bias, eps=eps, gelu_approx=gelu_approx, residual=residual,
         )
 
     grp = _group_size_mlp(b, l, d, hidden, itemsize)
@@ -1449,7 +1504,8 @@ def fused_mlp_sublayer(
     vec_d = pl.BlockSpec((1, d), lambda i: (0, 0))
     vec_h = pl.BlockSpec((1, hidden), lambda i: (0, 0))
     return pl.pallas_call(
-        functools.partial(_mlp_kernel, eps=eps, gelu_approx=gelu_approx),
+        functools.partial(_mlp_kernel, eps=eps, gelu_approx=gelu_approx,
+                          residual=residual),
         out_shape=jax.ShapeDtypeStruct((b, l, d), dtype),
         grid=(b // grp,),
         in_specs=[
@@ -1478,7 +1534,8 @@ def fused_mlp_sublayer(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "eps", "interpret", "variant")
+    jax.jit, static_argnames=("num_heads", "eps", "interpret", "variant",
+                              "head_dim", "residual")
 )
 def fused_attn_sublayer(
     x: jax.Array,
@@ -1493,25 +1550,35 @@ def fused_attn_sublayer(
     eps: float = 1e-5,
     interpret: bool = False,
     variant: str = "v2",
+    head_dim: int | None = None,
+    residual: bool = True,
 ) -> jax.Array:
     """Compute ``x + proj(attention(qkv(layernorm(x))))`` in one kernel.
 
     Args:
       x: (B, L, D) residual stream, any float dtype (activations run in it).
       ln_scale, ln_bias: (D,) LayerNorm affine parameters.
-      qkv_kernel: (D, 3D) packed projection, reference column order
-        "(K H Dh)" (reference models/uvit.py:150,159).
-      qkv_bias: (3D,) packed bias or None.
-      proj_kernel: (D, D); proj_bias: (D,).
+      qkv_kernel: (D, 3A) packed projection, reference column order
+        "(K H Dh)" (reference models/uvit.py:150,159); A = num_heads *
+        head_dim is D single-chip and D/mp for a TP shard's local heads.
+      qkv_bias: (3A,) packed bias or None.
+      proj_kernel: (A, D); proj_bias: (D,).
       variant: "v2" (batch grid, full-width QKV matmul, unrolled head loop)
         or "v1" ((batch, head) grid with per-head weight blocks).
+      head_dim: per-head width; default D // num_heads (the single-chip
+        square case). Pass it explicitly when A != D (tensor parallelism).
+      residual: include the ``x +`` term. False emits the bare projection
+        (plus proj_bias) — the TP-shard partial summed by the psum in
+        parallel/tp_fused.py.
     Returns:
       (B, L, D) in x's dtype.
     """
     b, l, d = x.shape
     h = num_heads
-    dh = d // h
-    assert h * dh == d, (d, h)
+    dh = head_dim if head_dim is not None else d // h
+    da = h * dh
+    assert qkv_kernel.shape == (d, 3 * da), (qkv_kernel.shape, d, da)
+    assert proj_kernel.shape == (da, d), (proj_kernel.shape, da, d)
     scale = float(dh) ** -0.5
     dtype = x.dtype
     itemsize = jnp.dtype(dtype).itemsize
@@ -1521,14 +1588,16 @@ def fused_attn_sublayer(
         # with the same numerics
         return _attn_sublayer_reference(
             x, ln_scale, ln_bias, qkv_kernel, qkv_bias, proj_kernel,
-            proj_bias, num_heads=num_heads, eps=eps,
+            proj_bias, num_heads=num_heads, eps=eps, head_dim=dh,
+            residual=residual,
         )
 
     bp = proj_bias.astype(jnp.float32).reshape(1, d)
     g2 = ln_scale.reshape(1, d)
     b2 = ln_bias.reshape(1, d)
     cost = pl.CostEstimate(
-        flops=2 * b * l * d * (4 * d + 2 * l),
+        # qkv 3*2*l*d*da + proj 2*l*da*d + attention 4*l*l*da per sample
+        flops=2 * b * l * da * (4 * d + 2 * l),
         bytes_accessed=2 * b * l * d * itemsize,
         transcendentals=b * h * l * l,
     )
@@ -1538,23 +1607,23 @@ def fused_attn_sublayer(
         # loop-invariant, hoisted by XLA; the hand-written VJP never sees
         # these prescaled copies, so gradients stay wrt the originals
         wqkv = jnp.concatenate(
-            [qkv_kernel[:, :d] * scale, qkv_kernel[:, d:]], axis=1
-        ).astype(dtype)                             # (D, 3D), packed (K H Dh)
-        wp = proj_kernel.astype(dtype)              # (D, D), rows (H Dh)
+            [qkv_kernel[:, :da] * scale, qkv_kernel[:, da:]], axis=1
+        ).astype(dtype)                             # (D, 3A), packed (K H Dh)
+        wp = proj_kernel.astype(dtype)              # (A, D), rows (H Dh)
         grp = _group_size_v2(b, l, d, itemsize)
         row = pl.BlockSpec((grp, l, d), lambda i: (i, 0, 0))
         vec = pl.BlockSpec((1, d), lambda i: (0, 0))
         in_specs = [
             row, vec, vec,
-            pl.BlockSpec((d, 3 * d), lambda i: (0, 0)),  # wqkv
+            pl.BlockSpec((d, 3 * da), lambda i: (0, 0)),  # wqkv
         ]
         args = [x, g2, b2, wqkv]
         if qkv_bias is not None:
-            in_specs.append(pl.BlockSpec((1, 3 * d), lambda i: (0, 0)))
-            bq = jnp.concatenate([qkv_bias[:d] * scale, qkv_bias[d:]])
-            args.append(bq.astype(jnp.float32).reshape(1, 3 * d))
+            in_specs.append(pl.BlockSpec((1, 3 * da), lambda i: (0, 0)))
+            bq = jnp.concatenate([qkv_bias[:da] * scale, qkv_bias[da:]])
+            args.append(bq.astype(jnp.float32).reshape(1, 3 * da))
         in_specs += [
-            pl.BlockSpec((d, d), lambda i: (0, 0)),  # wproj
+            pl.BlockSpec((da, d), lambda i: (0, 0)),  # wproj
             vec,
         ]
         args += [wp, bp]
@@ -1562,8 +1631,10 @@ def fused_attn_sublayer(
             functools.partial(
                 _kernel_v2,
                 num_heads=h,
+                head_dim=dh,
                 eps=eps,
                 has_qkv_bias=qkv_bias is not None,
+                residual=residual,
             ),
             out_shape=jax.ShapeDtypeStruct((b, l, d), dtype),
             grid=(b // grp,),
@@ -1572,6 +1643,9 @@ def fused_attn_sublayer(
             cost_estimate=cost,
             interpret=interpret,
         )(*args)
+    assert da == d and residual, (
+        "variant 'v1' supports only the square residual form"
+    )
 
     # v1: (batch, head) grid with per-head weight blocks
     wqkv = (

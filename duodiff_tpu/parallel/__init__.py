@@ -6,6 +6,7 @@ from duodiff_tpu.parallel.mesh import (
     param_sharding_rules,
     shard_params,
     opt_state_shardings,
+    sampling_mesh,
     setup_sampling_sharding,
     replicate,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "fsdp_shard_params",
     "param_sharding_rules",
     "shard_params",
+    "sampling_mesh",
     "setup_sampling_sharding",
     "replicate",
 ]

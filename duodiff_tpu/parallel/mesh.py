@@ -253,29 +253,41 @@ def opt_state_shardings(opt_state, params, param_shardings, mesh: Mesh):
     return go(opt_state)
 
 
-def setup_sampling_sharding(model_parallel: int, batch_size: int, param_trees):
+def sampling_mesh(model_parallel: int, batch_size: int) -> Mesh:
+    """The (data, model) sampling mesh for --model_parallel, with the CLI
+    divisibility validation (shared so the model build can receive the
+    mesh BEFORE setup_sampling_sharding places the params — the TP x fused
+    shard_map path needs it at module construction, parallel/tp_fused.py).
+    """
+    n = jax.device_count()
+    if n % model_parallel:
+        raise SystemExit(
+            f"--model_parallel {model_parallel} does not divide "
+            f"{n} devices"
+        )
+    data_size = n // model_parallel
+    if batch_size % data_size:
+        raise SystemExit(
+            f"batch_size {batch_size} must be divisible by the "
+            f"{data_size} data shards"
+        )
+    return create_mesh(shape=(data_size, model_parallel))
+
+
+def setup_sampling_sharding(model_parallel: int, batch_size: int, param_trees,
+                            mesh: Optional[Mesh] = None):
     """Shared CLI setup for sharded sampling (sampler.py / eesampler.py).
 
-    With ``model_parallel > 1`` builds the (data, model) mesh, validates
-    divisibility, and re-places every tree in ``param_trees`` under the
-    Megatron partition specs; otherwise falls back to pure data-parallel
-    batch sharding when the batch divides the device count. Returns
-    ``(batch_sharding_or_None, [re-placed param trees])``.
+    With ``model_parallel > 1`` builds the (data, model) mesh (or reuses a
+    prebuilt ``mesh``), validates divisibility, and re-places every tree in
+    ``param_trees`` under the Megatron partition specs; otherwise falls
+    back to pure data-parallel batch sharding when the batch divides the
+    device count. Returns ``(batch_sharding_or_None, [re-placed param
+    trees])``.
     """
     n = jax.device_count()
     if model_parallel > 1:
-        if n % model_parallel:
-            raise SystemExit(
-                f"--model_parallel {model_parallel} does not divide "
-                f"{n} devices"
-            )
-        data_size = n // model_parallel
-        if batch_size % data_size:
-            raise SystemExit(
-                f"batch_size {batch_size} must be divisible by the "
-                f"{data_size} data shards"
-            )
-        mesh = create_mesh(shape=(data_size, model_parallel))
+        mesh = mesh or sampling_mesh(model_parallel, batch_size)
         trees = [
             jax.device_put(p, shard_params(p, mesh)) for p in param_trees
         ]

@@ -163,12 +163,11 @@ class Trainer:
             "fused" if jax.default_backend() == "tpu" and not tp else "auto"
         )
         self._check_attn_impl_for_training(attn_impl)
-        if tp and attn_impl == "fused":
-            # the fused kernels consume the packed (D, 3D) weights, which
-            # under TP means re-packing (all-gathering) the head-sharded
-            # params every step; the XLA path keeps the Megatron sharding
-            print("model_parallel > 1: attn_impl 'fused' repacks sharded "
-                  "weights per step — consider 'auto'")
+        # TP x fused: the heads-layout weight shards feed the fused kernels
+        # directly inside shard_map (parallel/tp_fused.py) — zero per-step
+        # weight collectives, only the two Megatron row-parallel psums
+        # (asserted on compiled HLO in tests/test_tp_fused.py)
+        tp_mesh = self.mesh if (tp and attn_impl == "fused") else None
         gelu_approx = getattr(args, "gelu", "exact") == "tanh"
         # Tensor parallelism: store attention params in the "heads" layout
         # (explicit head axis) so the mesh rules shard whole heads —
@@ -184,12 +183,14 @@ class Trainer:
                 self.model_config, key, dtype=self.compute_dtype,
                 attn_impl=attn_impl, gelu_approx=gelu_approx,
                 qkv_layout=self.qkv_layout, use_checkpoint=use_checkpoint,
+                tp_mesh=tp_mesh,
             )
         elif args.model == "deediff_uvit":
             self.model, params = init_early_exit_uvit(
                 self.model_config, key, dtype=self.compute_dtype,
                 attn_impl=attn_impl, gelu_approx=gelu_approx,
                 qkv_layout=self.qkv_layout, use_checkpoint=use_checkpoint,
+                tp_mesh=tp_mesh,
             )
             if getattr(args, "load_backbone", None):
                 print(f"Loading backbone from {args.load_backbone}")

@@ -26,6 +26,7 @@ def load_model_from_config(
     use_ema: bool = False,
     int8_scales: Optional[str] = None,
     int8_calibrate: bool = False,
+    tp_mesh=None,
 ) -> Tuple[object, dict, UViTConfig, Optional[AutoencoderConfig]]:
     """Build a (UViT | EarlyExitUViT) from a reference-format YAML and
     optionally load weights from an Orbax dir or torch .pth.
@@ -73,11 +74,13 @@ def load_model_from_config(
             load_int8_scales(int8_scales), cfg.depth
         )
     init = init_early_exit_uvit if early_exit else init_uvit
+    # tp_mesh: --model_parallel sampling with attn_impl=fused — the Blocks
+    # run the shard_map sublayers on head-sharded weights (tp_fused.py)
     model, params = init(
         cfg, jax.random.PRNGKey(seed), dtype=dtype,
         attn_impl=attn_impl, gelu_approx=gelu_approx,
         qkv_layout=qkv_layout, int8_mlp_scales=scales_tuple,
-        int8_calibrate=int8_calibrate,
+        int8_calibrate=int8_calibrate, tp_mesh=tp_mesh,
     )
     if checkpoint_path:
         from duodiff_tpu.training.trainer import load_params_flexible

@@ -162,6 +162,12 @@ def main(argv=None):
         # the packed layout; TP sampling is the dynamic-threshold path
         raise SystemExit("--model_parallel does not combine with "
                          "--static_schedule")
+    # TP x fused shard_map path (see sampler.py / parallel/tp_fused.py)
+    tp_mesh = None
+    if mp > 1 and args.attn_impl == "fused":
+        from duodiff_tpu.parallel import sampling_mesh
+
+        tp_mesh = sampling_mesh(mp, args.batch_size)
     model, params, cfg, ae_cfg = load_model_from_config(
         args.config_path,
         None if args.random_init else args.checkpoint_path,
@@ -172,6 +178,7 @@ def main(argv=None):
         qkv_layout="heads" if mp > 1 else "packed",
         use_ema=args.use_ema,
         int8_scales=args.int8_scales,
+        tp_mesh=tp_mesh,
     )
 
     decode_fn = None
@@ -278,7 +285,7 @@ def main(argv=None):
         from duodiff_tpu.parallel import setup_sampling_sharding
 
         batch_shard, (params,) = setup_sampling_sharding(
-            mp, args.batch_size, [params]
+            mp, args.batch_size, [params], mesh=tp_mesh
         )
         # constructed after the sharding block so the threaded tree is the
         # (possibly mesh-sharded) placement

@@ -161,6 +161,15 @@ def main(argv=None):
 
     mp = max(1, args.model_parallel or 1)
     qkv_layout = "heads" if mp > 1 else "packed"
+    # TP x fused: with an explicit --attn_impl fused the Blocks run the
+    # shard_map sublayers on head-sharded weight shards (zero per-step
+    # weight collectives, parallel/tp_fused.py) — the mesh must exist at
+    # model build time
+    tp_mesh = None
+    if mp > 1 and args.attn_impl == "fused":
+        from duodiff_tpu.parallel import sampling_mesh
+
+        tp_mesh = sampling_mesh(mp, args.batch_size)
     model, params, cfg, ae_cfg = load_model_from_config(
         args.config_path,
         None if args.random_init else args.checkpoint_path,
@@ -170,6 +179,7 @@ def main(argv=None):
         qkv_layout=qkv_layout,
         use_ema=args.use_ema,
         int8_scales=args.int8_scales,
+        tp_mesh=tp_mesh,
     )
 
     late = None
@@ -183,6 +193,7 @@ def main(argv=None):
             qkv_layout=qkv_layout,
             use_ema=args.use_ema,
             int8_scales=args.int8_scales_late,
+            tp_mesh=tp_mesh,
         )
         late = (late_model, late_params)
 
@@ -303,7 +314,9 @@ def main(argv=None):
     from duodiff_tpu.parallel import setup_sampling_sharding
 
     trees = [params] + ([late[1]] if late is not None else [])
-    batch_shard, trees = setup_sampling_sharding(mp, args.batch_size, trees)
+    batch_shard, trees = setup_sampling_sharding(
+        mp, args.batch_size, trees, mesh=tp_mesh
+    )
     params = trees[0]
     if late is not None:
         late = (late[0], trees[1])

@@ -756,6 +756,34 @@ def test_sampler_cli_tensor_parallel(tmp_path, tiny_config):
     assert np.max(np.abs(pixels["tp"] - pixels["dp"])) <= 2
 
 
+def test_sampler_cli_tensor_parallel_fused(tmp_path, tiny_config):
+    """sampler.py --model_parallel 2 --attn_impl fused: the Blocks run the
+    shard_map sublayer kernels on head-sharded weight shards
+    (parallel/tp_fused.py — no per-step weight repack/all-gather) and must
+    reproduce the single-chip fused run's samples (TP psum order + the
+    outside-kernel residual add allow tiny fp drift)."""
+    from PIL import Image
+
+    pixels = {}
+    for tag, extra in (("dp", []), ("tp", ["--model_parallel", "2"])):
+        out = tmp_path / f"out_tpf_{tag}"
+        sampler_cli.main([
+            "--config_path", str(tiny_config),
+            "--batch_size", "8",
+            "--attn_impl", "fused",
+            "--parametrization", "predict_noise",
+            "--output_folder", str(out),
+            "--random_init",
+            "--num_timesteps", "8",
+            "--seed", "0",
+        ] + extra)
+        pixels[tag] = np.stack([
+            np.asarray(Image.open(out / f"{i}.png"), np.int32)
+            for i in range(8)
+        ])
+    assert np.max(np.abs(pixels["tp"] - pixels["dp"])) <= 2
+
+
 def test_eesampler_cli_tensor_parallel(tmp_path, tiny_config):
     """eesampler.py --model_parallel 2 runs the dynamic-threshold sampler
     on a (data, model) mesh and writes finite diagnostics."""
