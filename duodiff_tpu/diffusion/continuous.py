@@ -49,6 +49,37 @@ from duodiff_tpu.diffusion.sampling import (
 )
 
 
+def periodic_pattern_table(pattern, steps: int) -> np.ndarray:
+    """The absolute-t anchor table equivalent to a wave-index ``pattern``.
+
+    A slot admitted on a phase-aligned wave sees step j at timestep
+    ``t = steps-1-j``, so ``table[t] = pattern[(steps-1-t) % p]``. Feeding
+    this table to the sequential samplers (``--cache_schedule``) reproduces
+    the pattern-cached batcher's per-slot trajectories bit-exactly (the
+    contract tests/test_continuous.py pins)."""
+    pattern = np.asarray(pattern).astype(bool).ravel()
+    if pattern.size < 1 or not pattern[0]:
+        raise ValueError("pattern must be non-empty with pattern[0] True")
+    t = np.arange(steps)
+    return pattern[(steps - 1 - t) % pattern.size]
+
+
+def fold_table_to_pattern(table) -> Optional[np.ndarray]:
+    """Smallest wave-index pattern whose :func:`periodic_pattern_table`
+    reproduces ``table`` exactly, or None if the table is aperiodic (the
+    structural limit of mixed-timestep caching — see the class docstring).
+    """
+    table = np.asarray(table).astype(bool).ravel()
+    steps = table.size
+    idx = table[::-1]  # wave-index view: idx[j] = table[steps-1-j]
+    if not idx[0]:
+        return None
+    for p in range(1, steps):
+        if np.array_equal(idx, np.resize(idx[:p], steps)):
+            return idx[:p].copy()
+    return None  # only "period" = full length: aperiodic
+
+
 def _dpm_tables(schedule: NoiseSchedule, dpm_steps: int, order: int):
     """sampling.dpm_solver_tables rows (one source of truth for the
     DPM-Solver++ 2M constants), with the model-call timestep under the
@@ -82,16 +113,32 @@ class ContinuousDiffusionBatcher:
     the mixed-timestep loop. SPMD needs the anchor/cached branch to be
     slot-UNIFORM, so admissions are restricted to **phase-aligned waves**:
     a request may only be admitted when ``can_admit_cached()`` is true
-    (global step counter ≡ 0 mod ``every``); every in-flight slot then
-    shares the same step-phase and the whole batch anchors together on
-    ``w % every == 0`` steps. Per-slot trajectories are bit-identical to
-    the corresponding sequential cached sampler: index-anchored
-    ``dpm_solver_sample(cache=...)`` for method="dpm"; for method="ddpm"
-    the t-anchored ``--cache_every`` convention requires
-    ``(schedule.steps - 1) % every == 0`` (e.g. every=3 at 1000 steps) so
-    that a fresh slot's first step is itself an anchor — enforced at
-    construction. apply_anchor/apply_cached are params-first like
-    ``apply_fn``: ``apply_anchor(params, x, t, y) -> (out, delta)``,
+    (global step counter ≡ 0 mod the anchor period); every in-flight slot
+    then shares the same step-phase and the whole batch anchors together.
+    Per-slot trajectories are bit-identical to the corresponding
+    sequential cached sampler: index-anchored ``dpm_solver_sample(cache=
+    ...)`` for method="dpm"; for method="ddpm" the t-anchored
+    ``--cache_every`` convention requires ``(schedule.steps - 1) % every
+    == 0`` (e.g. every=3 at 1000 steps) so that a fresh slot's first step
+    is itself an anchor — enforced at construction.
+
+    ``every`` may instead be a 1-D boolean **wave-index anchor pattern**
+    (ddpm only): step j of every slot anchors iff ``pattern[j % len
+    (pattern)]`` (``pattern[0]`` must be True — a fresh slot's first step
+    needs a real delta). This is the slots-mode form of a non-uniform
+    anchor schedule: richer than a uniform period while keeping the
+    anchor decision slot-uniform (the global wave counter indexes the
+    pattern; admissions gate on ``w % len(pattern) == 0``). An ARBITRARY
+    t-keyed drift-derived table (tools/derive_cache_schedule.py) cannot
+    ride mixed-timestep slots: slots at different t would disagree on
+    anchoring, and a per-slot branch under SPMD computes both paths —
+    zero savings. Serving folds a derived table into this periodic form
+    when it is exactly periodic and rejects it otherwise
+    (serve.py --cache_schedule / --cache_pattern);
+    :func:`periodic_pattern_table` gives the equivalent absolute-t table
+    for the sequential samplers (the bit-equality contract).
+    apply_anchor/apply_cached are params-first like ``apply_fn``:
+    ``apply_anchor(params, x, t, y) -> (out, delta)``,
     ``apply_cached(params, x, t, y, delta) -> out``;
     ``init_state(x_slots) -> delta0`` builds the zero cache.
     """
@@ -128,22 +175,42 @@ class ContinuousDiffusionBatcher:
         self.params = params
         self.conditional = conditional
         self.steps_per_poll = steps_per_poll
+        self._cache_pattern = None
         if cache is not None:
             if method not in ("ddpm", "dpm"):
                 raise ValueError(
                     f"cache composes with ddpm/dpm methods, not {method!r}"
                 )
-            if cache[2] < 1:
-                raise ValueError(f"cache every must be >= 1, got {cache[2]}")
-            if method == "ddpm" and (schedule.steps - 1) % cache[2] != 0:
-                raise ValueError(
-                    "ddpm block caching in the continuous batcher needs "
-                    f"(steps - 1) % every == 0 so a fresh slot's first "
-                    f"step is an anchor (steps={schedule.steps}, "
-                    f"every={cache[2]}); use e.g. every=3 at 1000 steps"
-                )
+            rule = cache[2]
+            if isinstance(rule, int):
+                if rule < 1:
+                    raise ValueError(f"cache every must be >= 1, got {rule}")
+                if method == "ddpm" and (schedule.steps - 1) % rule != 0:
+                    raise ValueError(
+                        "ddpm block caching in the continuous batcher needs "
+                        f"(steps - 1) % every == 0 so a fresh slot's first "
+                        f"step is an anchor (steps={schedule.steps}, "
+                        f"every={rule}); use e.g. every=3 at 1000 steps"
+                    )
+                period = rule
+            else:
+                pattern = np.asarray(rule).astype(bool).ravel()
+                if method != "ddpm":
+                    raise ValueError(
+                        "wave-index anchor patterns compose with method="
+                        f"'ddpm' only, not {method!r} (dpm anchors on its "
+                        "own solver-grid indices)"
+                    )
+                if pattern.size < 1 or not pattern[0]:
+                    raise ValueError(
+                        "anchor pattern must be non-empty with pattern[0] "
+                        "True (a fresh slot's first step needs a real "
+                        "delta)"
+                    )
+                self._cache_pattern = jnp.asarray(pattern)
+                period = int(pattern.size)
         self.cache = cache
-        self.cache_every = cache[2] if cache is not None else 1
+        self.cache_every = period if cache is not None else 1
         # host mirror of the device-side global step counter state["w"]
         # (advance() adds steps_per_poll); admissions must be phase-aligned
         # when caching — see can_admit_cached()
@@ -227,7 +294,10 @@ class ContinuousDiffusionBatcher:
                 # docstring for why this reproduces the sequential cached
                 # samplers' per-slot trajectories exactly.
                 apply_anchor, apply_cached = cache[0], cache[1]
-                use_anchor = (state["w"] % cache_every) == 0
+                if self._cache_pattern is not None:
+                    use_anchor = self._cache_pattern[state["w"] % cache_every]
+                else:
+                    use_anchor = (state["w"] % cache_every) == 0
 
                 def anchor(_d):
                     return apply_anchor(params, state["x"], t_model, y)

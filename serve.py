@@ -97,9 +97,25 @@ def get_args(argv=None):
     p.add_argument("--cache_schedule", type=str, default=None,
                    help="drift-derived anchor-table JSON "
                         "(tools/derive_cache_schedule.py) in place of the "
-                        "uniform --cache_every period; ddpm fixed-bucket "
-                        "serving only (continuous slots phase-align on a "
-                        "uniform period, and dpm anchors on grid indices)")
+                        "uniform --cache_every period (ddpm). In --slots "
+                        "mode the table must fold to a periodic wave "
+                        "pattern (mixed-timestep slots need a slot-uniform "
+                        "anchor decision; aperiodic tables are rejected "
+                        "with the structural reason)")
+    p.add_argument("--cache_pattern", type=str, default=None,
+                   help="periodic anchor pattern like '1,0,0,1,0' (1 = "
+                        "anchor): the slots-mode form of a non-uniform "
+                        "anchor schedule (ddpm; pattern[0] must be 1). In "
+                        "fixed-bucket mode it is expanded to the "
+                        "equivalent absolute-t table")
+    p.add_argument("--static_schedule", type=str, default=None,
+                   help="serve the static-exit family: timestep-bucketed "
+                        "truncated backbones from an EarlyExitUViT "
+                        "checkpoint (eesampler.py --static_schedule "
+                        "format, e.g. '999-700:3,699-0:13'). ddpm "
+                        "fixed-bucket mode; composes with --cache_every/"
+                        "--cache_schedule/--attn_impl fused_int8 — the "
+                        "best measured CelebA-64 operating points")
     return p.parse_args(argv)
 
 
@@ -123,14 +139,40 @@ class _ServiceBase:
             raise SystemExit(
                 "--checkpoint_path is required (or pass --random_init)"
             )
+        self.static_buckets = None
+        if getattr(args, "static_schedule", None):
+            if args.method != "ddpm":
+                raise SystemExit(
+                    "--static_schedule serves the ddpm static-exit family "
+                    f"(got --method {args.method})"
+                )
+            if args.slots:
+                raise SystemExit(
+                    "--static_schedule is fixed-bucket only: each bucket "
+                    "is a different truncated executable, and mixed-"
+                    "timestep slots would need per-slot depths (SPMD "
+                    "computes both branches — zero savings)"
+                )
+            if args.parametrization != "predict_noise":
+                raise SystemExit(
+                    "static-exit serving is predict_noise only (the "
+                    "output heads are trained under it)"
+                )
+            from duodiff_tpu.diffusion.static_exit import (
+                parse_exit_schedule,
+            )
+
+            self.static_buckets = parse_exit_schedule(args.static_schedule)
         model, params, cfg, ae_cfg = load_model_from_config(
             args.config_path,
             None if args.random_init else args.checkpoint_path,
+            early_exit=self.static_buckets is not None,
             attn_impl=args.attn_impl,
             gelu_approx=args.gelu_approx,
             use_ema=args.use_ema,
             int8_scales=args.int8_scales,
         )
+        self.model = model
         self.params = params
         self.cfg = cfg
         self.args = args
@@ -168,10 +210,13 @@ class _ServiceBase:
             from duodiff_tpu.diffusion.sampling import make_guided_apply
 
             self.guidance_null = null_class
-            # params-first signatures pass through the wrapper untouched
-            apply_fn = make_guided_apply(
-                apply_fn, args.guidance_scale, null_class
-            )
+            # params-first signatures pass through the wrapper untouched;
+            # static-exit serving guides per truncated bucket instead
+            # (make_static_exit_sampler(guidance=...))
+            if self.static_buckets is None:
+                apply_fn = make_guided_apply(
+                    apply_fn, args.guidance_scale, null_class
+                )
         self.apply_fn = apply_fn
 
         method = args.method
@@ -200,18 +245,85 @@ class _ServiceBase:
         # dpm_solver_sample's cache contract): params-first anchor/cached
         # closures over the loaded model, shared by both serving modes
         self.cache = None
-        if args.cache_schedule is not None:
-            if args.cache_every is not None:
+        self.cache_rule = None
+        n_cache_args = sum(
+            a is not None for a in (args.cache_every, args.cache_schedule,
+                                    getattr(args, "cache_pattern", None))
+        )
+        if n_cache_args > 1:
+            raise SystemExit(
+                "pass ONE of --cache_every / --cache_schedule / "
+                "--cache_pattern"
+            )
+        if args.cache_pattern is not None:
+            import numpy as np
+
+            from duodiff_tpu.diffusion.continuous import (
+                periodic_pattern_table,
+            )
+
+            if method != "ddpm":
                 raise SystemExit(
-                    "--cache_schedule replaces --cache_every; pass one"
+                    "--cache_pattern is t-indexed ddpm caching (dpm "
+                    "anchors on its own grid indices: use --cache_every)"
                 )
-            if method != "ddpm" or args.slots:
+            try:
+                pattern = np.asarray(
+                    [int(v) for v in args.cache_pattern.split(",")], bool
+                )
+            except ValueError:
                 raise SystemExit(
-                    "--cache_schedule serving supports the ddpm "
-                    "fixed-bucket mode only (continuous slots phase-align "
-                    "on a uniform period; dpm anchors on grid indices)"
+                    f"--cache_pattern {args.cache_pattern!r}: expected a "
+                    "comma list of 0/1"
+                ) from None
+            if pattern.size < 1 or not pattern[0]:
+                raise SystemExit(
+                    "--cache_pattern[0] must be 1 (a fresh trajectory's "
+                    "first step needs a real delta)"
                 )
-        if args.cache_every is not None or args.cache_schedule is not None:
+            # slots mode consumes the wave-index pattern natively; the
+            # fixed bucket runs the equivalent absolute-t table
+            args_rule = (
+                pattern if args.slots
+                else jnp.asarray(
+                    periodic_pattern_table(pattern, self.schedule.steps)
+                )
+            )
+        elif args.cache_schedule is not None:
+            from duodiff_tpu.diffusion import load_cache_schedule
+
+            if method != "ddpm":
+                raise SystemExit(
+                    "--cache_schedule is a t-indexed ddpm anchor table "
+                    "(dpm anchors on grid indices: use --cache_every)"
+                )
+            table = load_cache_schedule(
+                args.cache_schedule, num_timesteps=self.schedule.steps
+            )
+            if args.slots:
+                from duodiff_tpu.diffusion.continuous import (
+                    fold_table_to_pattern,
+                )
+
+                pattern = fold_table_to_pattern(table)
+                if pattern is None:
+                    raise SystemExit(
+                        "--cache_schedule table is aperiodic (or its "
+                        "t=T-1 entry is not an anchor): mixed-timestep "
+                        "slots need a slot-uniform anchor decision, so "
+                        "only wave-periodic schedules can ride continuous "
+                        "batching (an arbitrary t-keyed table would make "
+                        "slots at different t disagree, and a per-slot "
+                        "branch under SPMD computes both paths — zero "
+                        "savings). Serve this table in fixed-bucket mode "
+                        "(--slots 0), or pass a periodic --cache_pattern"
+                    )
+                args_rule = pattern
+            else:
+                args_rule = jnp.asarray(table)
+        else:
+            args_rule = args.cache_every
+        if args_rule is not None:
             if args.cache_every is not None and args.cache_every < 1:
                 raise SystemExit("--cache_every must be >= 1")
             if method not in ("dpm", "ddpm"):
@@ -233,6 +345,12 @@ class _ServiceBase:
                     f"{cfg.depth}, got {n_outer}"
                 )
             token_len = cfg.extras + cfg.num_patches
+            self.cache_rule = args_rule
+            if self.static_buckets is not None:
+                # static-exit serving threads the rule into each bucket's
+                # truncated backbone (make_static_exit_sampler) instead of
+                # the whole-model anchor/cached closures below
+                return
 
             def cache_anchor(p, x, t, y):
                 return model.apply(
@@ -251,15 +369,7 @@ class _ServiceBase:
                     (x.shape[0], token_len, cfg.embed_dim), model.dtype
                 )
 
-            rule = args.cache_every
-            if args.cache_schedule is not None:
-                from duodiff_tpu.diffusion import load_cache_schedule
-
-                rule = jnp.asarray(load_cache_schedule(
-                    args.cache_schedule,
-                    num_timesteps=self.schedule.steps,
-                ))
-            self.cache = (cache_anchor, cache_cached, rule, cache_init)
+            self.cache = (cache_anchor, cache_cached, args_rule, cache_init)
         elif args.cache_outer is not None:
             raise SystemExit("--cache_outer requires --cache_every")
 
@@ -343,6 +453,33 @@ class SamplerService(_ServiceBase):
             ddim_sample,
             dpm_solver_sample,
         )
+
+        if self.static_buckets is not None:
+            # static-exit serving: per-bucket truncated executables behind
+            # the bucket server (the best measured CelebA-64 operating
+            # points — static exits + derived anchors + int8). The sampler
+            # callable owns its jitted per-bucket chunks; rebuild-per-call
+            # would re-trace (see make_static_exit_sampler docstring).
+            from duodiff_tpu.diffusion.static_exit import (
+                make_static_exit_sampler,
+            )
+
+            guidance = (
+                (args.guidance_scale, self.guidance_null)
+                if args.guidance_scale is not None else None
+            )
+            static_sampler = make_static_exit_sampler(
+                cfg, params, schedule=schedule,
+                buckets=self.static_buckets,
+                dtype=self.model.dtype,
+                attn_impl=self.model.attn_impl,
+                gelu_approx=args.gelu_approx,
+                guidance=guidance,
+                cache_every=self.cache_rule,
+                cache_outer=args.cache_outer,
+            )
+            self._run = lambda p, k, y: static_sampler(k, self.shape, y=y)
+            return
 
         cache = self.cache
         if self.method == "dpm":

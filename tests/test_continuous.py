@@ -607,18 +607,169 @@ def test_cache_schedule_serving_matches_uniform(tmp_path):
     finally:
         httpd.shutdown()
 
+    # this uniform table anchors t%2==0 but t=31 (the first reverse step)
+    # is NOT an anchor — it cannot ride mixed-timestep slots and the fold
+    # must reject it with the structural pointer to fixed-bucket serving
     with pytest.raises(SystemExit, match="fixed-bucket"):
         serve_cli.ContinuousSamplerService(serve_cli.get_args([
             "--config_path", str(cfg), "--random_init", "--port", "0",
             "--method", "ddpm", "--steps", "32", "--num_timesteps", "32",
             "--slots", "2", "--cache_schedule", str(sched),
         ]))
-    with pytest.raises(SystemExit, match="fixed-bucket"):
+    with pytest.raises(SystemExit, match="grid indices"):
         serve_cli.SamplerService(serve_cli.get_args([
             "--config_path", str(cfg), "--random_init", "--port", "0",
             "--method", "dpm", "--steps", "4", "--num_timesteps", "32",
             "--bucket", "1", "--cache_schedule", str(sched),
         ]))
+
+
+def test_pattern_table_helpers():
+    """periodic_pattern_table <-> fold_table_to_pattern round trip, the
+    uniform special case, and the two rejection classes (aperiodic table;
+    t=T-1 not an anchor)."""
+    from duodiff_tpu.diffusion.cache_schedule import uniform_table
+    from duodiff_tpu.diffusion.continuous import (
+        fold_table_to_pattern,
+        periodic_pattern_table,
+    )
+
+    pat = np.array([1, 0, 1, 0, 0], bool)
+    table = periodic_pattern_table(pat, 11)
+    assert table[10]  # a fresh trajectory's first reverse step anchors
+    np.testing.assert_array_equal(fold_table_to_pattern(table), pat)
+    # uniform every=3 at 13 steps ((steps-1) % 3 == 0) == pattern [1,0,0]
+    np.testing.assert_array_equal(
+        fold_table_to_pattern(uniform_table(3, 13)),
+        np.array([1, 0, 0], bool),
+    )
+    # derived-style irregular anchors: aperiodic -> None
+    t = np.zeros(12, bool)
+    t[[11, 8, 3]] = True
+    assert fold_table_to_pattern(t) is None
+    # uniform every=2 at 32 steps: t=31 is not an anchor -> None
+    assert fold_table_to_pattern(uniform_table(2, 32)) is None
+
+
+def test_pattern_cached_staggered_jobs_match_sequential():
+    """A wave-index anchor PATTERN (non-uniform periodic schedule) through
+    2 slots == the sequential cached sampler running the equivalent
+    absolute-t table, bit-exact — the slots-mode form of a derived
+    schedule (serve.py --cache_pattern)."""
+    from duodiff_tpu.diffusion import make_block_cached_apply
+    from duodiff_tpu.diffusion.continuous import periodic_pattern_table
+
+    pat = np.array([1, 0, 1, 0, 0], bool)
+    steps = 11
+    sched = NoiseSchedule.create(steps=steps)
+    batcher = ContinuousDiffusionBatcher(
+        stub_apply, sched, img_shape=IMG, slots=2, params=PARAMS,
+        method="ddpm", steps_per_poll=2, cache=_cache_tuple(pat),
+    )
+    keys = [jax.random.PRNGKey(600 + j) for j in range(5)]
+    got = batcher.run_jobs([(k, None) for k in keys])
+
+    table = jnp.asarray(periodic_pattern_table(pat, steps))
+
+    def apply_fn(params, state, x, t, y):
+        inner = make_block_cached_apply(
+            lambda xx, tt, yy: stub_anchor(params, xx, tt, yy),
+            lambda xx, tt, yy, d: stub_cached(params, xx, tt, yy, d),
+            table, sched.steps - 1,
+        )
+        return inner(state, x, t, y)
+
+    sampler = ChunkedDDPMSampler(
+        apply_fn, sched, parametrization="predict_noise", params=PARAMS,
+        init_state_fn=lambda x: jnp.zeros((x.shape[0], 4)),
+    )
+    for j, k in enumerate(keys):
+        want = np.asarray(sampler.sample(k, (1,) + IMG))[0]
+        np.testing.assert_array_equal(np.asarray(got[j]), want)
+    # the pattern is not a no-op vs dense
+    dense = seq_reference("ddpm", keys[0], sched=sched)
+    assert np.any(np.asarray(got[0]) != dense)
+
+
+def test_pattern_cached_validation():
+    sched = NoiseSchedule.create(steps=11)
+    with pytest.raises(ValueError, match=r"pattern\[0\]"):
+        ContinuousDiffusionBatcher(
+            stub_apply, sched, img_shape=IMG, slots=1, params=PARAMS,
+            method="ddpm", cache=_cache_tuple(np.array([0, 1], bool)),
+        )
+    with pytest.raises(ValueError, match="ddpm"):
+        ContinuousDiffusionBatcher(
+            stub_apply, sched, img_shape=IMG, slots=1, params=PARAMS,
+            method="dpm", dpm_steps=6,
+            cache=_cache_tuple(np.array([1, 0], bool)),
+        )
+
+
+def test_cache_pattern_serving_matches_bucket(tmp_path):
+    """serve.py --cache_pattern: the continuous (--slots) server and the
+    fixed-bucket server (pattern expanded to its absolute-t table) return
+    identical images — a non-uniform anchor schedule riding mixed-timestep
+    slots — and the pattern actually changes the computation."""
+    cfg = tmp_path / "tiny.yaml"
+    cfg.write_text(TINY_YAML)
+    ddpm = ["--method", "ddpm", "--steps", "32"]
+
+    httpd, _, base = _start_server(cfg, ddpm + ["--bucket", "1"])
+    try:
+        _, dense = _post(base + "/sample", {"n": 1, "seed": 21})
+    finally:
+        httpd.shutdown()
+
+    httpd, _, base = _start_server(
+        cfg, ddpm + ["--bucket", "1", "--cache_pattern", "1,0,1,0"]
+    )
+    try:
+        _, want = _post(base + "/sample", {"n": 2, "seed": 21})
+    finally:
+        httpd.shutdown()
+
+    httpd, _, base = _start_server(
+        cfg, ddpm + ["--slots", "2", "--steps_per_poll", "2",
+                     "--cache_pattern", "1,0,1,0"]
+    )
+    try:
+        _, got = _post(base + "/sample", {"n": 2, "seed": 21})
+        assert got["images"] == want["images"]
+        assert got["images"][0] != dense["images"][0]
+    finally:
+        httpd.shutdown()
+
+
+def test_periodic_cache_schedule_rides_slots(tmp_path):
+    """A --cache_schedule table that IS wave-periodic folds automatically
+    and serves in slots mode, matching the equivalent --cache_pattern."""
+    from duodiff_tpu.diffusion.cache_schedule import save_cache_schedule
+    from duodiff_tpu.diffusion.continuous import periodic_pattern_table
+
+    cfg = tmp_path / "tiny.yaml"
+    cfg.write_text(TINY_YAML)
+    sched_path = tmp_path / "periodic.json"
+    save_cache_schedule(
+        sched_path, periodic_pattern_table(np.array([1, 0], bool), 32)
+    )
+    ddpm = ["--method", "ddpm", "--steps", "32", "--slots", "2",
+            "--steps_per_poll", "2"]
+
+    httpd, _, base = _start_server(
+        cfg, ddpm + ["--cache_schedule", str(sched_path)]
+    )
+    try:
+        _, got = _post(base + "/sample", {"n": 1, "seed": 4})
+    finally:
+        httpd.shutdown()
+
+    httpd, _, base = _start_server(cfg, ddpm + ["--cache_pattern", "1,0"])
+    try:
+        _, want = _post(base + "/sample", {"n": 1, "seed": 4})
+        assert got["images"] == want["images"]
+    finally:
+        httpd.shutdown()
 
 
 @pytest.mark.slow

@@ -207,3 +207,83 @@ def test_guided_server(tmp_path):
         assert code == 400
     finally:
         httpd.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# static-exit serving (--static_schedule): per-bucket truncated executables
+# ---------------------------------------------------------------------------
+
+
+def test_static_schedule_serving_matches_library(tmp_path):
+    """serve.py --static_schedule: the bucket server runs the timestep-
+    bucketed truncated backbones (the best measured CelebA-64 operating
+    family) and must reproduce the library static sampler bit for bit
+    with the server's request-key path."""
+    import jax
+
+    from duodiff_tpu.diffusion import NoiseSchedule
+    from duodiff_tpu.diffusion.static_exit import (
+        make_static_exit_sampler,
+        parse_exit_schedule,
+    )
+    from duodiff_tpu.utils.model_loading import load_model_from_config
+
+    cfg = tmp_path / "tiny.yaml"
+    cfg.write_text(TINY_YAML)
+    spec = "11-6:1,5-0:3"
+    svc = serve_cli.SamplerService(serve_cli.get_args([
+        "--config_path", str(cfg), "--random_init", "--port", "0",
+        "--method", "ddpm", "--num_timesteps", "12", "--bucket", "2",
+        "--static_schedule", spec,
+    ]))
+    imgs = svc.sample(n=2, seed=3)
+    assert len(imgs) == 2 and np.isfinite(np.stack(imgs)).all()
+
+    model, params, mcfg, _ = load_model_from_config(
+        str(cfg), None, early_exit=True
+    )
+    sampler = make_static_exit_sampler(
+        mcfg, params, schedule=NoiseSchedule.create(steps=12),
+        buckets=parse_exit_schedule(spec), dtype=model.dtype,
+        attn_impl=model.attn_impl,
+    )
+    key = jax.random.fold_in(jax.random.PRNGKey(3), 0)
+    want = np.asarray((sampler(key, (2, 16, 16, 3)) + 1.0) / 2.0)
+    np.testing.assert_array_equal(np.stack(imgs), want)
+
+
+def test_static_schedule_serving_with_cache(tmp_path):
+    """--static_schedule composes with --cache_every (block caching inside
+    each bucket's truncated backbone) — and the cache is not a no-op."""
+    cfg = tmp_path / "tiny.yaml"
+    cfg.write_text(TINY_YAML)
+    base_args = [
+        "--config_path", str(cfg), "--random_init", "--port", "0",
+        "--method", "ddpm", "--num_timesteps", "13", "--bucket", "1",
+        "--static_schedule", "12-0:3",
+    ]
+    plain = serve_cli.SamplerService(serve_cli.get_args(base_args))
+    cached = serve_cli.SamplerService(serve_cli.get_args(
+        base_args + ["--cache_every", "3"]
+    ))
+    a = np.stack(plain.sample(n=1, seed=5))
+    b = np.stack(cached.sample(n=1, seed=5))
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    assert np.any(a != b)
+
+
+def test_static_schedule_validation(tmp_path):
+    cfg = tmp_path / "tiny.yaml"
+    cfg.write_text(TINY_YAML)
+    with pytest.raises(SystemExit, match="fixed-bucket only"):
+        serve_cli.ContinuousSamplerService(serve_cli.get_args([
+            "--config_path", str(cfg), "--random_init", "--port", "0",
+            "--method", "ddpm", "--num_timesteps", "12", "--slots", "2",
+            "--static_schedule", "11-0:3",
+        ]))
+    with pytest.raises(SystemExit, match="static-exit family"):
+        serve_cli.SamplerService(serve_cli.get_args([
+            "--config_path", str(cfg), "--random_init", "--port", "0",
+            "--method", "dpm", "--steps", "4", "--num_timesteps", "12",
+            "--static_schedule", "11-0:3",
+        ]))
