@@ -43,10 +43,12 @@ def main(argv=None):
         "celeba_static_exit,celeba_static_exit_int8,"
         "celeba_static_exit_cache3,celeba_static_exit_cache3_int8,"
         "celeba_static_exit_cache_derived_int8,"
-        "celeba_ee_threshold,celeba_dpm20,cifar10,imagenet64,imagenet256,"
+        "celeba_ee_threshold,celeba_dpm20,celeba_dpm20_int8,"
+        "celeba_dpm20_cache3,cifar10,cifar10_int8,cifar10_cache3,"
+        "imagenet64,imagenet256,"
         "imagenet256_decoded,imagenet256_int8,imagenet64_int8,"
         "imagenet64_cache3_int8,imagenet64_cache_derived_int8,"
-        "imagenet256_cache3_int8"
+        "imagenet256_cache3_int8,imagenet256_cache_derived_int8"
     ))
     p.add_argument("--output", type=str, default="bench_matrix.json")
     args = p.parse_args(argv)
@@ -114,6 +116,8 @@ def main(argv=None):
     run("celeba_int8",
         lambda: dense_fn("uvit_celeba.yaml", attn_impl="fused_int8"))
     run("cifar10", lambda: dense_fn("uvit_cifar10.yaml"))
+    run("cifar10_int8",
+        lambda: dense_fn("uvit_cifar10.yaml", attn_impl="fused_int8"))
     run("imagenet64", lambda: dense_fn("uvit_imagenet64.yaml"))
     run("imagenet256", lambda: dense_fn("uvit_imagenet256.yaml"))
     # int8 at D=1024: the weight matmuls are an even larger step fraction
@@ -329,6 +333,7 @@ def main(argv=None):
         return lambda key: sampler.sample(key, shape, y=y)
 
     run("celeba_cache3", lambda: cache_fn("uvit_celeba.yaml"))
+    run("cifar10_cache3", lambda: cache_fn("uvit_cifar10.yaml"))
     run("imagenet64_cache3", lambda: cache_fn("uvit_imagenet64.yaml"))
     # caching composes with the W8A8 kernels (same block modules under
     # forward_anchor/forward_cached): anchors + outer blocks run int8
@@ -356,6 +361,11 @@ def main(argv=None):
             sched_path="assets/cache_schedule_imagenet64.json"))
     run("imagenet256_cache3_int8",
         lambda: cache_fn("uvit_imagenet256.yaml", attn_impl="fused_int8"))
+    # i256 drift-derived anchors (derive+gate per tools/probe_cache_gamma)
+    run("imagenet256_cache_derived_int8",
+        lambda: cache_fn(
+            "uvit_imagenet256.yaml", attn_impl="fused_int8",
+            sched_path="assets/cache_schedule_imagenet256.json"))
 
     def ddim_fn():
         apply_fn, params, cfg = load("uvit_celeba.yaml")
@@ -368,18 +378,52 @@ def main(argv=None):
 
     run("celeba_ddim", ddim_fn)
 
-    def dpm_fn():
+    def dpm_fn(attn_impl=None, cache_every=None):
         from duodiff_tpu.diffusion import dpm_solver_sample
 
-        apply_fn, params, cfg = load("uvit_celeba.yaml")
+        model, params, cfg, _ = load_model_from_config(
+            "configs/uvit_celeba.yaml", None, seed=0, gelu_approx=True,
+            attn_impl=attn_impl,
+        )
         shape = (b, 64, 64, 3)
-        fn = jax.jit(lambda key, p: dpm_solver_sample(
-            apply_fn, key, schedule=schedule, shape=shape, dpm_steps=20,
-            order=2, y=(None, p),
-        ))
+        k_half = cfg.depth // 2
+        n_outer = max(1, -(-k_half // 3))
+        import jax.numpy as jnp
+
+        token_len = cfg.extras + cfg.num_patches
+
+        def run_one(key, p):
+            apply = lambda xx, tt, yy: model.apply({"params": p}, xx, tt, yy)
+            c = None
+            if cache_every is not None:
+                # index-anchored dpm caching (the dpm20_cache3 serving row)
+                c = (
+                    lambda xx, tt, yy: model.apply(
+                        {"params": p}, xx, tt, yy, n_outer=n_outer,
+                        method=model.forward_anchor,
+                    ),
+                    lambda xx, tt, yy, d: model.apply(
+                        {"params": p}, xx, tt, yy, n_outer=n_outer,
+                        delta=d, method=model.forward_cached,
+                    ),
+                    cache_every,
+                    lambda xx: jnp.zeros(
+                        (xx.shape[0], token_len, cfg.embed_dim),
+                        model.dtype,
+                    ),
+                )
+            return dpm_solver_sample(
+                apply, key, schedule=schedule, shape=shape, dpm_steps=20,
+                order=2, y=None, cache=c,
+            )
+
+        fn = jax.jit(run_one)
         return lambda key: fn(key, params)
 
     run("celeba_dpm20", dpm_fn)
+    # the serving-latency headline composed with int8 / block caching
+    run("celeba_dpm20_int8", lambda: dpm_fn(attn_impl="fused_int8"))
+    run("celeba_dpm20_cache3", lambda: dpm_fn(cache_every=3))
 
     def static_exit_fn(attn_impl="fused", cache_every=None, sched_path=None):
         from duodiff_tpu.diffusion.static_exit import make_static_exit_sampler
