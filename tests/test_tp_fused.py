@@ -176,7 +176,10 @@ def test_uvit_tp_fused_forward_matches(tp_model):
     )
 
 
+@pytest.mark.slow
 def test_uvit_tp_fused_grads_match(tp_model):
+    # slow set: full-model gradient equivalence; the default run keeps the
+    # sublayer grad test + the CLI TP-vs-DP loss equality (test_cli)
     _, model_p, params_p, model_tp, params_h = tp_model
     x = jax.random.normal(jax.random.PRNGKey(2), (B, 16, 16, 3))
     t = jnp.full((B,), 93.0)
