@@ -441,6 +441,198 @@ def make_static_exit_sampler(
     return sample
 
 
+def truncated_ee_apply_probed(
+    config: UViTConfig,
+    params: dict,
+    exit_layer: int,
+    dtype=jnp.bfloat16,
+    attn_impl: str = "auto",
+    gelu_approx: bool = False,
+) -> Tuple[Callable, dict, Callable]:
+    """Like :func:`truncated_ee_apply`, plus the layer's OWN uncertainty
+    probe evaluated on the same pre-head activation, accumulated into a
+    scalar carry — the signal for chunk-level adaptive bucket selection
+    (:func:`make_adaptive_exit_sampler`).
+
+    Returns ``(apply(p, state, x, t, y) -> (eps, state + mean(u)), p0,
+    init_state)``. Supports the two per-layer probe families
+    (mlp_probe_per_layer / attention_probe); the per-timestep probe tables
+    would need the traced t threaded into the slice — use the per-layer
+    probes for adaptive sampling (they are the paper's headline config).
+    ``exit_layer == depth`` probes slot depth-1 (the deepest probe) while
+    decoding with the full backbone's own head.
+    """
+    from duodiff_tpu.models.early_exit import AttentionProbe, MLPProbe
+
+    depth = config.depth
+    exit_layer = int(exit_layer)
+    assert 0 <= exit_layer <= depth
+    probe_slot = min(exit_layer, depth - 1)
+    if config.classifier_type == "mlp_probe_per_layer":
+        probe_mod = MLPProbe(dtype=dtype)
+    elif config.classifier_type == "attention_probe":
+        probe_mod = AttentionProbe(dtype=dtype)
+    else:
+        raise ValueError(
+            "adaptive bucket selection needs a per-layer probe family "
+            f"(got classifier_type={config.classifier_type!r}); the "
+            "per-timestep tables gate on t, which the static buckets "
+            "already encode"
+        )
+    uvit = UViT(
+        config=config, dtype=dtype, attn_impl=attn_impl,
+        gelu_approx=gelu_approx,
+    )
+
+    def run_probed(mod, x, t, y):
+        h = mod.embed_tokens(x, t, y)
+        k = 0
+        skips = []
+        probed = None
+        for blk in mod.in_blocks:
+            if k == probe_slot:
+                probed = h
+            if k == exit_layer:
+                return h, probed
+            h = blk(h)
+            skips.append(h)
+            k += 1
+        if k == probe_slot:
+            probed = h
+        if k == exit_layer:
+            return h, probed
+        h = mod.mid_block(h)
+        k += 1
+        for blk in mod.out_blocks:
+            if k == probe_slot:
+                probed = h
+            if k == exit_layer:
+                return h, probed
+            h = blk(h, skips.pop())
+            k += 1
+        return h, probed  # exit_layer == depth
+
+    probe_params = jax.tree_util.tree_map(
+        lambda a: a[probe_slot], params["probes"]
+    )
+    p0 = {"uvit": params["uvit"], "probe": probe_params}
+    if exit_layer < depth:
+        head = OutputHead(
+            patch_dim=config.patch_dim,
+            in_chans=config.in_chans,
+            extras=config.extras,
+            conv=True,
+            dtype=dtype,
+        )
+        p0["head"] = jax.tree_util.tree_map(
+            lambda a: a[exit_layer], params["heads"]
+        )
+
+    def apply(p, state, x, t, y):
+        h, probed = uvit.apply(
+            {"params": p["uvit"]}, x, t, y, method=run_probed
+        )
+        u = probe_mod.apply({"params": p["probe"]}, probed)  # (B,)
+        if exit_layer < depth:
+            eps = head.apply({"params": p["head"]}, h)
+        else:
+            eps = uvit.apply(
+                {"params": p["uvit"]}, h, method=UViT.decode_tokens
+            )
+        return eps, state + jnp.mean(u.astype(jnp.float32))
+
+    def init_state(x):
+        return jnp.zeros((), jnp.float32)
+
+    return apply, p0, init_state
+
+
+def make_adaptive_exit_sampler(
+    config: UViTConfig,
+    params: dict,
+    *,
+    schedule: NoiseSchedule,
+    layers: Sequence[int],
+    chunk: int = 50,
+    threshold: float = 0.08,
+    margin: float = 0.7,
+    start_layer: int | None = None,
+    dtype=jnp.bfloat16,
+    attn_impl: str = "auto",
+    gelu_approx: bool = False,
+):
+    """Probe-DRIVEN bucket selection: chunk-level input adaptivity at zero
+    SPMD cost (VERDICT r2 #9).
+
+    Static exit schedules fix the truncation depth per timestep bucket from
+    a one-off calibration run — dropping the one thing the reference's
+    dynamic sampler still had: input adaptivity (its per-sample exits
+    cannot save compute under SPMD, reference eesampler.py:62-68). This
+    sampler restores adaptivity at the CHUNK level: each ``chunk``-step
+    segment runs ONE truncated backbone (a static-shape compiled scan, one
+    executable per distinct layer, built lazily) that also accumulates its
+    own probe's mean predicted error; between chunks the HOST compares the
+    mean against ``threshold`` (the reference's exit rule, u <= thr) and
+    moves one bucket deeper when the current depth predicts too much error
+    or one shallower when it is comfortably below (``threshold * margin``
+    hysteresis keeps it from oscillating). No per-sample divergence ever
+    reaches the device; the only cost vs static buckets is one scalar
+    device->host read per chunk.
+
+    Returns ``sample(key, shape, y=None) -> (x, log)`` where log is a list
+    of per-chunk dicts (t range, layer, mean probe). With a single entry in
+    ``layers`` this reduces bit-exactly to the static bucket sampler (the
+    probe accumulation never touches the x/key stream — tested).
+    """
+    layers = sorted({int(v) for v in layers})
+    if not layers:
+        raise ValueError("layers must be non-empty")
+    samplers: dict = {}
+
+    def get(layer):
+        if layer not in samplers:
+            apply, p0, init_state = truncated_ee_apply_probed(
+                config, params, layer, dtype, attn_impl, gelu_approx
+            )
+            samplers[layer] = (
+                ChunkedDDPMSampler(
+                    apply, schedule, parametrization="predict_noise",
+                    chunk=chunk, params=p0, init_state_fn=init_state,
+                ),
+                init_state,
+            )
+        return samplers[layer]
+
+    start = start_layer if start_layer is not None else layers[-1]
+    if start not in layers:
+        raise ValueError(f"start_layer {start} not in layers {layers}")
+
+    def sample(key, shape, y=None):
+        li = layers.index(start)
+        s, _ = get(layers[li])
+        x, key = s.init(key, shape)
+        t = schedule.steps - 1
+        log = []
+        while t >= 0:
+            lo = max(t - chunk + 1, 0)
+            s, init_state = get(layers[li])
+            x, key, st = s.run(x, key, t, lo, y, state=init_state(x))
+            mean_u = float(st) / (t - lo + 1)
+            log.append({
+                "t_hi": int(t), "t_lo": int(lo),
+                "layer": int(layers[li]),
+                "mean_probe": round(mean_u, 6),
+            })
+            if mean_u > threshold and li < len(layers) - 1:
+                li += 1
+            elif mean_u <= threshold * margin and li > 0:
+                li -= 1
+            t = lo - 1
+        return x, log
+
+    return sample
+
+
 def static_exit_sample(
     config: UViTConfig,
     params: dict,

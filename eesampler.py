@@ -64,6 +64,22 @@ def get_args(argv=None):
              "indices_by_timestep.npy with "
              "duodiff_tpu.diffusion.static_exit.derive_exit_schedule.")
     parser.add_argument(
+        "--adaptive_layers", type=str, default=None,
+        help="Probe-DRIVEN bucket selection (chunk-level input "
+             "adaptivity): comma list of candidate exit layers, e.g. "
+             "'3,8,13'. Each --adaptive_chunk-step segment runs ONE "
+             "truncated backbone that also accumulates its probe's mean "
+             "predicted error; the host moves one bucket deeper/shallower "
+             "between chunks against --threshold (hysteresis "
+             "--adaptive_margin). Static shapes, one executable per "
+             "layer, zero per-sample divergence. Per-layer probe "
+             "families only (mlp_probe_per_layer / attention_probe)")
+    parser.add_argument("--adaptive_chunk", type=int, default=50,
+                        help="steps per adaptive decision chunk")
+    parser.add_argument("--adaptive_margin", type=float, default=0.7,
+                        help="go shallower when mean probe <= threshold * "
+                             "margin (hysteresis band)")
+    parser.add_argument(
         "--derive_schedule_from", type=str, default=None,
         help="Path to a dynamic run's indices_by_timestep.npy: derive the "
              "static bucket schedule from it (--derive_buckets N) and "
@@ -138,6 +154,20 @@ def main(argv=None):
     if args.threshold is None and args.static_schedule is None:
         raise SystemExit("--threshold is required (or pass --static_schedule)")
 
+    if args.adaptive_layers is not None:
+        if args.static_schedule is not None:
+            raise SystemExit("--adaptive_layers and --static_schedule are "
+                             "mutually exclusive")
+        if args.threshold is None:
+            raise SystemExit("--adaptive_layers needs --threshold (the "
+                             "probe exit rule it decides against)")
+        if args.cache_every is not None or args.cache_schedule is not None:
+            raise SystemExit("--adaptive_layers does not combine with "
+                             "block caching yet (bucket switches would "
+                             "invalidate the cached delta mid-chunk)")
+        if args.guidance_scale is not None:
+            raise SystemExit("--adaptive_layers does not combine with "
+                             "--guidance_scale")
     cache_on = args.cache_every is not None or args.cache_schedule is not None
     if cache_on:
         if args.cache_every is not None and args.cache_schedule is not None:
@@ -157,6 +187,9 @@ def main(argv=None):
                          "--cache_schedule")
 
     mp = max(1, getattr(args, "model_parallel", 1) or 1)
+    if mp > 1 and args.adaptive_layers:
+        raise SystemExit("--model_parallel does not combine with "
+                         "--adaptive_layers")
     if mp > 1 and args.static_schedule:
         # static_exit_sample builds its own per-bucket truncated models in
         # the packed layout; TP sampling is the dynamic-threshold path
@@ -232,7 +265,40 @@ def main(argv=None):
         else:
             y = jax.random.randint(ykey, (args.batch_size,), 1, 1001)
 
-    if args.static_schedule:
+    if args.adaptive_layers is not None:
+        from duodiff_tpu.diffusion.static_exit import (
+            make_adaptive_exit_sampler,
+        )
+
+        layers = [int(v) for v in args.adaptive_layers.split(",")]
+        sampler = make_adaptive_exit_sampler(
+            cfg, params, schedule=schedule, layers=layers,
+            chunk=args.adaptive_chunk, threshold=args.threshold,
+            margin=args.adaptive_margin,
+            attn_impl=args.attn_impl
+            or ("fused" if jax.default_backend() == "tpu" else "auto"),
+            gelu_approx=args.gelu_approx,
+        )
+        print(f"Adaptive-exit sampling {args.batch_size} images "
+              f"(layers={sorted(set(layers))}, chunk={args.adaptive_chunk}, "
+              f"threshold={args.threshold})...")
+        tic = time.time()
+        x, chunk_log = sampler(key, shape, y=y)
+        x = jax.block_until_ready(x)
+        elapsed = time.time() - tic
+        import json as _json
+
+        (output_folder / "adaptive_log.json").write_text(
+            _json.dumps(chunk_log, indent=1)
+        )
+        idx_by_t = np.zeros((schedule.steps, args.batch_size), np.int32)
+        for row in chunk_log:
+            idx_by_t[row["t_lo"]: row["t_hi"] + 1] = row["layer"]
+        err_by_t = np.full((schedule.steps, cfg.depth), np.nan, np.float32)
+        mean_layer = float(np.mean([r["layer"] for r in chunk_log]))
+        print(f"adaptive chunks: {len(chunk_log)}, mean layer "
+              f"{mean_layer:.2f}")
+    elif args.static_schedule:
         from duodiff_tpu.diffusion.static_exit import (
             parse_exit_schedule,
             static_exit_sample,

@@ -524,6 +524,32 @@ def test_eesampler_cli_static_schedule(tmp_path, tiny_config):
     assert set(np.unique(idx)) == {1, 3}
 
 
+def test_eesampler_cli_adaptive(tmp_path, tiny_config):
+    """--adaptive_layers: probe-driven chunk-level bucket selection through
+    the production CLI — writes the per-chunk log, bucket-consistent
+    indices diagnostics, and finite samples."""
+    import json
+
+    out = tmp_path / "out_ee_adaptive"
+    eesampler_cli.main([
+        "--config_path", str(tiny_config),
+        "--batch_size", "2",
+        "--threshold", "0.5",
+        "--adaptive_layers", "1,3",
+        "--adaptive_chunk", "4",
+        "--output_folder", str(out),
+        "--random_init",
+        "--num_timesteps", "8",
+    ])
+    assert (out / "0.png").exists()
+    log = json.loads((out / "adaptive_log.json").read_text())
+    assert len(log) == 2 and {r["layer"] for r in log} <= {1, 3}
+    idx = np.load(out / "indices_by_timestep.npy")
+    assert idx.shape == (8, 2)
+    for r in log:
+        assert np.all(idx[r["t_lo"]: r["t_hi"] + 1] == r["layer"])
+
+
 def test_eesampler_cli_static_schedule_cached(tmp_path, tiny_config):
     """--cache_every composes block caching into the static-exit buckets
     (the shallow layer-1 bucket has nothing to cache and runs uncached);

@@ -218,3 +218,99 @@ def test_static_exit_sample_runs(ee_model):
     )
     assert x.shape == (2, 16, 16, 3)
     assert np.all(np.isfinite(np.asarray(x)))
+
+
+# ---------------------------------------------------------------------------
+# probe-driven adaptive bucket selection (make_adaptive_exit_sampler)
+# ---------------------------------------------------------------------------
+
+
+def test_adaptive_probed_apply_matches_full(ee_model):
+    """truncated_ee_apply_probed: same eps as the plain truncated apply,
+    and the accumulated probe equals the full forward's u[exit_layer]
+    batch-mean (the per-layer probe families' contract)."""
+    from duodiff_tpu.diffusion.static_exit import truncated_ee_apply_probed
+
+    model, params = ee_model
+    x = jnp.asarray(np.random.RandomState(1).randn(2, 16, 16, 3), jnp.float32)
+    t = jnp.array([42.0, 42.0])
+    bb, u, g = model.apply({"params": params}, x, t)
+    for exit_layer in (1, 3, CFG.depth):
+        apply_fn, p0, init_state = truncated_ee_apply_probed(
+            CFG, params, exit_layer, dtype=jnp.float32
+        )
+        eps, st = apply_fn(p0, init_state(x), x, t, None)
+        want = (
+            np.asarray(bb) if exit_layer == CFG.depth
+            else np.asarray(g[exit_layer])
+        )
+        np.testing.assert_allclose(np.asarray(eps), want, rtol=1e-4,
+                                   atol=1e-5)
+        probe_slot = min(exit_layer, CFG.depth - 1)
+        np.testing.assert_allclose(
+            float(st), float(np.mean(np.asarray(u[probe_slot]))), rtol=1e-5
+        )
+
+
+def test_adaptive_single_layer_matches_static(ee_model):
+    """With ONE candidate layer the adaptive sampler reduces bit-exactly to
+    the static bucket sampler — the probe accumulation must never perturb
+    the x/key stream."""
+    from duodiff_tpu.diffusion.static_exit import make_adaptive_exit_sampler
+
+    _, params = ee_model
+    schedule = NoiseSchedule.create(steps=12)
+    key = jax.random.PRNGKey(5)
+    shape = (2, 16, 16, 3)
+    sampler = make_adaptive_exit_sampler(
+        CFG, params, schedule=schedule, layers=[2], chunk=5,
+        threshold=0.08, dtype=jnp.float32,
+    )
+    got, log = sampler(key, shape)
+    want = static_exit_sample(
+        CFG, params, key, schedule=schedule, shape=shape,
+        buckets=[(11, 0, 2)], dtype=jnp.float32,
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert [r["layer"] for r in log] == [2, 2, 2]
+    assert all(np.isfinite(r["mean_probe"]) for r in log)
+
+
+def test_adaptive_walks_buckets(ee_model):
+    """Threshold extremes drive the bucket walk: an unreachable threshold
+    walks shallower from the deep start; threshold 0 walks deeper from a
+    shallow start (one step per chunk, hysteresis respected)."""
+    from duodiff_tpu.diffusion.static_exit import make_adaptive_exit_sampler
+
+    _, params = ee_model
+    schedule = NoiseSchedule.create(steps=12)
+    shape = (2, 16, 16, 3)
+    down = make_adaptive_exit_sampler(
+        CFG, params, schedule=schedule, layers=[1, 3, 5], chunk=3,
+        threshold=1e9, dtype=jnp.float32,
+    )
+    x, log = down(jax.random.PRNGKey(0), shape)
+    assert np.isfinite(np.asarray(x)).all()
+    seq = [r["layer"] for r in log]
+    assert seq[0] == 5 and seq[-1] == 1 and sorted(seq, reverse=True) == seq
+
+    up = make_adaptive_exit_sampler(
+        CFG, params, schedule=schedule, layers=[1, 3, 5], chunk=3,
+        threshold=0.0, start_layer=1, dtype=jnp.float32,
+    )
+    _, log2 = up(jax.random.PRNGKey(0), shape)
+    seq2 = [r["layer"] for r in log2]
+    assert seq2[0] == 1 and seq2[-1] == 5 and sorted(seq2) == seq2
+
+
+def test_adaptive_rejects_timestep_probes():
+    from duodiff_tpu.diffusion.static_exit import truncated_ee_apply_probed
+
+    cfg_t = UViTConfig(
+        img_size=16, patch_size=2, in_chans=3, embed_dim=32, depth=3,
+        num_heads=4, mlp_ratio=4, num_classes=-1, normalize_timesteps=True,
+        classifier_type="mlp_probe_per_timestep",
+    )
+    _, params = init_early_exit_uvit(cfg_t, jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="per-layer probe"):
+        truncated_ee_apply_probed(cfg_t, params, 1)
