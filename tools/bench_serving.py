@@ -53,6 +53,16 @@ def get_args(argv=None):
                    help="block caching in both serving modes (continuous "
                         "admissions become phase-aligned)")
     p.add_argument("--cache_outer", type=int, default=None)
+    p.add_argument("--cache_schedule", type=str, default=None,
+                   help="derived anchor table (bucket mode; slots mode "
+                        "folds periodic tables — serve.py --cache_schedule)")
+    p.add_argument("--cache_pattern", type=str, default=None,
+                   help="wave-index anchor pattern, e.g. '1,0,1,0' "
+                        "(serve.py --cache_pattern)")
+    p.add_argument("--static_schedule", type=str, default=None,
+                   help="serve the static-exit buckets (EarlyExitUViT "
+                        "checkpoint; bucket mode only — serve.py "
+                        "--static_schedule)")
     p.add_argument("--modes", type=str, default="bucket,continuous")
     return p.parse_args(argv)
 
@@ -108,6 +118,12 @@ def main(argv=None):
         base_flags += ["--cache_every", str(args.cache_every)]
     if args.cache_outer is not None:
         base_flags += ["--cache_outer", str(args.cache_outer)]
+    if args.cache_schedule is not None:
+        base_flags += ["--cache_schedule", args.cache_schedule]
+    if args.cache_pattern is not None:
+        base_flags += ["--cache_pattern", args.cache_pattern]
+    if args.static_schedule is not None:
+        base_flags += ["--static_schedule", args.static_schedule]
 
     n_total = args.clients * args.requests_per_client
     results = {}

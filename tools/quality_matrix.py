@@ -43,6 +43,9 @@ def main(argv=None):
     ap.add_argument("--ee_config", type=str, default=None)
     ap.add_argument("--ee_checkpoint", type=str, default=None)
     ap.add_argument("--ee_threshold", type=float, default=0.08)
+    ap.add_argument("--adaptive_layers", type=str, default="4,9,13",
+                    help="candidate exit layers for the ee_adaptive row "
+                         "(eesampler --adaptive_layers)")
     ap.add_argument("--shallow_config", type=str, default=None)
     ap.add_argument("--shallow_checkpoint", type=str, default=None)
     ap.add_argument("--t_switch", type=int, default=300)
@@ -74,7 +77,7 @@ def main(argv=None):
                     help="comma list to restrict (ddpm,int8,int8_static,"
                          "ddim50,dpm20,dpm20_cache3,cache3,cache3_int8,"
                          "cache5_int8,cache7,cache_derived,"
-                         "cache_derived_int8,ee_dynamic,"
+                         "cache_derived_int8,ee_dynamic,ee_adaptive,"
                          "ee_static,ee_static_int8,ee_static_cache3,"
                          "ee_static_cache_derived_int8,duodiff,"
                          "duodiff_int8,duodiff_cache3,"
@@ -249,6 +252,23 @@ def main(argv=None):
             score(name, time.time() - t)
 
     if args.ee_config and args.ee_checkpoint:
+        if want("ee_adaptive"):
+            # probe-driven chunk-level bucket selection (eesampler
+            # --adaptive_layers): the input-adaptive counterpart of the
+            # ee_static rows, decided by the probes at run time
+            t = time.time()
+            eesampler_cli.main([
+                "--config_path", args.ee_config,
+                "--checkpoint_path", args.ee_checkpoint,
+                "--threshold", str(args.ee_threshold),
+                "--adaptive_layers", args.adaptive_layers,
+                "--adaptive_chunk", "50",
+                "--batch_size", str(args.batch),
+                "--output_folder", str(out_root / "ee_adaptive"),
+                "--num_timesteps", str(args.num_timesteps),
+                "--seed", str(args.seed),
+            ])
+            score("ee_adaptive", time.time() - t)
         if want("ee_dynamic"):
             t = time.time()
             eesampler_cli.main([
