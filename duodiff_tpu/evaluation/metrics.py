@@ -39,6 +39,22 @@ def random_inception(seed: int = FEATURE_SEED):
     return init_inception(jax.random.PRNGKey(seed))
 
 
+def standardize_features(ref_feats: np.ndarray, feats_list):
+    """Z-score every feature set by the REFERENCE set's per-dim stats.
+
+    Random-init inception activations decay through the ~94 conv+frozen-BN
+    layers to ~1e-4 scale (measured), so the raw Frechet distance lands at
+    ~1e-6 — numerically valid but useless to report. Standardizing by the
+    reference set makes FD-rand scale-free (comparable across seeds and
+    image sizes) and whitens the per-dim contributions. The std floor keeps
+    near-dead dims from amplifying float noise."""
+    ref = np.asarray(ref_feats, np.float64)
+    mu = ref.mean(axis=0)
+    sd = ref.std(axis=0)
+    sd = np.maximum(sd, 0.01 * sd.mean() + 1e-12)
+    return [(np.asarray(f, np.float64) - mu) / sd for f in feats_list]
+
+
 def fd_rand(
     images_a: np.ndarray,
     images_b: np.ndarray,
@@ -47,7 +63,8 @@ def fd_rand(
     model_params=None,
 ) -> float:
     """Frechet distance between two image sets under seeded random pool3
-    features. images: (N, H, W, 3) float in [0, 1].
+    features, standardized by set a's per-dim statistics (see
+    :func:`standardize_features`). images: (N, H, W, 3) float in [0, 1].
 
     Pass ``model_params=(model, params)`` (from :func:`random_inception`) to
     amortize the extractor across many calls.
@@ -57,6 +74,7 @@ def fd_rand(
     model, params = model_params if model_params else random_inception(seed)
     fa = extract_features(model, params, images_a, batch_size)
     fb = extract_features(model, params, images_b, batch_size)
+    fa, fb = standardize_features(fa, [fa, fb])
     return fid_from_features(fa, fb)
 
 

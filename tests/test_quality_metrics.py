@@ -113,8 +113,7 @@ def test_fd_rand_discriminates():
     # near the noise floor; palette-vs-textured is far above it. Small N and
     # few batches keep this CPU-affordable; the Frechet estimator's N<D bias
     # is shared by all three terms so the RATIO is the meaningful check.
-    from duodiff_tpu.evaluation.fid import extract_features, fid_from_features
-    from duodiff_tpu.evaluation.metrics import random_inception
+    from duodiff_tpu.evaluation.metrics import fd_rand, random_inception
 
     rng = np.random.RandomState(0)
     pal = PALETTES[4]
@@ -123,14 +122,15 @@ def test_fd_rand_discriminates():
     t = make_textured_images(rng, rng.randint(0, len(TEXTURE_CLASSES), 24))
     t = t / 255.0
 
-    model, params = random_inception()
-    fa = extract_features(model, params, a.astype(np.float32), batch_size=8)
-    fb = extract_features(model, params, b.astype(np.float32), batch_size=8)
-    ft = extract_features(model, params, t.astype(np.float32), batch_size=8)
-    assert fa.shape == (24, 2048)
-    floor = fid_from_features(fa, fb)
-    cross = fid_from_features(fa, ft)
+    mp = random_inception()
+    floor = fd_rand(a.astype(np.float32), b.astype(np.float32),
+                    batch_size=8, model_params=mp)
+    cross = fd_rand(a.astype(np.float32), t.astype(np.float32),
+                    batch_size=8, model_params=mp)
     assert cross > 3 * floor, (floor, cross)
+    # standardized features put FD on a reportable scale (the raw random
+    # activations are ~1e-4 and land FD at ~1e-6)
+    assert cross > 1.0, cross
 
 
 @pytest.mark.slow
@@ -166,8 +166,11 @@ def test_score_quality_cli(tmp_path):
     ])
     rows = table["rows"]
     assert set(rows) == {"real_vs_real", "ddpm", "cache"}
-    assert rows["cache"]["fd_rand_vs_dense"] > rows["ddpm"]["fd_rand_vs_dense"]
+    assert rows["cache"]["fd_rand_vs_dense"] > 100 * max(
+        abs(rows["ddpm"]["fd_rand_vs_dense"]), 1e-3
+    )
     assert rows["cache"]["spec_vs_dense"] > 4 * rows["ddpm"]["spec_vs_dense"]
-    assert rows["ddpm"]["fd_rand_vs_dense"] == 0.0  # self-distance
+    # self-distance ~0 up to sqrtm float noise on standardized features
+    assert abs(rows["ddpm"]["fd_rand_vs_dense"]) < 1.0
     qm = json.loads((tmp_path / "quality_matrix.json").read_text())
     assert "fd_rand_vs_real" in qm["cache"] and "spec_vs_dense" in qm["ddpm"]

@@ -89,6 +89,7 @@ def main(argv=None):
         radial_power_spectrum,
         random_inception,
         spectral_distance,
+        standardize_features,
     )
 
     out_root = Path(args.out)
@@ -105,31 +106,50 @@ def main(argv=None):
 
     images = {name: read_method_images(d) for name, d in method_dirs.items()}
     size = images[args.baseline].shape[1]
+    n_base = images[args.baseline].shape[0]
+    # ref A (ref_n draws) anchors the *_vs_real columns and the feature
+    # standardization; B and C are n_base-sized draws so the two noise
+    # floors match their columns' set-size geometry EXACTLY — the Frechet
+    # estimator's N<D bias is large and N-dependent, so floors at a
+    # different N would not be comparable to the method rows
     ref_a = draw_reference(args.distribution, args.palette_k, args.ref_n,
                            size, args.seed)
-    ref_b = draw_reference(args.distribution, args.palette_k, args.ref_n,
+    ref_b = draw_reference(args.distribution, args.palette_k, n_base,
                            size, args.seed + 1)
+    ref_c = draw_reference(args.distribution, args.palette_k, n_base,
+                           size, args.seed + 2)
 
     model, params = random_inception()
     feats = {}
 
     def features(name, imgs):
         if name not in feats:
-            feats[name] = extract_features(model, params, imgs,
-                                           args.batch_size)
+            raw = extract_features(model, params, imgs, args.batch_size)
+            # standardized by ref A's per-dim stats (scale-free FD-rand;
+            # random-init activations are ~1e-4 scale raw — see
+            # evaluation.metrics.standardize_features)
+            feats[name] = standardize_features(_ref_raw, [raw])[0]
         return feats[name]
 
-    fa = features("__ref_a", ref_a)
+    _ref_raw = extract_features(model, params, ref_a, args.batch_size)
+    feats["__ref_a"] = standardize_features(_ref_raw, [_ref_raw])[0]
+    fa = feats["__ref_a"]
     fb = features("__ref_b", ref_b)
+    fc = features("__ref_c", ref_c)
     fdense = features(args.baseline, images[args.baseline])
     spec_a = radial_power_spectrum(ref_a)
     spec_dense = radial_power_spectrum(images[args.baseline])
 
     rows = {
+        # matched-geometry noise floors: vs_real at (ref_n, n_base),
+        # vs_dense at (n_base, n_base) — fresh draws of the TRUE
+        # distribution, so any method row above these is real signal
         "real_vs_real": {
-            "n": int(args.ref_n),
+            "n": int(n_base),
             "fd_rand_vs_real": round(fid_from_features(fa, fb), 4),
+            "fd_rand_vs_dense": round(fid_from_features(fb, fc), 4),
             "spec_vs_real": round(spectral_distance(ref_a, ref_b), 5),
+            "spec_vs_dense": round(spectral_distance(ref_b, ref_c), 5),
         }
     }
     for name, imgs in images.items():
