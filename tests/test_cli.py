@@ -782,7 +782,11 @@ def test_sampler_cli_tensor_parallel(tmp_path, tiny_config):
     assert np.max(np.abs(pixels["tp"] - pixels["dp"])) <= 2
 
 
+@pytest.mark.slow
 def test_sampler_cli_tensor_parallel_fused(tmp_path, tiny_config):
+    # slow set: interpret-mode fused kernels on a TP mesh through the full
+    # CLI; the default run keeps the HLO zero-all-gather assertion + the
+    # sublayer/UViT equivalences (test_tp_fused) and the TP train CLI test
     """sampler.py --model_parallel 2 --attn_impl fused: the Blocks run the
     shard_map sublayer kernels on head-sharded weight shards
     (parallel/tp_fused.py — no per-step weight repack/all-gather) and must

@@ -706,7 +706,11 @@ def test_pattern_cached_validation():
         )
 
 
+@pytest.mark.slow
 def test_cache_pattern_serving_matches_bucket(tmp_path):
+    # slow set: three full HTTP servers; the batcher-level pattern
+    # bit-equality (test_pattern_cached_staggered_jobs_match_sequential)
+    # pins the core contract in the default run
     """serve.py --cache_pattern: the continuous (--slots) server and the
     fixed-bucket server (pattern expanded to its absolute-t table) return
     identical images — a non-uniform anchor schedule riding mixed-timestep
@@ -741,7 +745,10 @@ def test_cache_pattern_serving_matches_bucket(tmp_path):
         httpd.shutdown()
 
 
+@pytest.mark.slow
 def test_periodic_cache_schedule_rides_slots(tmp_path):
+    # slow set: two HTTP servers; fold_table_to_pattern's unit test covers
+    # the folding logic in the default run
     """A --cache_schedule table that IS wave-periodic folds automatically
     and serves in slots mode, matching the equivalent --cache_pattern."""
     from duodiff_tpu.diffusion.cache_schedule import save_cache_schedule

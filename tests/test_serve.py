@@ -252,7 +252,10 @@ def test_static_schedule_serving_matches_library(tmp_path):
     np.testing.assert_array_equal(np.stack(imgs), want)
 
 
+@pytest.mark.slow
 def test_static_schedule_serving_with_cache(tmp_path):
+    # slow set: two static servers; the library-equality static serving
+    # test + eesampler's static+cache tests cover the composition default
     """--static_schedule composes with --cache_every (block caching inside
     each bucket's truncated backbone) — and the cache is not a no-op."""
     cfg = tmp_path / "tiny.yaml"
