@@ -625,14 +625,26 @@ class Trainer:
                 out = model.apply({"params": params}, x, t, labels)
                 return out
 
+            # per-step model-output mean/std rows = the reference in-
+            # training sampler's logging-dict statistics fields
+            # (ddpm_core.py:106-214), stacked as scan outputs instead of
+            # host-loop appends
+            def _stats(o):
+                return jnp.stack([
+                    jnp.mean(o.astype(jnp.float32)),
+                    jnp.std(o.astype(jnp.float32)),
+                ])
+
             self._sample_fn = ChunkedDDPMSampler(
                 ee_apply_fn if is_ee else apply_fn,
                 self.schedule,
                 parametrization="predict_noise",
                 variance_mode="beta",
                 aux_fn=(
-                    (lambda out: (out[0], jnp.asarray(out[1])))
-                    if is_ee else None
+                    (lambda out: (out[0],
+                                  (jnp.asarray(out[1]), _stats(out[0]))))
+                    if is_ee
+                    else (lambda out: (out, _stats(out)))
                 ),
             )
 
@@ -654,8 +666,9 @@ class Trainer:
             else self.state.params
         )
         out = self._sample_fn.sample(key, shape, y=(y, sample_params))
-        if self._sample_fn.aux_fn is not None:
-            x, probe_rows = out  # (T, depth, B) per-step probe outputs
+        x, aux = out
+        if args.model == "deediff_uvit":
+            probe_rows, stat_rows = aux  # (T, depth, B), (T, 2)
             if self.logger.enabled:
                 np.save(
                     self.log_path
@@ -667,7 +680,16 @@ class Trainer:
                     float(np.asarray(probe_rows).mean()),
             })
         else:
-            x = out
+            stat_rows = aux  # (T, 2) per-step model-output mean/std
+        stat_rows = np.asarray(stat_rows, np.float32)
+        if self.logger.enabled:
+            np.save(
+                self.log_path / f"sample_stats_step{step}.npy", stat_rows
+            )
+        self.logger.log_scalars(step, {
+            "sample_model_output_mean": float(stat_rows[:, 0].mean()),
+            "sample_model_output_std": float(stat_rows[:, 1].mean()),
+        })
         samples = np.asarray((x + 1.0) / 2.0)
         self.logger.log_image(step, "Samples", make_grid(samples))
 

@@ -506,6 +506,12 @@ def test_main_cli_train_deediff_frozen(tmp_path, tiny_train_config, cifar_data):
     assert diag, "missing in-training probe diagnostics"
     rows = np.load(diag[0])
     assert rows.shape == (50, 3, 2)  # (T, depth, n_samples)
+    # ... and the per-step statistics rows (the reference logging dict's
+    # mean/variance fields, ddpm_core.py:106-214)
+    stats = list((logdir / "t2").glob("sample_stats_step*.npy"))
+    assert stats, "missing in-training sampling statistics"
+    srows = np.load(stats[0])
+    assert srows.shape == (50, 2) and np.isfinite(srows).all()
 
 
 def test_eesampler_cli_static_schedule(tmp_path, tiny_config):
