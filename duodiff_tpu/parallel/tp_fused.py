@@ -88,9 +88,9 @@ def tp_fused_attn_sublayer(
 
     in_specs = [
         P(bspec, None, None), P(None), P(None),
-        P(None, None, axis, None),
-        P(None, axis, None) if has_bias else P(None, axis, None),
-        P(axis, None, None),
+        P(None, None, axis, None),   # qkv kernel: heads sharded
+        P(None, axis, None),         # qkv bias (dropped when absent)
+        P(axis, None, None),         # proj kernel: heads sharded
     ]
     if not has_bias:
         # drop the bias slot entirely (shard_map specs must match args)
