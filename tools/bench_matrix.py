@@ -97,8 +97,29 @@ def main(argv=None):
 
     rows = {}
 
+    # derived-schedule rows need their on-chip-derived asset; skip (with a
+    # note) instead of crashing a default-row run on a machine without it
+    _SCHED_ASSETS = {
+        "celeba_cache_derived_int8":
+            "assets/cache_schedule_celeba_flagship.json",
+        "celeba_duodiff_cache_derived_int8":
+            "assets/cache_schedule_celeba_flagship.json",
+        "celeba_static_exit_cache_derived_int8":
+            "assets/cache_schedule_celeba_flagship.json",
+        "imagenet64_cache_derived_int8":
+            "assets/cache_schedule_imagenet64.json",
+        "imagenet256_cache_derived_int8":
+            "assets/cache_schedule_imagenet256.json",
+    }
+
     def run(name, fn_builder):
         if name not in args.rows.split(","):
+            return
+        asset = _SCHED_ASSETS.get(name)
+        if asset and not Path(asset).exists():
+            print(f"--- {name}: SKIPPED (missing {asset}; derive it with "
+                  "tools/derive_cache_schedule.py + probe_cache_gamma.py)",
+                  file=sys.stderr)
             return
         print(f"--- {name} (batch {b}, {args.steps} steps)", file=sys.stderr)
         dt = time_sampler(fn_builder(), jax.random.PRNGKey(0))
