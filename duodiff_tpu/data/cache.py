@@ -76,7 +76,7 @@ class MemmapCachedDataset:
         img0, _ = base[0]
         shape = (n,) + tuple(img0.shape)
         if verbose:
-            gb = float(np.prod(shape)) / 2**30
+            gb = float(np.prod(shape)) * img0.dtype.itemsize / 2**30
             print(f"Building dataset cache {key}: {n} images, {gb:.1f} GB "
                   f"(one-time)")
         images = np.lib.format.open_memmap(

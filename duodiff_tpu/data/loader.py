@@ -67,8 +67,17 @@ class DataLoader:
             # one native pass (duodiff_tpu/data/_native)
             assembler(images, scale, offset, out,
                       n_threads=min(self.num_workers, 8))
+        elif images[0].dtype == np.float32:
+            # float items (tensor-mode-resized datasets): stack straight
+            # into the output buffer and scale in place — no intermediate
+            # (B, H, W, C) copy (the review-flagged double allocation)
+            np.stack(images, out=out)
+            if scale != 1.0:
+                out *= scale
+            if offset != 0.0:
+                out += offset
         else:
-            # float items (tensor-mode-resized datasets) or no native lib
+            # no native lib: uint8 -> float32 via one temporary
             np.multiply(np.stack(images), scale, out=out, casting="unsafe")
             out += offset
         return {"image": out, "label": labels}

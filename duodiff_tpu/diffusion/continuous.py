@@ -182,7 +182,7 @@ class ContinuousDiffusionBatcher:
                     f"cache composes with ddpm/dpm methods, not {method!r}"
                 )
             rule = cache[2]
-            if isinstance(rule, int):
+            if isinstance(rule, (int, np.integer)):
                 if rule < 1:
                     raise ValueError(f"cache every must be >= 1, got {rule}")
                 if method == "ddpm" and (schedule.steps - 1) % rule != 0:

@@ -587,6 +587,13 @@ def make_adaptive_exit_sampler(
     layers = sorted({int(v) for v in layers})
     if not layers:
         raise ValueError("layers must be non-empty")
+    bad = [v for v in layers if not 0 <= v <= config.depth]
+    if bad:
+        raise ValueError(
+            f"adaptive exit layers {bad} out of range for depth "
+            f"{config.depth} (valid: 0..{config.depth}); pass "
+            f"--adaptive_layers matching this model"
+        )
     samplers: dict = {}
 
     def get(layer):

@@ -89,8 +89,10 @@ def radial_power_spectrum(images: np.ndarray) -> np.ndarray:
     images: (N, H, W, C) float in [0, 1] (H == W). Per image: channel-mean
     to grayscale, subtract the per-image mean (drop DC), |FFT2|^2, average
     over the set, then bin by integer radial frequency. Returns
-    (H//2,) float64 of log10 mean power per radial bin (bin r covers
-    integer radii [r, r+1), r = 0 is the lowest nonzero frequency band).
+    (H//2 - 1,) float64 of log10 mean power per radial band: entry k
+    covers integer radii [k+1, k+2) — the radius-[0,1) band holds only the
+    (removed) DC component on the integer frequency lattice, so it is
+    dropped rather than reported as a sentinel.
     """
     imgs = np.asarray(images, np.float64)
     if imgs.ndim == 4:
@@ -114,7 +116,7 @@ def radial_power_spectrum(images: np.ndarray) -> np.ndarray:
                        minlength=nbins)
     counts = np.bincount(flat_bins[keep], minlength=nbins)
     mean_power = sums / np.maximum(counts, 1)
-    return np.log10(mean_power + 1e-12)
+    return np.log10(mean_power + 1e-12)[1:]  # drop the empty DC-only band
 
 
 def spectral_distance(images_a: np.ndarray, images_b: np.ndarray) -> float:

@@ -59,7 +59,7 @@ def test_spectral_slope_matches_alpha():
     # log-log; fit the generated fields and recover alpha within 15%
     for alpha in (1.0, 2.0, 3.0):
         spec = radial_power_spectrum(_grf_set(alpha, n=48))
-        r = np.arange(len(spec), dtype=np.float64)
+        r = np.arange(1, len(spec) + 1, dtype=np.float64)  # entry k: r=k+1
         mask = (r >= 2) & (r <= 12)  # mid-band: clear of DC and clip damage
         slope = np.polyfit(np.log10(r[mask]), spec[mask], 1)[0]
         assert abs(-slope - alpha) < 0.15 * alpha + 0.15, (alpha, slope)

@@ -125,9 +125,17 @@ def main(argv=None):
     if args.static_schedule is not None:
         base_flags += ["--static_schedule", args.static_schedule]
 
+    modes = args.modes.split(",")
+    if args.static_schedule is not None and "continuous" in modes:
+        # validate up front: ContinuousSamplerService would SystemExit
+        # AFTER the bucket pass burned its benchmark minutes
+        print("--static_schedule is fixed-bucket only; dropping the "
+              "'continuous' mode from this run", file=sys.stderr)
+        modes = [m for m in modes if m != "continuous"]
+
     n_total = args.clients * args.requests_per_client
     results = {}
-    for mode in args.modes.split(","):
+    for mode in modes:
         if mode == "bucket":
             flags = base_flags + ["--bucket", str(args.bucket)]
             svc = serve_cli.SamplerService(serve_cli.get_args(flags))

@@ -40,10 +40,17 @@ from convergence_probe import (  # noqa: E402 (tools/ sibling)
 )
 
 
+def _is_final_sample(p: Path) -> bool:
+    # the samplers write {i}.png finals, {i}_{t}.png intermediate saves
+    # (--timesteps_save), and grid images; only finals belong in a quality
+    # feature set — half-denoised intermediates would silently poison it
+    return p.stem.isdigit()
+
+
 def read_method_images(d: Path) -> np.ndarray | None:
     from PIL import Image
 
-    pngs = [p for p in sorted(d.glob("*.png")) if not p.name.startswith("grid")]
+    pngs = [p for p in sorted(d.glob("*.png")) if _is_final_sample(p)]
     if not pngs:
         return None
     return np.stack([
@@ -95,7 +102,7 @@ def main(argv=None):
     out_root = Path(args.out)
     method_dirs = {
         d.name: d for d in sorted(out_root.iterdir())
-        if d.is_dir() and any(d.glob("*.png"))
+        if d.is_dir() and any(_is_final_sample(p) for p in d.glob("*.png"))
     }
     if args.methods:
         keep = set(args.methods.split(","))
