@@ -557,6 +557,7 @@ def make_adaptive_exit_sampler(
     threshold: float = 0.08,
     margin: float = 0.7,
     start_layer: int | None = None,
+    monotone: bool = True,
     dtype=jnp.bfloat16,
     attn_impl: str = "auto",
     gelu_approx: bool = False,
@@ -574,10 +575,20 @@ def make_adaptive_exit_sampler(
     own probe's mean predicted error; between chunks the HOST compares the
     mean against ``threshold`` (the reference's exit rule, u <= thr) and
     moves one bucket deeper when the current depth predicts too much error
-    or one shallower when it is comfortably below (``threshold * margin``
-    hysteresis keeps it from oscillating). No per-sample divergence ever
+    or (with ``monotone=False``) one shallower when it is comfortably below
+    (``threshold * margin`` hysteresis). No per-sample divergence ever
     reaches the device; the only cost vs static buckets is one scalar
     device->host read per chunk.
+
+    ``monotone=True`` (default) starts at the SHALLOWEST candidate and only
+    deepens — the shape of the empirical exit-layer-vs-timestep curves
+    (reference demos/early_exit_visualization.ipynb: exits deepen as t->0),
+    and robust to cross-layer probe miscalibration. Measured motivation: on
+    a textured-benchmark DeeDiff checkpoint the layer-9 probe read ~1.0
+    while layer-4 read ~1e-4 (each probe learns its own scale), so the
+    bidirectional walk oscillated 4<->9 every chunk and destroyed the
+    trajectory (within-image std 0.48 = noise); probe values are only
+    reliable as a one-way "this depth no longer suffices" signal.
 
     Returns ``sample(key, shape, y=None) -> (x, log)`` where log is a list
     of per-chunk dicts (t range, layer, mean probe). With a single entry in
@@ -610,7 +621,10 @@ def make_adaptive_exit_sampler(
             )
         return samplers[layer]
 
-    start = start_layer if start_layer is not None else layers[-1]
+    start = (
+        start_layer if start_layer is not None
+        else (layers[0] if monotone else layers[-1])
+    )
     if start not in layers:
         raise ValueError(f"start_layer {start} not in layers {layers}")
 
@@ -632,7 +646,7 @@ def make_adaptive_exit_sampler(
             })
             if mean_u > threshold and li < len(layers) - 1:
                 li += 1
-            elif mean_u <= threshold * margin and li > 0:
+            elif (not monotone) and mean_u <= threshold * margin and li > 0:
                 li -= 1
             t = lo - 1
         return x, log

@@ -77,8 +77,13 @@ def get_args(argv=None):
     parser.add_argument("--adaptive_chunk", type=int, default=50,
                         help="steps per adaptive decision chunk")
     parser.add_argument("--adaptive_margin", type=float, default=0.7,
-                        help="go shallower when mean probe <= threshold * "
-                             "margin (hysteresis band)")
+                        help="bidirectional mode only: go shallower when "
+                             "mean probe <= threshold * margin")
+    parser.add_argument("--adaptive_bidirectional", action="store_true",
+                        help="allow shallower moves (default: monotone "
+                             "deepening from the shallowest layer — the "
+                             "empirical exit-curve shape; probe scales "
+                             "are not comparable across layers, measured)")
     parser.add_argument(
         "--derive_schedule_from", type=str, default=None,
         help="Path to a dynamic run's indices_by_timestep.npy: derive the "
@@ -275,6 +280,7 @@ def main(argv=None):
             cfg, params, schedule=schedule, layers=layers,
             chunk=args.adaptive_chunk, threshold=args.threshold,
             margin=args.adaptive_margin,
+            monotone=not args.adaptive_bidirectional,
             attn_impl=args.attn_impl
             or ("fused" if jax.default_backend() == "tpu" else "auto"),
             gelu_approx=args.gelu_approx,

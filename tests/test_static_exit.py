@@ -287,7 +287,7 @@ def test_adaptive_walks_buckets(ee_model):
     shape = (2, 16, 16, 3)
     down = make_adaptive_exit_sampler(
         CFG, params, schedule=schedule, layers=[1, 3, 5], chunk=3,
-        threshold=1e9, dtype=jnp.float32,
+        threshold=1e9, monotone=False, dtype=jnp.float32,
     )
     x, log = down(jax.random.PRNGKey(0), shape)
     assert np.isfinite(np.asarray(x)).all()
@@ -296,11 +296,21 @@ def test_adaptive_walks_buckets(ee_model):
 
     up = make_adaptive_exit_sampler(
         CFG, params, schedule=schedule, layers=[1, 3, 5], chunk=3,
-        threshold=0.0, start_layer=1, dtype=jnp.float32,
+        threshold=0.0, dtype=jnp.float32,
     )
     _, log2 = up(jax.random.PRNGKey(0), shape)
     seq2 = [r["layer"] for r in log2]
     assert seq2[0] == 1 and seq2[-1] == 5 and sorted(seq2) == seq2
+
+    # monotone default: an unreachable threshold stays at the shallow start
+    # (no shallower moves exist, no deeper triggered... threshold=1e9 never
+    # deepens) — the default walk can only deepen
+    flat = make_adaptive_exit_sampler(
+        CFG, params, schedule=schedule, layers=[1, 3, 5], chunk=3,
+        threshold=1e9, dtype=jnp.float32,
+    )
+    _, log3 = flat(jax.random.PRNGKey(0), shape)
+    assert [r["layer"] for r in log3] == [1, 1, 1, 1]
 
 
 def test_adaptive_rejects_timestep_probes():
