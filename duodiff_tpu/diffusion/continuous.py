@@ -182,6 +182,10 @@ class ContinuousDiffusionBatcher:
                     f"cache composes with ddpm/dpm methods, not {method!r}"
                 )
             rule = cache[2]
+            if isinstance(rule, bool):
+                raise ValueError(
+                    f"cache every must be an int or a pattern, got {rule!r}"
+                )
             if isinstance(rule, (int, np.integer)):
                 if rule < 1:
                     raise ValueError(f"cache every must be >= 1, got {rule}")

@@ -300,7 +300,15 @@ def main(argv=None):
         idx_by_t = np.zeros((schedule.steps, args.batch_size), np.int32)
         for row in chunk_log:
             idx_by_t[row["t_lo"]: row["t_hi"] + 1] = row["layer"]
+        # The adaptive sampler only evaluates the ACTIVE layer's probe, so
+        # the (steps, depth) diagnostics grid is sparse: fill each chunk's
+        # rows at the active layer's column with that chunk's mean probe
+        # value and leave the unevaluated layers NaN.
         err_by_t = np.full((schedule.steps, cfg.depth), np.nan, np.float32)
+        for row in chunk_log:
+            err_by_t[row["t_lo"]: row["t_hi"] + 1, row["layer"] - 1] = (
+                row["mean_probe"]
+            )
         mean_layer = float(np.mean([r["layer"] for r in chunk_log]))
         print(f"adaptive chunks: {len(chunk_log)}, mean layer "
               f"{mean_layer:.2f}")

@@ -478,6 +478,10 @@ class SamplerService(_ServiceBase):
                 cache_every=self.cache_rule,
                 cache_outer=args.cache_outer,
             )
+            # NOTE: params are closure-bound inside make_static_exit_sampler
+            # (the `p` argument is unused here) — re-placing/swapping
+            # self.params would not reach this path; rebuild the sampler
+            # instead if that pattern is ever needed.
             self._run = lambda p, k, y: static_sampler(k, self.shape, y=y)
             return
 

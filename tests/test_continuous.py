@@ -429,6 +429,12 @@ def test_cached_validation():
             stub_apply, sched, img_shape=IMG, slots=1, params=PARAMS,
             method="ddpm", cache=_cache_tuple(2),
         )
+    # bool is an int subclass: True must not silently mean every=1
+    with pytest.raises(ValueError, match="int or a pattern"):
+        ContinuousDiffusionBatcher(
+            stub_apply, sched, img_shape=IMG, slots=1, params=PARAMS,
+            method="ddpm", cache=_cache_tuple(True),
+        )
 
 
 # ---------------------------------------------------------------------------
