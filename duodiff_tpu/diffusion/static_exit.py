@@ -558,6 +558,7 @@ def make_adaptive_exit_sampler(
     margin: float = 0.7,
     start_layer: int | None = None,
     monotone: bool = True,
+    calibration: dict | None = None,
     dtype=jnp.bfloat16,
     attn_impl: str = "auto",
     gelu_approx: bool = False,
@@ -587,8 +588,15 @@ def make_adaptive_exit_sampler(
     a textured-benchmark DeeDiff checkpoint the layer-9 probe read ~1.0
     while layer-4 read ~1e-4 (each probe learns its own scale), so the
     bidirectional walk oscillated 4<->9 every chunk and destroyed the
-    trajectory (within-image std 0.48 = noise); probe values are only
+    trajectory (within-image std 0.48 = noise); RAW probe values are only
     reliable as a one-way "this depth no longer suffices" signal.
+
+    ``calibration`` (duodiff_tpu.diffusion.calibration) lifts that
+    restriction: per-slot affine maps fitted against realized exit errors
+    put every probe on the same scale (mse-vs-backbone units), so the walk
+    decisions compare like with like and ``monotone=False`` becomes safe.
+    ``threshold`` is then in realized-error units. Each log row gains a
+    ``"calibrated"`` field with the mapped value the decision used.
 
     Returns ``sample(key, shape, y=None) -> (x, log)`` where log is a list
     of per-chunk dicts (t range, layer, mean probe). With a single entry in
@@ -605,6 +613,13 @@ def make_adaptive_exit_sampler(
             f"{config.depth} (valid: 0..{config.depth}); pass "
             f"--adaptive_layers matching this model"
         )
+    if calibration is not None:
+        n_slots = len(calibration["a"])
+        if n_slots < config.depth:
+            raise ValueError(
+                f"probe calibration has {n_slots} slots but the model has "
+                f"depth {config.depth} — it was fitted on a different model"
+            )
     samplers: dict = {}
 
     def get(layer):
@@ -639,14 +654,22 @@ def make_adaptive_exit_sampler(
             s, init_state = get(layers[li])
             x, key, st = s.run(x, key, t, lo, y, state=init_state(x))
             mean_u = float(st) / (t - lo + 1)
-            log.append({
+            row = {
                 "t_hi": int(t), "t_lo": int(lo),
                 "layer": int(layers[li]),
                 "mean_probe": round(mean_u, 6),
-            })
-            if mean_u > threshold and li < len(layers) - 1:
+            }
+            value = mean_u
+            if calibration is not None:
+                from .calibration import apply_probe_calibration
+
+                slot = min(layers[li], config.depth - 1)
+                value = apply_probe_calibration(calibration, slot, mean_u)
+                row["calibrated"] = round(value, 6)
+            log.append(row)
+            if value > threshold and li < len(layers) - 1:
                 li += 1
-            elif (not monotone) and mean_u <= threshold * margin and li > 0:
+            elif (not monotone) and value <= threshold * margin and li > 0:
                 li -= 1
             t = lo - 1
         return x, log

@@ -80,10 +80,19 @@ def get_args(argv=None):
                         help="bidirectional mode only: go shallower when "
                              "mean probe <= threshold * margin")
     parser.add_argument("--adaptive_bidirectional", action="store_true",
-                        help="allow shallower moves (default: monotone "
-                             "deepening from the shallowest layer — the "
-                             "empirical exit-curve shape; probe scales "
-                             "are not comparable across layers, measured)")
+                        help="allow shallower moves. Requires "
+                             "--probe_calibration: RAW probe scales are "
+                             "not comparable across layers (measured: the "
+                             "uncalibrated walk oscillates), so "
+                             "bidirectional decisions must run on "
+                             "calibrated values")
+    parser.add_argument(
+        "--probe_calibration", type=str, default=None,
+        help="Per-layer probe calibration JSON (tools/calibrate_probes.py):"
+             " affine maps from probe outputs onto realized exit error, "
+             "fitted beside the checkpoint. With it, adaptive walk "
+             "decisions (and --threshold) are in mse-vs-backbone units "
+             "and cross-layer comparisons become valid")
     parser.add_argument(
         "--derive_schedule_from", type=str, default=None,
         help="Path to a dynamic run's indices_by_timestep.npy: derive the "
@@ -173,6 +182,13 @@ def main(argv=None):
         if args.guidance_scale is not None:
             raise SystemExit("--adaptive_layers does not combine with "
                              "--guidance_scale")
+        if args.adaptive_bidirectional and args.probe_calibration is None:
+            raise SystemExit(
+                "--adaptive_bidirectional needs --probe_calibration: raw "
+                "probe scales are not cross-layer comparable (measured "
+                "oscillation, commit 501f462); fit one with "
+                "tools/calibrate_probes.py"
+            )
     cache_on = args.cache_every is not None or args.cache_schedule is not None
     if cache_on:
         if args.cache_every is not None and args.cache_schedule is not None:
@@ -276,11 +292,19 @@ def main(argv=None):
         )
 
         layers = [int(v) for v in args.adaptive_layers.split(",")]
+        calibration = None
+        if args.probe_calibration is not None:
+            from duodiff_tpu.diffusion.calibration import (
+                load_probe_calibration,
+            )
+
+            calibration = load_probe_calibration(args.probe_calibration)
         sampler = make_adaptive_exit_sampler(
             cfg, params, schedule=schedule, layers=layers,
             chunk=args.adaptive_chunk, threshold=args.threshold,
             margin=args.adaptive_margin,
             monotone=not args.adaptive_bidirectional,
+            calibration=calibration,
             attn_impl=args.attn_impl
             or ("fused" if jax.default_backend() == "tpu" else "auto"),
             gelu_approx=args.gelu_approx,

@@ -1,0 +1,178 @@
+"""Cross-layer probe calibration (duodiff_tpu.diffusion.calibration):
+affine fitting, trajectory stat collection, and the headline property —
+a bidirectional adaptive walk that oscillates on RAW probe values
+(the measured cross-layer scale mismatch, commit 501f462) stabilizes on
+calibrated values."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from duodiff_tpu.config import UViTConfig
+from duodiff_tpu.diffusion import NoiseSchedule
+from duodiff_tpu.diffusion.calibration import (
+    apply_probe_calibration,
+    collect_probe_stats,
+    fit_probe_calibration,
+    load_probe_calibration,
+    save_probe_calibration,
+)
+from duodiff_tpu.models.early_exit import init_early_exit_uvit
+
+CFG = UViTConfig(
+    img_size=16, patch_size=2, in_chans=3, embed_dim=32, depth=5, num_heads=4,
+    mlp_ratio=4, num_classes=-1, normalize_timesteps=True,
+    classifier_type="mlp_probe_per_layer",
+)
+
+
+@pytest.fixture(scope="module")
+def ee_model():
+    return init_early_exit_uvit(CFG, jax.random.PRNGKey(0))
+
+
+def _miscalibrated(params):
+    """Force the measured failure mode: probe slot 1 pegged near 1.0,
+    probe slot 4 pegged near 0.0 (each probe its own scale)."""
+    probes = jax.tree_util.tree_map(np.asarray, params["probes"])
+    kernel = probes["classifier"]["kernel"].copy()
+    bias = probes["classifier"]["bias"].copy()
+    kernel[1] = 0.0
+    bias[1] = 20.0   # sigmoid -> ~1.0
+    kernel[4] = 0.0
+    bias[4] = -20.0  # sigmoid -> ~0.0
+    out = dict(params)
+    out["probes"] = {"classifier": {"kernel": jnp.asarray(kernel),
+                                    "bias": jnp.asarray(bias)}}
+    return out
+
+
+def test_fit_recovers_affine():
+    rng = np.random.RandomState(0)
+    u = rng.rand(200, 3)
+    a_true, b_true = np.array([2.0, 0.5, 3.0]), np.array([0.1, -0.2, 0.0])
+    e = u * a_true + b_true
+    calib = fit_probe_calibration(u, e)
+    np.testing.assert_allclose(calib["a"], a_true, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(calib["b"], b_true, rtol=1e-6, atol=1e-8)
+    assert all(r > 0.999 for r in calib["r"])
+    assert apply_probe_calibration(calib, 0, 0.5) == pytest.approx(1.1)
+
+
+def test_fit_degenerate_columns():
+    """Zero-variance and anti-correlated probes fall back to the constant
+    predictor a=0, b=mean(e) — a dead probe still lands on the layer's
+    average realized error, keeping cross-layer comparisons sane."""
+    rng = np.random.RandomState(1)
+    u = np.stack([np.full(100, 0.7), rng.rand(100)], axis=1)
+    e = np.stack([rng.rand(100), 1.0 - u[:, 1]], axis=1)  # const-u; anti
+    calib = fit_probe_calibration(u, e)
+    assert calib["a"][0] == 0.0
+    assert calib["b"][0] == pytest.approx(e[:, 0].mean())
+    assert calib["a"][1] == 0.0  # negative slope clamped
+    assert calib["b"][1] == pytest.approx(e[:, 1].mean())
+
+
+def test_fit_shape_mismatch():
+    with pytest.raises(ValueError, match="shape"):
+        fit_probe_calibration(np.zeros((10, 3)), np.zeros((10, 2)))
+
+
+def test_collect_probe_stats(ee_model):
+    model, params = ee_model
+    schedule = NoiseSchedule.create(steps=8)
+    u_rows, e_rows = collect_probe_stats(
+        lambda x, t, y: model.apply({"params": params}, x, t, y),
+        schedule, jax.random.PRNGKey(0), (2, 16, 16, 3),
+    )
+    assert u_rows.shape == (8, CFG.depth)
+    assert e_rows.shape == (8, CFG.depth)
+    assert np.isfinite(u_rows).all() and np.isfinite(e_rows).all()
+    assert (e_rows >= 0).all()
+    # probes are sigmoids
+    assert (u_rows >= 0).all() and (u_rows <= 1).all()
+
+
+def test_save_load_roundtrip(tmp_path):
+    calib = {"a": [1.0, 2.0], "b": [0.0, -0.1], "r": [0.9, 0.8],
+             "mean_error": [0.5, 0.2]}
+    path = tmp_path / "calib.json"
+    save_probe_calibration(path, calib, meta={"config": "x.yaml"})
+    got = load_probe_calibration(path)
+    assert got["a"] == calib["a"] and got["b"] == calib["b"]
+    assert got["unit"] == "mse_vs_backbone"
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"anchors": [1, 2]}))
+    with pytest.raises(ValueError, match="calibration"):
+        load_probe_calibration(bad)
+
+
+def test_calibration_depth_mismatch(ee_model):
+    from duodiff_tpu.diffusion.static_exit import make_adaptive_exit_sampler
+
+    _, params = ee_model
+    schedule = NoiseSchedule.create(steps=8)
+    with pytest.raises(ValueError, match="depth"):
+        make_adaptive_exit_sampler(
+            CFG, params, schedule=schedule, layers=[1, 4],
+            calibration={"a": [1.0], "b": [0.0]},
+        )
+
+
+def test_bidirectional_oscillates_raw_stabilizes_calibrated(ee_model):
+    """The round-3 failure case, reproduced and fixed: with per-probe
+    scales pegged to ~1.0 (slot 1) and ~0.0 (slot 4), the RAW bidirectional
+    walk flip-flops between the two candidates every chunk; fitting the
+    calibration on the same checkpoint and walking on calibrated values
+    (threshold in realized-error units) removes the oscillation."""
+    from duodiff_tpu.diffusion.static_exit import make_adaptive_exit_sampler
+
+    model, params0 = ee_model
+    params = _miscalibrated(params0)
+    schedule = NoiseSchedule.create(steps=20)
+    shape = (2, 16, 16, 3)
+
+    def direction_changes(seq):
+        deltas = [b - a for a, b in zip(seq, seq[1:]) if b != a]
+        return sum(
+            1 for d1, d2 in zip(deltas, deltas[1:])
+            if (d1 > 0) != (d2 > 0)
+        )
+
+    # raw walk, reference-style threshold in probe units: deep probe reads
+    # ~0 (go shallower), shallow probe reads ~1 (go deeper) -> flip-flop
+    raw = make_adaptive_exit_sampler(
+        CFG, params, schedule=schedule, layers=[1, 4], chunk=2,
+        threshold=0.5, monotone=False, dtype=jnp.float32,
+    )
+    x_raw, log_raw = raw(jax.random.PRNGKey(0), shape)
+    seq_raw = [r["layer"] for r in log_raw]
+    assert direction_changes(seq_raw) >= 3, seq_raw
+
+    # calibrate on the SAME (sabotaged) checkpoint: both pegged probes fit
+    # to constant predictors at their layers' mean realized errors
+    u_rows, e_rows = collect_probe_stats(
+        lambda x, t, y: model.apply({"params": params}, x, t, y),
+        schedule, jax.random.PRNGKey(1), shape,
+    )
+    calib = fit_probe_calibration(u_rows, e_rows)
+    assert calib["a"][1] == 0.0 and calib["a"][4] == 0.0  # pegged probes
+    thr = 2.0 * max(calib["b"][1], calib["b"][4])
+    cal = make_adaptive_exit_sampler(
+        CFG, params, schedule=schedule, layers=[1, 4], chunk=2,
+        threshold=thr, monotone=False, calibration=calib,
+        dtype=jnp.float32,
+    )
+    x_cal, log_cal = cal(jax.random.PRNGKey(0), shape)
+    seq_cal = [r["layer"] for r in log_cal]
+    assert direction_changes(seq_cal) <= 1, seq_cal
+    assert all("calibrated" in r for r in log_cal)
+    # decisions used the mapped values: constant predictors -> each row's
+    # calibrated value equals its slot's intercept
+    for r in log_cal:
+        slot = min(r["layer"], CFG.depth - 1)
+        assert r["calibrated"] == pytest.approx(calib["b"][slot], rel=1e-4)
+    assert np.isfinite(np.asarray(x_cal)).all()
