@@ -162,9 +162,12 @@ def save_cache_schedule(path, table, meta: dict | None = None) -> None:
         f.write("\n")
 
 
-def load_cache_schedule(path, *, num_timesteps: int | None = None):
+def load_cache_schedule(
+    path, *, num_timesteps: int | None = None, with_meta: bool = False
+):
     """Load a schedule JSON -> boolean table (validating the step count
-    against the sampler's when given)."""
+    against the sampler's when given). ``with_meta=True`` also returns the
+    derivation metadata dict (empty if the file has none)."""
     with open(path) as f:
         payload = json.load(f)
     steps = int(payload["num_timesteps"])
@@ -173,4 +176,7 @@ def load_cache_schedule(path, *, num_timesteps: int | None = None):
             f"cache schedule {path} was derived for num_timesteps={steps}, "
             f"sampler runs {num_timesteps}"
         )
-    return anchors_to_table(payload["anchors"], steps)
+    table = anchors_to_table(payload["anchors"], steps)
+    if with_meta:
+        return table, payload.get("meta", {})
+    return table

@@ -155,3 +155,88 @@ def test_drift_measurement_matches_manual():
     np.testing.assert_allclose(
         np.asarray(drift_sq, np.float64), want, rtol=1e-4
     )
+
+
+# ---------------------------------------------------------------------------
+# composition-aware derivation modes (tools/derive_cache_schedule.py
+# --t_switch / --static_schedule; VERDICT r3 #2)
+# ---------------------------------------------------------------------------
+
+TINY_FULL = """model_params:
+  img_size: 16
+  patch_size: 4
+  in_chans: 3
+  embed_dim: 32
+  depth: 5
+  num_heads: 4
+  mlp_ratio: 2
+  num_classes: -1
+  normalize_timesteps: True
+"""
+
+TINY_SHALLOW = TINY_FULL.replace("depth: 5", "depth: 3")
+
+TINY_EE = TINY_FULL + '  classifier_type: "mlp_probe_per_layer"\n'
+
+
+@pytest.fixture()
+def tool_main():
+    sys.path.insert(0, str(REPO / "tools"))
+    from derive_cache_schedule import main as tool
+
+    yield tool
+    sys.path.remove(str(REPO / "tools"))
+
+
+def test_derive_duodiff_mode(tmp_path, tool_main):
+    """DuoDiff mode: anchors are derived over the late (cached) segment
+    only; every shallow-segment row is written as an anchor (dense by
+    construction)."""
+    full = tmp_path / "full.yaml"
+    full.write_text(TINY_FULL)
+    shallow = tmp_path / "shallow.yaml"
+    shallow.write_text(TINY_SHALLOW)
+    out = tmp_path / "sched.json"
+    tool_main([
+        "--config", str(full), "--shallow_config", str(shallow),
+        "--t_switch", "5", "--steps", "12", "--batch", "2",
+        "--chunk", "6", "--out", str(out),
+    ])
+    table, meta = load_cache_schedule(str(out), num_timesteps=12,
+                                      with_meta=True)
+    assert meta["mode"] == "duodiff" and meta["t_switch"] == 5
+    assert bool(table[7:].all())  # t >= steps - t_switch: all anchors
+    assert table[:7].sum() < 7    # late segment actually derived
+
+
+def test_derive_static_exit_mode(tmp_path, tool_main):
+    """Static-exit mode: per-bucket drift with bucket-entry resets;
+    non-cacheable buckets (exit at/inside the mid block) come back as
+    all-anchor rows."""
+    ee = tmp_path / "ee.yaml"
+    ee.write_text(TINY_EE)
+    out = tmp_path / "sched.json"
+    # depth 5 -> k=2, default n_outer=1: cacheable needs exit_layer > 3
+    tool_main([
+        "--config", str(ee), "--static_schedule", "11-6:5,5-0:2",
+        "--steps", "12", "--batch", "2", "--chunk", "6",
+        "--out", str(out),
+    ])
+    table, meta = load_cache_schedule(str(out), num_timesteps=12,
+                                      with_meta=True)
+    assert meta["mode"] == "static_exit"
+    assert meta["buckets"][0]["cacheable"] is True
+    assert meta["buckets"][1]["cacheable"] is False  # layer 2 <= mid
+    assert bool(table[:6].all())  # dense bucket rows are anchors
+    assert table[6:].sum() < 6    # cacheable bucket actually derived
+
+
+def test_derive_static_exit_rejects_gappy_schedule(tmp_path, tool_main):
+    ee = tmp_path / "ee.yaml"
+    ee.write_text(TINY_EE)
+    with pytest.raises(SystemExit, match="cover"):
+        tool_main([
+            "--config", str(ee), "--static_schedule", "9-6:5,5-0:4",
+            "--steps", "12", "--batch", "2", "--out",
+            str(tmp_path / "x.json"),
+        ])

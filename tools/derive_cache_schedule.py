@@ -22,6 +22,22 @@ weights/knobs the schedule will serve):
     python tools/derive_cache_schedule.py --out assets/cache_schedule.json \
         [--config configs/uvit_celeba.yaml] [--checkpoint ckpt] \
         [--budget_from_every 3 | --num_anchors 240]
+
+Composition-aware modes (VERDICT r3 #2: the drift a COMPOSED sampler sees
+differs from the dense full-model trajectory the plain mode measures):
+
+- **DuoDiff** (``--t_switch N --shallow_config YAML [--shallow_checkpoint
+  C]``): the shallow model runs its segment dense (it is never cached),
+  then the full model's drift is measured from the handoff state down —
+  anchors are derived over the LATE segment only (early rows are written
+  as anchors: that segment is dense by construction), with the budget
+  taken from uniform-N staleness on the late segment.
+- **Static-exit buckets** (``--static_schedule '999-700:3,...'`` with an
+  EarlyExitUViT checkpoint): each bucket's truncated backbone measures its
+  own drift, accumulation resets at bucket entries (the composed sampler
+  re-anchors there), non-cacheable buckets (exit at/inside the mid block)
+  run dense; anchors are derived per bucket under a shared budget = the
+  worst bucket-local uniform-N staleness.
 """
 
 import argparse
@@ -53,7 +69,28 @@ def main(argv=None):
     parser.add_argument("--attn_impl", type=str, default=None,
                         choices=["auto", "xla", "pallas", "fused"])
     parser.add_argument("--gelu_approx", action="store_true", default=None)
+    parser.add_argument("--t_switch", type=int, default=None,
+                        help="DuoDiff mode: shallow model (--shallow_"
+                             "config) runs t >= steps - t_switch dense; "
+                             "drift is measured on the full model's late "
+                             "segment only")
+    parser.add_argument("--shallow_config", type=str, default=None)
+    parser.add_argument("--shallow_checkpoint", type=str, default=None)
+    parser.add_argument("--static_schedule", type=str, default=None,
+                        help="static-exit mode: bucket schedule "
+                             "'999-700:3,699-300:8,299-0:13' over an "
+                             "EarlyExitUViT checkpoint (--config/"
+                             "--checkpoint); per-bucket drift with "
+                             "bucket-entry anchor resets")
     args = parser.parse_args(argv)
+    if (args.t_switch is None) != (args.shallow_config is None):
+        raise SystemExit("--t_switch and --shallow_config go together")
+    if args.t_switch is not None and args.static_schedule is not None:
+        raise SystemExit("--t_switch and --static_schedule are mutually "
+                         "exclusive")
+    if args.static_schedule is not None and args.config is None:
+        raise SystemExit("--static_schedule needs --config (the DeeDiff "
+                         "YAML of the EarlyExitUViT checkpoint)")
 
     from duodiff_tpu.utils.runtime import setup_compilation_cache
 
@@ -82,8 +119,9 @@ def main(argv=None):
         from duodiff_tpu.utils.model_loading import load_model_from_config
 
         model, params, cfg, _ = load_model_from_config(
-            args.config, args.checkpoint, seed=args.seed, attn_impl=attn,
-            gelu_approx=gelu,
+            args.config, args.checkpoint,
+            early_exit=args.static_schedule is not None,
+            seed=args.seed, attn_impl=attn, gelu_approx=gelu,
         )
     else:
         from duodiff_tpu.models.uvit import init_uvit
@@ -111,60 +149,237 @@ def main(argv=None):
     shape = (args.batch, cfg.img_size, cfg.img_size, cfg.in_chans)
     token_len = cfg.extras + cfg.num_patches
 
-    # Dense run with the anchor forward every step; the state carries the
-    # previous step's delta so the scan emits the per-step drift directly.
-    def apply_fn(p, prev_delta, x, t, y):
-        out, delta = model.apply(
-            {"params": p}, x, t, y, n_outer=n_outer,
-            method=model.forward_anchor,
-        )
-        d32 = delta.astype(jnp.float32)
-        drift_sq = jnp.sum((d32 - prev_delta.astype(jnp.float32)) ** 2)
-        norm_sq = jnp.sum(d32 ** 2)
-        return (out, (drift_sq, norm_sq)), delta
+    def make_drift_apply(anchor_apply):
+        """Wrap an ``(p, x, t, y) -> (out, delta)`` anchor forward so the
+        scan state carries the previous step's delta and the aux rows emit
+        the per-step drift directly."""
+        def apply_fn(p, prev_delta, x, t, y):
+            out, delta = anchor_apply(p, x, t, y)
+            d32 = delta.astype(jnp.float32)
+            drift_sq = jnp.sum((d32 - prev_delta.astype(jnp.float32)) ** 2)
+            norm_sq = jnp.sum(d32 ** 2)
+            return (out, (drift_sq, norm_sq)), delta
 
-    sampler = ChunkedDDPMSampler(
-        apply_fn, schedule, parametrization="predict_noise",
-        chunk=args.chunk, params=params,
-        aux_fn=lambda mo: (mo[0], mo[1]),
-        init_state_fn=lambda x: jnp.zeros(
+        return apply_fn
+
+    def zeros_delta(x):
+        return jnp.zeros(
             (x.shape[0], token_len, cfg.embed_dim), model.dtype
-        ),
-    )
-    print(f"measuring drift: {args.steps} steps, batch {args.batch}, "
-          f"attn={attn}, n_outer={n_outer}, backend "
-          f"{jax.default_backend()} ...", file=sys.stderr)
-    _, (drift_sq, norm_sq) = sampler.sample(
-        jax.random.PRNGKey(args.seed), shape, y=y
-    )
-    # rows follow ts = steps-1 .. 0; reindex by t. drift[t] for
-    # t < steps-1 is ||delta_t - delta_{t+1}||; row 0 (t = steps-1) is vs
-    # the zero init and is never consulted (the first step always anchors).
-    drift = np.sqrt(np.asarray(drift_sq, np.float64))[::-1]
-    norm = np.sqrt(np.asarray(norm_sq, np.float64))[::-1]
+        )
+
+    def drift_sampler(anchor_apply, p0):
+        return ChunkedDDPMSampler(
+            make_drift_apply(anchor_apply), schedule,
+            parametrization="predict_noise", chunk=args.chunk, params=p0,
+            aux_fn=lambda mo: (mo[0], mo[1]), init_state_fn=zeros_delta,
+        )
+
+    # drift[t] = ||delta_t - delta_{t+1}||; each cacheable segment's top
+    # row is vs a zero init and never consulted (the composed samplers
+    # anchor segment entries). Non-cacheable rows stay 0 and are excluded
+    # from budget/derivation via `segments`.
+    drift = np.zeros((args.steps,), np.float64)
+    norm = np.zeros((args.steps,), np.float64)
+    segments = []  # (t_hi, t_lo) inclusive, cacheable
+    mode_meta = {}
+    key = jax.random.PRNGKey(args.seed)
+
+    if args.t_switch is not None:
+        # --- DuoDiff mode: dense shallow prefix, full-model drift on the
+        # late segment the cache actually serves (sampler.py run_ddpm) ---
+        from duodiff_tpu.utils.model_loading import load_model_from_config
+
+        if not 1 <= args.t_switch <= args.steps - 1:
+            raise SystemExit(
+                f"--t_switch must be in [1, {args.steps - 1}]"
+            )
+        early_model, early_params, ecfg, _ = load_model_from_config(
+            args.shallow_config, args.shallow_checkpoint, seed=args.seed,
+            attn_impl=attn, gelu_approx=gelu,
+        )
+        if (ecfg.img_size, ecfg.in_chans) != (cfg.img_size, cfg.in_chans):
+            raise SystemExit("shallow/full image shapes differ")
+        handoff = args.steps - args.t_switch
+        early_sampler = ChunkedDDPMSampler(
+            lambda p, x, t, yy: early_model.apply({"params": p}, x, t, yy),
+            schedule, parametrization="predict_noise", chunk=args.chunk,
+            params=early_params,
+        )
+        print(f"measuring DuoDiff late-segment drift: shallow dense "
+              f"t={args.steps - 1}..{handoff}, full anchors "
+              f"t={handoff - 1}..0, batch {args.batch}, attn={attn}, "
+              f"n_outer={n_outer}, backend {jax.default_backend()} ...",
+              file=sys.stderr)
+        x, key = early_sampler.init(key, shape)
+        x, key = early_sampler.run(x, key, args.steps - 1, handoff, y)
+        late = drift_sampler(
+            lambda p, x, t, yy: model.apply(
+                {"params": p}, x, t, yy, n_outer=n_outer,
+                method=model.forward_anchor,
+            ),
+            params,
+        )
+        x, key, _, (drift_sq, norm_sq) = late.run(
+            x, key, handoff - 1, 0, y, state=zeros_delta(x)
+        )
+        drift[0:handoff] = np.sqrt(np.asarray(drift_sq, np.float64))[::-1]
+        norm[0:handoff] = np.sqrt(np.asarray(norm_sq, np.float64))[::-1]
+        segments.append((handoff - 1, 0))
+        mode_meta = {
+            "mode": "duodiff",
+            "t_switch": args.t_switch,
+            "shallow_config": args.shallow_config,
+            "shallow_checkpoint": args.shallow_checkpoint,
+        }
+    elif args.static_schedule is not None:
+        # --- static-exit mode: per-bucket truncated-backbone drift with
+        # bucket-entry resets (eesampler --static_schedule composition) ---
+        from duodiff_tpu.diffusion.static_exit import (
+            cache_outer_for,
+            parse_exit_schedule,
+            truncated_ee_apply,
+            truncated_ee_apply_cached,
+        )
+
+        buckets = parse_exit_schedule(args.static_schedule)
+        if buckets[0][0] != args.steps - 1 or buckets[-1][1] != 0:
+            raise SystemExit(
+                f"--static_schedule must cover t={args.steps - 1}..0"
+            )
+        print(f"measuring per-bucket drift: {args.static_schedule}, batch "
+              f"{args.batch}, attn={attn}, backend "
+              f"{jax.default_backend()} ...", file=sys.stderr)
+        x = None
+        bucket_meta = []
+        for t_hi, t_lo, layer in buckets:
+            p_outer = cache_outer_for(cfg.depth, layer, args.cache_outer)
+            if p_outer is not None:
+                anchor_fn, _cached_fn, p0 = truncated_ee_apply_cached(
+                    cfg, params, layer, p_outer, dtype=model.dtype,
+                    attn_impl=attn, gelu_approx=gelu,
+                )
+                s = drift_sampler(anchor_fn, p0)
+                if x is None:
+                    x, key = s.init(key, shape)
+                x, key, _, (drift_sq, norm_sq) = s.run(
+                    x, key, t_hi, t_lo, y, state=zeros_delta(x)
+                )
+                drift[t_lo:t_hi + 1] = np.sqrt(
+                    np.asarray(drift_sq, np.float64)
+                )[::-1]
+                norm[t_lo:t_hi + 1] = np.sqrt(
+                    np.asarray(norm_sq, np.float64)
+                )[::-1]
+                segments.append((t_hi, t_lo))
+            else:
+                dense_fn, p0 = truncated_ee_apply(
+                    cfg, params, layer, dtype=model.dtype, attn_impl=attn,
+                    gelu_approx=gelu,
+                )
+                s = ChunkedDDPMSampler(
+                    lambda p, xx, tt, yy, fn=dense_fn: fn(p, xx, tt, yy),
+                    schedule, parametrization="predict_noise",
+                    chunk=args.chunk, params=p0,
+                )
+                if x is None:
+                    x, key = s.init(key, shape)
+                x, key = s.run(x, key, t_hi, t_lo, y)
+            bucket_meta.append({
+                "t_hi": t_hi, "t_lo": t_lo, "layer": layer,
+                "n_outer": p_outer,
+                "cacheable": p_outer is not None,
+            })
+        if not segments:
+            raise SystemExit(
+                "no bucket is cacheable (every exit is at/inside the mid "
+                "block) — nothing to derive"
+            )
+        mode_meta = {
+            "mode": "static_exit",
+            "static_schedule": args.static_schedule,
+            "buckets": bucket_meta,
+        }
+    else:
+        # --- plain mode: dense run, anchor forward every step ---
+        s = drift_sampler(
+            lambda p, x, t, yy: model.apply(
+                {"params": p}, x, t, yy, n_outer=n_outer,
+                method=model.forward_anchor,
+            ),
+            params,
+        )
+        print(f"measuring drift: {args.steps} steps, batch {args.batch}, "
+              f"attn={attn}, n_outer={n_outer}, backend "
+              f"{jax.default_backend()} ...", file=sys.stderr)
+        _, (drift_sq, norm_sq) = s.sample(key, shape, y=y)
+        drift[:] = np.sqrt(np.asarray(drift_sq, np.float64))[::-1]
+        norm[:] = np.sqrt(np.asarray(norm_sq, np.float64))[::-1]
+        segments.append((args.steps - 1, 0))
+        mode_meta = {"mode": "dense"}
+
+    def seg_staleness_max(tab):
+        worst, mean_acc, n = 0.0, 0.0, 0
+        for hi, lo in segments:
+            st = segment_staleness(drift[lo:hi + 1], tab[lo:hi + 1])
+            worst = max(worst, float(st.max()))
+            mean_acc += float(st.sum())
+            n += st.shape[0]
+        return worst, mean_acc / max(n, 1)
+
+    def derive_segmented(budget):
+        # non-cacheable rows are written as anchors: those steps run dense
+        # in the composed sampler, so "anchor" is the faithful table value
+        table = np.ones((args.steps,), dtype=bool)
+        for hi, lo in segments:
+            table[lo:hi + 1] = derive_anchor_table(
+                drift[lo:hi + 1], budget, anchor_zero=(lo == 0)
+            )
+        return table
+
+    in_seg = np.zeros((args.steps,), dtype=bool)
+    for hi, lo in segments:
+        in_seg[lo:hi + 1] = True
+
+    def seg_anchor_count(tab):
+        return int(tab[in_seg].sum())
 
     if args.num_anchors is not None:
-        budget = budget_for_count(drift, args.num_anchors)
+        if mode_meta["mode"] == "dense":
+            budget = budget_for_count(drift, args.num_anchors)
+        else:  # bisect over the segmented greedy (same monotonicity)
+            lo_b, hi_b = 0.0, float(drift.sum()) or 1.0
+            for _ in range(60):
+                mid = 0.5 * (lo_b + hi_b)
+                if seg_anchor_count(derive_segmented(mid)) <= args.num_anchors:
+                    hi_b = mid
+                else:
+                    lo_b = mid
+            budget = hi_b
         mode = f"num_anchors<={args.num_anchors}"
     else:
-        budget = uniform_budget(drift, args.budget_from_every)
+        budget = max(
+            uniform_budget(drift[lo:hi + 1], args.budget_from_every)
+            for hi, lo in segments
+        )
         mode = f"budget_from_every={args.budget_from_every}"
-    table = derive_anchor_table(drift, budget)
-    stale = segment_staleness(drift, table)
+    table = derive_segmented(budget)
 
     report = {"derived": table, }
     for every in sorted({args.budget_from_every, 3, 5}):
         report[f"uniform_{every}"] = uniform_table(every, args.steps)
-    print(f"\nbudget: {budget:.4f} ({mode}); mean |delta| over t: "
-          f"{norm[:-1].mean():.3f}")
-    print("| schedule | anchors | anchor frac | max staleness | "
-          "mean staleness |")
+    norm_seg = norm[in_seg]
+    print(f"\nbudget: {budget:.4f} ({mode}); mean |delta| over cacheable "
+          f"t: {norm_seg.mean():.3f}")
+    print("| schedule | anchors (cacheable t) | anchor frac | "
+          "max staleness | mean staleness |")
     print("|---|---|---|---|---|")
     for name, tab in report.items():
-        st = segment_staleness(drift, tab)
-        print(f"| {name} | {int(tab.sum())} | {tab.mean():.3f} "
-              f"| {st.max():.4f} | {st.mean():.4f} |")
+        st_max, st_mean = seg_staleness_max(tab)
+        frac = seg_anchor_count(tab) / max(int(in_seg.sum()), 1)
+        print(f"| {name} | {seg_anchor_count(tab)} | {frac:.3f} "
+              f"| {st_max:.4f} | {st_mean:.4f} |")
 
+    stale_max, stale_mean = seg_staleness_max(table)
     meta = {
         "config": args.config or "flagship (uvit_celeba)",
         "checkpoint": args.checkpoint,
@@ -176,14 +391,17 @@ def main(argv=None):
         "budget": budget,
         "budget_mode": mode,
         "backend": jax.default_backend(),
-        "max_staleness": float(stale.max()),
-        "mean_staleness": float(stale.mean()),
+        "max_staleness": stale_max,
+        "mean_staleness": stale_mean,
         "drift": [round(float(v), 5) for v in drift],
-        "delta_norm_mean": float(norm[:-1].mean()),
+        "delta_norm_mean": float(norm_seg.mean()),
+        **mode_meta,
     }
     save_cache_schedule(args.out, table, meta)
-    print(f"\nwrote {args.out}: {int(table.sum())} anchors "
-          f"({table.mean():.1%} of steps)", file=sys.stderr)
+    print(f"\nwrote {args.out}: {int(table.sum())} anchors total, "
+          f"{seg_anchor_count(table)} over cacheable steps "
+          f"({seg_anchor_count(table) / max(int(in_seg.sum()), 1):.1%})",
+          file=sys.stderr)
 
 
 if __name__ == "__main__":
