@@ -73,14 +73,24 @@ def main(argv=None):
                     help="tools/derive_cache_schedule.py JSON (derive it "
                          "from this same checkpoint) — enables the "
                          "cache_derived[_int8] rows")
+    ap.add_argument("--cache_schedule_duodiff", type=str, default=None,
+                    help="composition-aware schedule for the DuoDiff rows "
+                         "(derive_cache_schedule.py --t_switch mode); "
+                         "default: --cache_schedule (the transferred "
+                         "dense-trajectory table)")
+    ap.add_argument("--cache_schedule_ee", type=str, default=None,
+                    help="composition-aware schedule for the static-exit "
+                         "rows (derive_cache_schedule.py --static_schedule "
+                         "mode); default: --cache_schedule")
     ap.add_argument("--methods", type=str, default=None,
                     help="comma list to restrict (ddpm,int8,int8_static,"
                          "ddim50,dpm20,dpm20_cache3,cache3,cache3_int8,"
-                         "cache5_int8,cache7,cache_derived,"
-                         "cache_derived_int8,ee_dynamic,ee_adaptive,"
-                         "ee_static,ee_static_int8,ee_static_cache3,"
-                         "ee_static_cache_derived_int8,duodiff,"
-                         "duodiff_int8,duodiff_cache3,"
+                         "cache3_int8_static,cache5_int8,cache7,"
+                         "cache_derived,cache_derived_int8,"
+                         "cache_derived_int8_static,ee_dynamic,"
+                         "ee_adaptive,ee_static,ee_static_int8,"
+                         "ee_static_cache3,ee_static_cache_derived_int8,"
+                         "duodiff,duodiff_int8,duodiff_cache3,"
                          "duodiff_cache_derived_int8,interleave2,"
                          "interleave4)")
     args = ap.parse_args(argv)
@@ -169,6 +179,12 @@ def main(argv=None):
         # kernels in one sampler (bench row celeba_cache3_int8)
         run_sampler("cache3_int8",
                     ["--cache_every", "3", "--attn_impl", "fused_int8"])
+    if want("cache3_int8_static") and args.int8_scales:
+        # VERDICT r3 #5 decomposition: {dynamic, static int8} x {uniform,
+        # derived schedule} — this is uniform-3 x static scales
+        run_sampler("cache3_int8_static",
+                    ["--cache_every", "3", "--attn_impl", "fused_int8",
+                     "--int8_scales", args.int8_scales])
     if want("cache5"):
         # staler-delta sweep point: anchors every 5 steps instead of 3
         run_sampler("cache5", ["--cache_every", "5"])
@@ -193,28 +209,38 @@ def main(argv=None):
         run_sampler("cache_derived_int8",
                     ["--cache_schedule", args.cache_schedule,
                      "--attn_impl", "fused_int8"])
+    if (want("cache_derived_int8_static") and args.cache_schedule
+            and args.int8_scales):
+        # the exact bench.py headline composition (derived schedule x
+        # static scales) — closes the attribution gap VERDICT r3 #5 flags
+        run_sampler("cache_derived_int8_static",
+                    ["--cache_schedule", args.cache_schedule,
+                     "--attn_impl", "fused_int8",
+                     "--int8_scales", args.int8_scales])
 
     if args.shallow_config and args.shallow_checkpoint:
         # reference CLI contract: --config_path is the EARLY (shallow)
         # model, --config_path_late the full one (sampler.py:135-136 there).
         # duodiff_int8 scores the int8-composed operating point
         # (bench_matrix's celeba_duodiff_int8 row) on the same weights.
+        duo_sched = args.cache_schedule_duodiff or args.cache_schedule
         for name, extra in (
             ("duodiff", []),
             ("duodiff_int8", ["--attn_impl", "fused_int8"]),
             # the late (full) model's segment block-cached (bench row
             # celeba_duodiff_cache3)
             ("duodiff_cache3", ["--cache_every", "3"]),
-            # derived anchor table on the late segment (requires
-            # --cache_schedule; bench row celeba_duodiff_cache_derived_int8)
+            # derived anchor table on the late segment (requires a
+            # schedule; bench row celeba_duodiff_cache_derived_int8 —
+            # pass --cache_schedule_duodiff for the composition-aware
+            # late-segment derivation)
             ("duodiff_cache_derived_int8",
-             ["--cache_schedule", args.cache_schedule or "",
+             ["--cache_schedule", duo_sched or "",
               "--attn_impl", "fused_int8"]),
         ):
             if not want(name):
                 continue
-            if name == "duodiff_cache_derived_int8" and (
-                    not args.cache_schedule):
+            if name == "duodiff_cache_derived_int8" and not duo_sched:
                 continue
             t = time.time()
             sampler_cli.main([
@@ -286,21 +312,21 @@ def main(argv=None):
         # each bucket's truncated backbone (bench row
         # celeba_static_exit_cache3) — scores the stale-delta approximation
         # on top of the truncation approximation
+        ee_sched = args.cache_schedule_ee or args.cache_schedule
         for name, extra in (
             ("ee_static", []),
             ("ee_static_int8", ["--attn_impl", "fused_int8"]),
             ("ee_static_cache3", ["--cache_every", "3"]),
-            # drift-derived anchors inside the buckets (requires
-            # --cache_schedule; bench row
-            # celeba_static_exit_cache_derived_int8)
+            # drift-derived anchors inside the buckets (requires a
+            # schedule; bench row celeba_static_exit_cache_derived_int8 —
+            # pass --cache_schedule_ee for the bucket-aware derivation)
             ("ee_static_cache_derived_int8",
-             ["--cache_schedule", args.cache_schedule or "",
+             ["--cache_schedule", ee_sched or "",
               "--attn_impl", "fused_int8"]),
         ):
             if not want(name):
                 continue
-            if name == "ee_static_cache_derived_int8" and (
-                    not args.cache_schedule):
+            if name == "ee_static_cache_derived_int8" and not ee_sched:
                 continue
             t = time.time()
             eesampler_cli.main([
