@@ -14,18 +14,24 @@ compiled 100-step scan with a dynamic timestep vector, invoked 10x — bounded
 compile time on remote-compile TPU backends, bit-identical results) with the
 bf16 U-ViT forward using the Pallas VMEM-resident attention kernel.
 
-The TPU headline leg composes the two serving knobs whose quality is
-measured in README (trained-model palette stats + full-trajectory PSNR):
-int8 W8A8 kernels (67.2 dB vs bf16) and training-free block caching on the
-committed drift-derived anchor schedule (114 anchors at uniform-3's
-measured PSNR; assets/cache_schedule_celeba_flagship.json). The
-dense-int8 and bf16 parity-numerics legs are reported alongside.
+The TPU headline leg composes the serving knobs whose quality is measured
+in README (trained-model palette stats + full-trajectory PSNR + the
+textured FD-rand table): the DuoDiff shallow/full handoff (the paper's own
+speed knob, reference sampler.py:135-136), int8 W8A8 kernels, and
+training-free block caching of the late (full) model's segment on the
+committed drift-derived anchor schedule
+(assets/cache_schedule_celeba_duodiff.json, derived in the
+composition-aware --t_switch mode of tools/derive_cache_schedule.py).
+Single-model (no-handoff) cached-int8, dense-int8 and bf16 parity-numerics
+legs are reported alongside.
 Overridables: BENCH_BATCH, BENCH_STEPS, BENCH_CHUNK, BENCH_ATTN(xla|pallas),
 BENCH_REPS, BENCH_CACHE_EVERY (uniform block-cache anchor period replacing
 the derived schedule; 0 disables caching), BENCH_CACHE_SCHEDULE (a
 tools/derive_cache_schedule.py JSON overriding the committed asset; empty
 disables the derived table), BENCH_INT8_SCALES (a tools/calibrate_int8.py
-JSON — static MLP activation scales for the fused_int8 legs).
+JSON — static MLP activation scales for the fused_int8 legs),
+BENCH_DUODIFF (1 = default: DuoDiff composition is the headline;
+0 disables the handoff legs), BENCH_T_SWITCH (shallow steps, default 300).
 """
 
 import json
@@ -80,15 +86,35 @@ def main():
             "BENCH_CACHE_SCHEDULE" not in os.environ:
         sched_path = None  # an explicit uniform period wins over the default
     head_cache = "sched" if sched_path else (cache_every or None)
+    # DuoDiff headline: promoted when the composition-aware late-segment
+    # schedule asset is committed (it only lands quality-gated: the fd
+    # table in README scores the composition on the trained textured
+    # benchmark). BENCH_DUODIFF=0 forces the single-model headline.
+    duo_sched_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "assets", "cache_schedule_celeba_duodiff.json")
+    duo_on = (
+        os.environ.get("BENCH_DUODIFF", "1") == "1"
+        and os.path.exists(duo_sched_path)
+        and "BENCH_CACHE_EVERY" not in os.environ
+        and "BENCH_CACHE_SCHEDULE" not in os.environ
+    )
+    t_switch = int(os.environ.get("BENCH_T_SWITCH", "300"))
     if "BENCH_ATTN" in os.environ:
-        legs = [(os.environ["BENCH_ATTN"],
-                 head_cache if ("BENCH_CACHE_EVERY" in os.environ
-                                or sched_path) else None)]
+        if os.environ.get("BENCH_DUODIFF") == "1" and os.path.exists(
+                duo_sched_path):
+            legs = [(os.environ["BENCH_ATTN"], "duodiff")]
+        else:
+            legs = [(os.environ["BENCH_ATTN"],
+                     head_cache if ("BENCH_CACHE_EVERY" in os.environ
+                                    or sched_path) else None)]
     elif on_tpu:
         legs = [("fused_int8", head_cache),
                 ("fused_int8", None), ("fused", None)]
         if head_cache is None:
             legs = legs[1:]
+        if duo_on:
+            legs = [("fused_int8", "duodiff")] + legs
     else:
         legs = [("xla", None)]
     # tanh-approx GELU: below bf16 rounding, saves the VPU-bound erf
@@ -134,7 +160,93 @@ def main():
             print(f"bench: no static int8 scales ({e!r}); "
                   "using dynamic activation quantization", file=sys.stderr)
 
+    def measure_duodiff(attn):
+        """DuoDiff composition (reference sampler.py:135-136 semantics):
+        depth-3 shallow model for the first t_switch steps, the full model
+        — late segment block-cached on the committed composition-aware
+        derived schedule — for the rest. Mirrors
+        tools/bench_matrix.py's celeba_duodiff_cache_derived_int8 row."""
+        from duodiff_tpu.config import load_model_config
+        from duodiff_tpu.diffusion import (
+            load_cache_schedule,
+            make_block_cached_apply,
+        )
+        from duodiff_tpu.diffusion.sampling import ChunkedDDPMSampler
+
+        rule = jnp.asarray(
+            load_cache_schedule(duo_sched_path, num_timesteps=steps)
+        )
+        shallow_cfg, _ = load_model_config("configs/uvit_celeba_3.yaml")
+        early_model, early_params = init_uvit(
+            shallow_cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16,
+            attn_impl=attn, gelu_approx=gelu_approx,
+        )
+        model, params = init_uvit(
+            cfg, jax.random.PRNGKey(1), dtype=jnp.bfloat16, attn_impl=attn,
+            gelu_approx=gelu_approx,
+            int8_mlp_scales=scales_tuple if attn == "fused_int8" else None,
+        )
+        n_outer = max(1, -(-(cfg.depth // 2) // 3))
+        handoff = steps - t_switch
+
+        def late_apply(p, state, x, t, y):
+            inner = make_block_cached_apply(
+                lambda xx, tt, yy: model.apply(
+                    {"params": p}, xx, tt, yy, n_outer=n_outer,
+                    method=model.forward_anchor,
+                ),
+                lambda xx, tt, yy, d: model.apply(
+                    {"params": p}, xx, tt, yy, n_outer=n_outer, delta=d,
+                    method=model.forward_cached,
+                ),
+                rule, handoff - 1,
+            )
+            return inner(state, x, t, y)
+
+        token_len = cfg.extras + cfg.num_patches
+
+        def init_state(x):
+            return jnp.zeros(
+                (x.shape[0], token_len, cfg.embed_dim), jnp.bfloat16
+            )
+
+        early = ChunkedDDPMSampler(
+            lambda p, x, t, y: early_model.apply({"params": p}, x, t, y),
+            schedule, parametrization="predict_noise", chunk=chunk,
+            params=early_params,
+        )
+        late = ChunkedDDPMSampler(
+            late_apply, schedule, parametrization="predict_noise",
+            chunk=chunk, params=params, init_state_fn=init_state,
+        )
+
+        def sample(key):
+            x, key = early.init(key, shape)
+            x, key = early.run(x, key, steps - 1, handoff)
+            x, _, _ = late.run(x, key, handoff - 1, 0, None,
+                               state=init_state(x))
+            return x
+
+        print(
+            f"bench: {steps}-step DuoDiff (t_switch={t_switch}) in "
+            f"{chunk}-step chunks, batch {batch}, attn={attn}, late-cached "
+            f"derived schedule, backend {jax.default_backend()}...",
+            file=sys.stderr,
+        )
+        t0 = time.time()
+        jax.block_until_ready(sample(jax.random.PRNGKey(0)))
+        print(f"bench[{attn},duodiff]: compile+first run "
+              f"{time.time() - t0:.1f}s", file=sys.stderr)
+        t0 = time.time()
+        for i in range(n_timed):
+            x = jax.block_until_ready(sample(jax.random.PRNGKey(1 + i)))
+        elapsed = (time.time() - t0) / n_timed
+        assert bool(jnp.all(jnp.isfinite(x))), "non-finite samples"
+        return batch / elapsed / n_chips * steps / 1000.0
+
     def measure(attn, cache=None):
+        if cache == "duodiff":
+            return measure_duodiff(attn)
         model, params = init_uvit(
             cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16, attn_impl=attn,
             gelu_approx=gelu_approx,
@@ -215,7 +327,10 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"bench{leg}: FAILED ({e!r})", file=sys.stderr)
     head_attn, head_cache0 = legs[0]
-    if head_cache0 == "sched":
+    if head_cache0 == "duodiff":
+        cache_label = (f", DuoDiff t_switch={t_switch} + late-segment "
+                       "derived cache")
+    elif head_cache0 == "sched":
         n_anchors = int(jnp.sum(sched_table))
         cache_label = (f", block-cache derived schedule "
                        f"({n_anchors} anchors)")
@@ -231,6 +346,13 @@ def main():
         "unit": "samples/sec/chip",
         "vs_baseline": round(rates[legs[0]] / baseline, 3),
     }
+    if (("fused_int8", head_cache) in rates
+            and legs[0] == ("fused_int8", "duodiff")
+            and head_cache is not None):
+        # the single-model cached-int8 point (round-3's headline)
+        r = rates[("fused_int8", head_cache)]
+        result["single_model_value"] = round(r, 4)
+        result["single_model_vs_baseline"] = round(r / baseline, 3)
     if ("fused_int8", None) in rates and legs[0] != ("fused_int8", None):
         # the dense (uncached) int8 serving point
         r = rates[("fused_int8", None)]
