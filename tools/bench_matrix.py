@@ -98,12 +98,17 @@ def main(argv=None):
     rows = {}
 
     # derived-schedule rows need their on-chip-derived asset; skip (with a
-    # note) instead of crashing a default-row run on a machine without it
+    # note) instead of crashing a default-row run on a machine without it.
+    # The DuoDiff row prefers the composition-aware late-segment derivation
+    # (derive_cache_schedule --t_switch mode) over the transferred
+    # dense-trajectory table when that asset has been committed.
+    _duo_asset = "assets/cache_schedule_celeba_duodiff.json"
+    if not Path(_duo_asset).exists():
+        _duo_asset = "assets/cache_schedule_celeba_flagship.json"
     _SCHED_ASSETS = {
         "celeba_cache_derived_int8":
             "assets/cache_schedule_celeba_flagship.json",
-        "celeba_duodiff_cache_derived_int8":
-            "assets/cache_schedule_celeba_flagship.json",
+        "celeba_duodiff_cache_derived_int8": _duo_asset,
         "celeba_static_exit_cache_derived_int8":
             "assets/cache_schedule_celeba_flagship.json",
         "imagenet64_cache_derived_int8":
@@ -295,8 +300,7 @@ def main(argv=None):
         lambda: duodiff_cache_fn(attn_impl="fused_int8"))
     run("celeba_duodiff_cache_derived_int8",
         lambda: duodiff_cache_fn(
-            attn_impl="fused_int8",
-            sched_path="assets/cache_schedule_celeba_flagship.json"))
+            attn_impl="fused_int8", sched_path=_duo_asset))
 
     def cache_fn(cfg_name, every=3, attn_impl=None, sched_path=None):
         # training-free block caching (Delta-DiT/DeepCache family): middle
