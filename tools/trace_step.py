@@ -115,7 +115,7 @@ def capture_train(args):
     print(f"train trace written to {args.out}", file=sys.stderr)
 
 
-def summarize(out_dir, n_steps):
+def summarize(out_dir, n_steps, top: int = 15):
     """Aggregate device time by HLO category from the captured xplane.
 
     Parses the raw xplane protobuf (tensorflow.tsl xplane_pb2 — the
@@ -161,8 +161,8 @@ def summarize(out_dir, n_steps):
         for cat, us in sorted(by_cat.items(), key=lambda kv: -kv[1]):
             print(f"  {cat:<28s} {us/1e3:9.2f} ms  ({100*us/total:5.1f}%)  "
                   f"[{us/1e3/n_steps:6.3f} ms/step]")
-        print("\ntop 15 ops:")
-        for (cat, name), us in sorted(by_op.items(), key=lambda kv: -kv[1])[:15]:
+        print(f"\ntop {top} ops:")
+        for (cat, name), us in sorted(by_op.items(), key=lambda kv: -kv[1])[:top]:
             print(f"  {us/1e3:9.2f} ms  {cat:<20s} {name[:90]}")
 
 
@@ -175,6 +175,7 @@ if __name__ == "__main__":
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--out", default="/tmp/duodiff_trace")
     p.add_argument("--summarize_only", action="store_true")
+    p.add_argument("--top", type=int, default=15)
     p.add_argument("--mode", default="sample", choices=["sample", "train"])
     p.add_argument("--rng", default="threefry", choices=["threefry", "rbg"],
                    help="rbg matches bench_matrix's compiled programs")
@@ -187,4 +188,4 @@ if __name__ == "__main__":
             capture_train(args)
         else:
             capture(args)
-    summarize(args.out, args.steps)
+    summarize(args.out, args.steps, top=args.top)
