@@ -66,8 +66,9 @@ python tools/quality_matrix.py \
     --int8_scales $WORK/int8_scales.json \
     --cache_schedule $WORK/sched_plain.json \
     --cache_schedule_duodiff $WORK/sched_duodiff.json \
+    --probe_calibration $WORK/probe_calibration.json \
     --distribution $DIST \
-    --methods ddpm,int8,int8_static,ddim50,dpm20,dpm20_cache3,cache3,cache3_int8,cache3_int8_static,cache5_int8,cache7,cache_derived,cache_derived_int8,cache_derived_int8_static,ee_dynamic,ee_adaptive,ee_static,ee_static_int8,ee_static_cache3,duodiff,duodiff_int8,duodiff_cache3,duodiff_cache_derived_int8 \
+    --methods ddpm,int8,int8_static,ddim50,dpm20,dpm20_cache3,cache3,cache3_int8,cache3_int8_static,cache5_int8,cache7,cache_derived,cache_derived_int8,cache_derived_int8_static,ee_dynamic,ee_adaptive,ee_adaptive_bidir,ee_static,ee_static_int8,ee_static_cache3,duodiff,duodiff_int8,duodiff_cache3,duodiff_cache_derived_int8 \
     --t_switch 300 --batch $MATRIX_BATCH --out $WORK/qm
 
 # 8. bucket-aware static-exit schedule from the measured exit buckets,

@@ -82,13 +82,19 @@ def main(argv=None):
                     help="composition-aware schedule for the static-exit "
                          "rows (derive_cache_schedule.py --static_schedule "
                          "mode); default: --cache_schedule")
+    ap.add_argument("--probe_calibration", type=str, default=None,
+                    help="tools/calibrate_probes.py JSON — enables the "
+                         "ee_adaptive_bidir row (calibrated bidirectional "
+                         "walk; threshold auto-set to the middle candidate "
+                         "layer's mean realized error)")
     ap.add_argument("--methods", type=str, default=None,
                     help="comma list to restrict (ddpm,int8,int8_static,"
                          "ddim50,dpm20,dpm20_cache3,cache3,cache3_int8,"
                          "cache3_int8_static,cache5_int8,cache7,"
                          "cache_derived,cache_derived_int8,"
                          "cache_derived_int8_static,ee_dynamic,"
-                         "ee_adaptive,ee_static,ee_static_int8,"
+                         "ee_adaptive,ee_adaptive_bidir,ee_static,"
+                         "ee_static_int8,"
                          "ee_static_cache3,ee_static_cache_derived_int8,"
                          "duodiff,duodiff_int8,duodiff_cache3,"
                          "duodiff_cache_derived_int8,interleave2,"
@@ -295,6 +301,34 @@ def main(argv=None):
                 "--seed", str(args.seed),
             ])
             score("ee_adaptive", time.time() - t)
+        if want("ee_adaptive_bidir") and args.probe_calibration:
+            # the CALIBRATED bidirectional walk (VERDICT r3 #3): decisions
+            # in realized-error units via per-slot affine maps
+            # (tools/calibrate_probes.py). Threshold = the middle candidate
+            # layer's mean realized error from the calibration file — the
+            # walk should hover around that depth and move both ways.
+            import json as _json
+
+            calib = _json.loads(Path(args.probe_calibration).read_text())
+            layers = sorted(int(v) for v in args.adaptive_layers.split(","))
+            mid_slot = min(layers[len(layers) // 2],
+                           len(calib["mean_error"]) - 1)
+            thr = calib["mean_error"][mid_slot]
+            t = time.time()
+            eesampler_cli.main([
+                "--config_path", args.ee_config,
+                "--checkpoint_path", args.ee_checkpoint,
+                "--threshold", str(thr),
+                "--adaptive_layers", args.adaptive_layers,
+                "--adaptive_chunk", "50",
+                "--adaptive_bidirectional",
+                "--probe_calibration", args.probe_calibration,
+                "--batch_size", str(args.batch),
+                "--output_folder", str(out_root / "ee_adaptive_bidir"),
+                "--num_timesteps", str(args.num_timesteps),
+                "--seed", str(args.seed),
+            ])
+            score("ee_adaptive_bidir", time.time() - t)
         if want("ee_dynamic"):
             t = time.time()
             eesampler_cli.main([
