@@ -93,16 +93,17 @@ def main():
     duo_sched_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "assets", "cache_schedule_celeba_duodiff.json")
+    # an explicit cache override (non-empty BENCH_CACHE_SCHEDULE or any
+    # BENCH_CACHE_EVERY) means the user is steering the single-model cache
+    # knobs — the DuoDiff composition would silently ignore them
     duo_on = (
         os.environ.get("BENCH_DUODIFF", "1") == "1"
         and os.path.exists(duo_sched_path)
+        and not os.environ.get("BENCH_CACHE_SCHEDULE")
         and "BENCH_CACHE_EVERY" not in os.environ
-        and "BENCH_CACHE_SCHEDULE" not in os.environ
     )
-    t_switch = int(os.environ.get("BENCH_T_SWITCH", "300"))
     if "BENCH_ATTN" in os.environ:
-        if os.environ.get("BENCH_DUODIFF") == "1" and os.path.exists(
-                duo_sched_path):
+        if duo_on:
             legs = [(os.environ["BENCH_ATTN"], "duodiff")]
         else:
             legs = [(os.environ["BENCH_ATTN"],
@@ -130,6 +131,28 @@ def main():
         sched_table = jnp.asarray(
             load_cache_schedule(sched_path, num_timesteps=steps)
         )
+    duo_table = None
+    t_switch = None
+    if duo_on:
+        from duodiff_tpu.diffusion import load_cache_schedule
+
+        table, duo_meta = load_cache_schedule(
+            duo_sched_path, num_timesteps=steps, with_meta=True
+        )
+        duo_table = jnp.asarray(table)
+        # the asset's derivation t_switch is the composition it was gated
+        # at; BENCH_T_SWITCH overrides (with a warning: the shallow-covered
+        # placeholder rows of the table are forced-dense)
+        t_switch = int(os.environ.get(
+            "BENCH_T_SWITCH", duo_meta.get("t_switch", 300)
+        ))
+        if t_switch != duo_meta.get("t_switch", t_switch):
+            print(
+                f"bench: BENCH_T_SWITCH={t_switch} differs from the "
+                f"asset's derivation t_switch={duo_meta.get('t_switch')} "
+                "— the late segment will consult placeholder anchor rows",
+                file=sys.stderr,
+            )
     shape = (batch, 64, 64, 3)
     baseline = 1.0 / 1.92  # s/image from BASELINE.md CelebA dense point
     n_chips = jax.device_count()
@@ -160,36 +183,18 @@ def main():
             print(f"bench: no static int8 scales ({e!r}); "
                   "using dynamic activation quantization", file=sys.stderr)
 
-    def measure_duodiff(attn):
-        """DuoDiff composition (reference sampler.py:135-136 semantics):
-        depth-3 shallow model for the first t_switch steps, the full model
-        — late segment block-cached on the committed composition-aware
-        derived schedule — for the rest. Mirrors
-        tools/bench_matrix.py's celeba_duodiff_cache_derived_int8 row."""
-        from duodiff_tpu.config import load_model_config
-        from duodiff_tpu.diffusion import (
-            load_cache_schedule,
-            make_block_cached_apply,
-        )
+    def make_cached_sampler(model, params, rule, t_first):
+        """ChunkedDDPMSampler over a block-cached apply (sampler.py
+        --cache_every/--cache_schedule semantics): the centered blocks
+        recompute on anchor steps, their residual delta rides the scan
+        carry in between. Shared by the single-model cache leg and the
+        DuoDiff late segment."""
+        from duodiff_tpu.diffusion import make_block_cached_apply
         from duodiff_tpu.diffusion.sampling import ChunkedDDPMSampler
 
-        rule = jnp.asarray(
-            load_cache_schedule(duo_sched_path, num_timesteps=steps)
-        )
-        shallow_cfg, _ = load_model_config("configs/uvit_celeba_3.yaml")
-        early_model, early_params = init_uvit(
-            shallow_cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16,
-            attn_impl=attn, gelu_approx=gelu_approx,
-        )
-        model, params = init_uvit(
-            cfg, jax.random.PRNGKey(1), dtype=jnp.bfloat16, attn_impl=attn,
-            gelu_approx=gelu_approx,
-            int8_mlp_scales=scales_tuple if attn == "fused_int8" else None,
-        )
         n_outer = max(1, -(-(cfg.depth // 2) // 3))
-        handoff = steps - t_switch
 
-        def late_apply(p, state, x, t, y):
+        def apply(p, state, x, t, y):
             inner = make_block_cached_apply(
                 lambda xx, tt, yy: model.apply(
                     {"params": p}, xx, tt, yy, n_outer=n_outer,
@@ -199,7 +204,7 @@ def main():
                     {"params": p}, xx, tt, yy, n_outer=n_outer, delta=d,
                     method=model.forward_cached,
                 ),
-                rule, handoff - 1,
+                rule, t_first,
             )
             return inner(state, x, t, y)
 
@@ -210,14 +215,41 @@ def main():
                 (x.shape[0], token_len, cfg.embed_dim), jnp.bfloat16
             )
 
+        sampler = ChunkedDDPMSampler(
+            apply, schedule, parametrization="predict_noise",
+            chunk=chunk, params=params, init_state_fn=init_state,
+        )
+        return sampler, init_state
+
+    def measure_duodiff(attn):
+        """DuoDiff composition (reference sampler.py:135-136 semantics):
+        depth-3 shallow model for the first t_switch steps, the full model
+        — late segment block-cached on the committed composition-aware
+        derived schedule — for the rest. Mirrors
+        tools/bench_matrix.py's celeba_duodiff_cache_derived_int8 row."""
+        from duodiff_tpu.config import load_model_config
+        from duodiff_tpu.diffusion.sampling import ChunkedDDPMSampler
+
+        shallow_cfg, _ = load_model_config(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "configs", "uvit_celeba_3.yaml"))
+        early_model, early_params = init_uvit(
+            shallow_cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16,
+            attn_impl=attn, gelu_approx=gelu_approx,
+        )
+        model, params = init_uvit(
+            cfg, jax.random.PRNGKey(1), dtype=jnp.bfloat16, attn_impl=attn,
+            gelu_approx=gelu_approx,
+            int8_mlp_scales=scales_tuple if attn == "fused_int8" else None,
+        )
+        handoff = steps - t_switch
         early = ChunkedDDPMSampler(
             lambda p, x, t, y: early_model.apply({"params": p}, x, t, y),
             schedule, parametrization="predict_noise", chunk=chunk,
             params=early_params,
         )
-        late = ChunkedDDPMSampler(
-            late_apply, schedule, parametrization="predict_noise",
-            chunk=chunk, params=params, init_state_fn=init_state,
+        late, init_state = make_cached_sampler(
+            model, params, duo_table, handoff - 1
         )
 
         def sample(key):
@@ -257,38 +289,9 @@ def main():
         # executable, which cuts cold compile and the persistent-cache
         # entry from 385MB to a few MB (see ChunkedDDPMSampler docstring)
         if cache:
-            # training-free block caching (sampler.py --cache_every): the
-            # centered blocks recompute on t % cache == 0 anchors, their
-            # residual delta rides the scan carry in between
-            from duodiff_tpu.diffusion import make_block_cached_apply
-            from duodiff_tpu.diffusion.sampling import ChunkedDDPMSampler
-
-            n_outer = max(1, -(-(cfg.depth // 2) // 3))
-
             rule = sched_table if cache == "sched" else cache
-
-            def apply(p, state, x, t, y):
-                inner = make_block_cached_apply(
-                    lambda xx, tt, yy: model.apply(
-                        {"params": p}, xx, tt, yy, n_outer=n_outer,
-                        method=model.forward_anchor,
-                    ),
-                    lambda xx, tt, yy, d: model.apply(
-                        {"params": p}, xx, tt, yy, n_outer=n_outer,
-                        delta=d, method=model.forward_cached,
-                    ),
-                    rule, steps - 1,
-                )
-                return inner(state, x, t, y)
-
-            token_len = cfg.extras + cfg.num_patches
-            sample = ChunkedDDPMSampler(
-                apply, schedule, parametrization="predict_noise",
-                chunk=chunk, params=params,
-                init_state_fn=lambda x: jnp.zeros(
-                    (x.shape[0], token_len, cfg.embed_dim), jnp.bfloat16
-                ),
-            ).sample
+            sample = make_cached_sampler(model, params, rule,
+                                         steps - 1)[0].sample
         else:
             sample = make_chunked_ddpm_sampler(
                 lambda p, x, t, y: model.apply({"params": p}, x, t, y),

@@ -615,7 +615,9 @@ def make_adaptive_exit_sampler(
         )
     if calibration is not None:
         n_slots = len(calibration["a"])
-        if n_slots < config.depth:
+        if n_slots != config.depth:
+            # collect_probe_stats emits exactly depth slots for the model
+            # it was fitted on — any other count means a foreign file
             raise ValueError(
                 f"probe calibration has {n_slots} slots but the model has "
                 f"depth {config.depth} — it was fitted on a different model"

@@ -326,11 +326,14 @@ def main(argv=None):
             idx_by_t[row["t_lo"]: row["t_hi"] + 1] = row["layer"]
         # The adaptive sampler only evaluates the ACTIVE layer's probe, so
         # the (steps, depth) diagnostics grid is sparse: fill each chunk's
-        # rows at the active layer's column with that chunk's mean probe
-        # value and leave the unevaluated layers NaN.
+        # rows at the probed SLOT's column (column i = probe slot i = exit
+        # layer i, the dynamic path's convention; exit at full depth probes
+        # slot depth-1 — truncated_ee_apply_probed) and leave the
+        # unevaluated slots NaN.
         err_by_t = np.full((schedule.steps, cfg.depth), np.nan, np.float32)
         for row in chunk_log:
-            err_by_t[row["t_lo"]: row["t_hi"] + 1, row["layer"] - 1] = (
+            slot = min(row["layer"], cfg.depth - 1)
+            err_by_t[row["t_lo"]: row["t_hi"] + 1, slot] = (
                 row["mean_probe"]
             )
         mean_layer = float(np.mean([r["layer"] for r in chunk_log]))

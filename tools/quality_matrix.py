@@ -307,9 +307,11 @@ def main(argv=None):
             # (tools/calibrate_probes.py). Threshold = the middle candidate
             # layer's mean realized error from the calibration file — the
             # walk should hover around that depth and move both ways.
-            import json as _json
+            from duodiff_tpu.diffusion.calibration import (
+                load_probe_calibration,
+            )
 
-            calib = _json.loads(Path(args.probe_calibration).read_text())
+            calib = load_probe_calibration(args.probe_calibration)
             layers = sorted(int(v) for v in args.adaptive_layers.split(","))
             mid_slot = min(layers[len(layers) // 2],
                            len(calib["mean_error"]) - 1)
