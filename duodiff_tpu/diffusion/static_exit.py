@@ -448,11 +448,21 @@ def truncated_ee_apply_probed(
     dtype=jnp.bfloat16,
     attn_impl: str = "auto",
     gelu_approx: bool = False,
+    probe_slots: Sequence[int] | None = None,
 ) -> Tuple[Callable, dict, Callable]:
-    """Like :func:`truncated_ee_apply`, plus the layer's OWN uncertainty
-    probe evaluated on the same pre-head activation, accumulated into a
-    scalar carry — the signal for chunk-level adaptive bucket selection
+    """Like :func:`truncated_ee_apply`, plus uncertainty probes evaluated
+    on their pre-block activations along the truncated forward, accumulated
+    into the carry — the signal for chunk-level adaptive bucket selection
     (:func:`make_adaptive_exit_sampler`).
+
+    ``probe_slots`` (default ``[min(exit_layer, depth-1)]`` — the layer's
+    own probe) may name any slots <= the layer's own slot; the bidirectional
+    walk passes ``(own, next-shallower-candidate)`` so the "go shallower"
+    decision reads the probe of the depth it would actually move to, not
+    the current layer's (which predicts the error of exiting ONE block
+    shallower — a far-shallower candidate can be arbitrarily worse).
+    The state is a ``(len(probe_slots),)`` vector of accumulated
+    batch-mean probe values (a scalar with one slot, backward compatible).
 
     Returns ``(apply(p, state, x, t, y) -> (eps, state + mean(u)), p0,
     init_state)``. Supports the two per-layer probe families
@@ -468,6 +478,18 @@ def truncated_ee_apply_probed(
     exit_layer = int(exit_layer)
     assert 0 <= exit_layer <= depth
     probe_slot = min(exit_layer, depth - 1)
+    slots = (
+        [probe_slot] if probe_slots is None
+        else [int(s) for s in probe_slots]
+    )
+    scalar_state = probe_slots is None
+    bad_slots = [s for s in slots if not 0 <= s <= probe_slot]
+    if bad_slots:
+        raise ValueError(
+            f"probe_slots {bad_slots} out of range for exit_layer "
+            f"{exit_layer} (valid: 0..{probe_slot} — a probe past the "
+            "truncation point is never computed)"
+        )
     if config.classifier_type == "mlp_probe_per_layer":
         probe_mod = MLPProbe(dtype=dtype)
     elif config.classifier_type == "attention_probe":
@@ -488,33 +510,34 @@ def truncated_ee_apply_probed(
         h = mod.embed_tokens(x, t, y)
         k = 0
         skips = []
-        probed = None
+        probed = {}
         for blk in mod.in_blocks:
-            if k == probe_slot:
-                probed = h
+            if k in slots:
+                probed[k] = h
             if k == exit_layer:
-                return h, probed
+                return h, tuple(probed[s] for s in slots)
             h = blk(h)
             skips.append(h)
             k += 1
-        if k == probe_slot:
-            probed = h
+        if k in slots:
+            probed[k] = h
         if k == exit_layer:
-            return h, probed
+            return h, tuple(probed[s] for s in slots)
         h = mod.mid_block(h)
         k += 1
         for blk in mod.out_blocks:
-            if k == probe_slot:
-                probed = h
+            if k in slots:
+                probed[k] = h
             if k == exit_layer:
-                return h, probed
+                return h, tuple(probed[s] for s in slots)
             h = blk(h, skips.pop())
             k += 1
-        return h, probed  # exit_layer == depth
+        return h, tuple(probed[s] for s in slots)  # exit_layer == depth
 
-    probe_params = jax.tree_util.tree_map(
-        lambda a: a[probe_slot], params["probes"]
-    )
+    probe_params = [
+        jax.tree_util.tree_map(lambda a, s=s: a[s], params["probes"])
+        for s in slots
+    ]
     p0 = {"uvit": params["uvit"], "probe": probe_params}
     if exit_layer < depth:
         head = OutputHead(
@@ -532,17 +555,26 @@ def truncated_ee_apply_probed(
         h, probed = uvit.apply(
             {"params": p["uvit"]}, x, t, y, method=run_probed
         )
-        u = probe_mod.apply({"params": p["probe"]}, probed)  # (B,)
+        means = [
+            jnp.mean(
+                probe_mod.apply({"params": pp}, act).astype(jnp.float32)
+            )
+            for pp, act in zip(p["probe"], probed)
+        ]
         if exit_layer < depth:
             eps = head.apply({"params": p["head"]}, h)
         else:
             eps = uvit.apply(
                 {"params": p["uvit"]}, h, method=UViT.decode_tokens
             )
-        return eps, state + jnp.mean(u.astype(jnp.float32))
+        if scalar_state:
+            return eps, state + means[0]
+        return eps, state + jnp.stack(means)
 
     def init_state(x):
-        return jnp.zeros((), jnp.float32)
+        if scalar_state:
+            return jnp.zeros((), jnp.float32)
+        return jnp.zeros((len(slots),), jnp.float32)
 
     return apply, p0, init_state
 
@@ -572,31 +604,40 @@ def make_adaptive_exit_sampler(
     cannot save compute under SPMD, reference eesampler.py:62-68). This
     sampler restores adaptivity at the CHUNK level: each ``chunk``-step
     segment runs ONE truncated backbone (a static-shape compiled scan, one
-    executable per distinct layer, built lazily) that also accumulates its
-    own probe's mean predicted error; between chunks the HOST compares the
-    mean against ``threshold`` (the reference's exit rule, u <= thr) and
-    moves one bucket deeper when the current depth predicts too much error
-    or (with ``monotone=False``) one shallower when it is comfortably below
-    (``threshold * margin`` hysteresis). No per-sample divergence ever
-    reaches the device; the only cost vs static buckets is one scalar
+    executable per distinct (layer, below-candidate) pair, built lazily)
+    that also accumulates its probes' mean predicted errors; between
+    chunks the HOST moves one bucket deeper when the current depth's own
+    probe predicts too much error (``> threshold``, the reference's exit
+    rule) or — with ``monotone=False`` — one shallower when the NEXT
+    SHALLOWER CANDIDATE's probe (evaluated en route through the same
+    truncated forward, zero extra blocks) predicts comfortably little
+    (``<= threshold * margin`` hysteresis). No per-sample divergence ever
+    reaches the device; the only cost vs static buckets is one tiny
     device->host read per chunk.
 
-    ``monotone=True`` (default) starts at the SHALLOWEST candidate and only
-    deepens — the shape of the empirical exit-layer-vs-timestep curves
-    (reference demos/early_exit_visualization.ipynb: exits deepen as t->0),
-    and robust to cross-layer probe miscalibration. Measured motivation: on
-    a textured-benchmark DeeDiff checkpoint the layer-9 probe read ~1.0
-    while layer-4 read ~1e-4 (each probe learns its own scale), so the
-    bidirectional walk oscillated 4<->9 every chunk and destroyed the
-    trajectory (within-image std 0.48 = noise); RAW probe values are only
-    reliable as a one-way "this depth no longer suffices" signal.
+    The shallower-gate reads the probe of the depth the walk would MOVE
+    TO, not the current layer's: the own probe only predicts the error of
+    exiting one block shallower, and a far-shallower candidate can be
+    arbitrarily worse (measured on the 40k textured checkpoint: own-probe
+    gating walked 13->9->4 and produced pure noise, within-image std
+    0.48). Gating down-moves on the below-probe also makes flip-flop
+    structurally impossible on static inputs: the down decision at L and
+    the would-be up decision after moving to L' read the SAME probe, so
+    they cannot disagree unless the input/timestep genuinely drifts.
 
-    ``calibration`` (duodiff_tpu.diffusion.calibration) lifts that
-    restriction: per-slot affine maps fitted against realized exit errors
-    put every probe on the same scale (mse-vs-backbone units), so the walk
-    decisions compare like with like and ``monotone=False`` becomes safe.
-    ``threshold`` is then in realized-error units. Each log row gains a
-    ``"calibrated"`` field with the mapped value the decision used.
+    ``monotone=True`` (default) starts at the SHALLOWEST candidate and
+    only deepens — the shape of the empirical exit-layer-vs-timestep
+    curves (reference demos/early_exit_visualization.ipynb: exits deepen
+    as t->0), zero probe overhead, and no dependence on cross-layer probe
+    comparability.
+
+    ``calibration`` (duodiff_tpu.diffusion.calibration) maps each probe
+    onto realized-error units (per-slot affine fits — raw probe scales
+    span 5 orders of magnitude on the trained textured checkpoint), so
+    one ``threshold`` means the same thing at every depth; required by
+    the eesampler CLI for ``--adaptive_bidirectional``. Log rows gain
+    ``calibrated`` / ``below_probe`` / ``below_calibrated`` fields with
+    the values the decisions used.
 
     Returns ``sample(key, shape, y=None) -> (x, log)`` where log is a list
     of per-chunk dicts (t range, layer, mean probe). With a single entry in
@@ -624,19 +665,38 @@ def make_adaptive_exit_sampler(
             )
     samplers: dict = {}
 
-    def get(layer):
-        if layer not in samplers:
+    def slot_of(layer):
+        return min(layer, config.depth - 1)
+
+    def get(li):
+        """Sampler for candidate index ``li``. Monotone mode probes only
+        the layer's own slot (scalar state, bit-exact with the original
+        single-probe path). Bidirectional mode also evaluates the NEXT
+        SHALLOWER CANDIDATE's probe along the same truncated forward —
+        the "go shallower" gate must read the depth it would move to: the
+        own probe only predicts the error of exiting ONE block shallower,
+        and a far-shallower candidate can be arbitrarily worse (measured:
+        textured checkpoint, walk 13->9->4 on own-probe gating produced
+        pure noise, within-image std 0.48)."""
+        layer = layers[li]
+        below = None if (monotone or li == 0) else layers[li - 1]
+        key_ = (layer, below)
+        if key_ not in samplers:
+            slots = None if below is None and monotone else [
+                slot_of(layer)
+            ] + ([slot_of(below)] if below is not None else [])
             apply, p0, init_state = truncated_ee_apply_probed(
-                config, params, layer, dtype, attn_impl, gelu_approx
+                config, params, layer, dtype, attn_impl, gelu_approx,
+                probe_slots=slots,
             )
-            samplers[layer] = (
+            samplers[key_] = (
                 ChunkedDDPMSampler(
                     apply, schedule, parametrization="predict_noise",
                     chunk=chunk, params=p0, init_state_fn=init_state,
                 ),
                 init_state,
             )
-        return samplers[layer]
+        return samplers[key_]
 
     start = (
         start_layer if start_layer is not None
@@ -645,33 +705,47 @@ def make_adaptive_exit_sampler(
     if start not in layers:
         raise ValueError(f"start_layer {start} not in layers {layers}")
 
+    def calibrated(slot, value, row, field):
+        if calibration is None:
+            return value
+        from .calibration import apply_probe_calibration
+
+        out = apply_probe_calibration(calibration, slot, value)
+        row[field] = round(out, 6)
+        return out
+
     def sample(key, shape, y=None):
         li = layers.index(start)
-        s, _ = get(layers[li])
+        s, _ = get(li)
         x, key = s.init(key, shape)
         t = schedule.steps - 1
         log = []
         while t >= 0:
             lo = max(t - chunk + 1, 0)
-            s, init_state = get(layers[li])
+            s, init_state = get(li)
             x, key, st = s.run(x, key, t, lo, y, state=init_state(x))
-            mean_u = float(st) / (t - lo + 1)
+            st = np.asarray(st, np.float64) / (t - lo + 1)
+            mean_u = float(st.reshape(-1)[0])
             row = {
                 "t_hi": int(t), "t_lo": int(lo),
                 "layer": int(layers[li]),
                 "mean_probe": round(mean_u, 6),
             }
-            value = mean_u
-            if calibration is not None:
-                from .calibration import apply_probe_calibration
-
-                slot = min(layers[li], config.depth - 1)
-                value = apply_probe_calibration(calibration, slot, mean_u)
-                row["calibrated"] = round(value, 6)
+            value = calibrated(slot_of(layers[li]), mean_u, row,
+                               "calibrated")
+            below_value = None
+            if st.size > 1:
+                mean_below = float(st.reshape(-1)[1])
+                row["below_probe"] = round(mean_below, 6)
+                below_value = calibrated(
+                    slot_of(layers[li - 1]), mean_below, row,
+                    "below_calibrated",
+                )
             log.append(row)
             if value > threshold and li < len(layers) - 1:
                 li += 1
-            elif (not monotone) and value <= threshold * margin and li > 0:
+            elif (below_value is not None
+                    and below_value <= threshold * margin):
                 li -= 1
             t = lo - 1
         return x, log

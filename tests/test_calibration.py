@@ -122,45 +122,60 @@ def test_calibration_depth_mismatch(ee_model):
         )
 
 
-def test_bidirectional_oscillates_raw_stabilizes_calibrated(ee_model):
-    """The round-3 failure case, reproduced and fixed: with per-probe
-    scales pegged to ~1.0 (slot 1) and ~0.0 (slot 4), the RAW bidirectional
-    walk flip-flops between the two candidates every chunk; fitting the
-    calibration on the same checkpoint and walking on calibrated values
-    (threshold in realized-error units) removes the oscillation."""
+def _direction_changes(seq):
+    deltas = [b - a for a, b in zip(seq, seq[1:]) if b != a]
+    return sum(
+        1 for d1, d2 in zip(deltas, deltas[1:])
+        if (d1 > 0) != (d2 > 0)
+    )
+
+
+def test_bidirectional_below_gate_cannot_flipflop(ee_model):
+    """The round-3 failure construction: probe slot 1 pegged ~1.0, slot 4
+    pegged ~0.0. The OLD own-probe shallower-gate flip-flopped 1<->4 every
+    chunk on exactly this input; the below-candidate gate reads slot 1's
+    probe before moving to it (~1.0 > margin) and stays put — flip-flop is
+    structurally impossible on static probe readings because the down
+    decision and the subsequent up decision read the SAME probe."""
+    from duodiff_tpu.diffusion.static_exit import make_adaptive_exit_sampler
+
+    _, params0 = ee_model
+    params = _miscalibrated(params0)
+    schedule = NoiseSchedule.create(steps=20)
+    shape = (2, 16, 16, 3)
+    raw = make_adaptive_exit_sampler(
+        CFG, params, schedule=schedule, layers=[1, 4], chunk=2,
+        threshold=0.5, monotone=False, dtype=jnp.float32,
+    )
+    _, log_raw = raw(jax.random.PRNGKey(0), shape)
+    seq_raw = [r["layer"] for r in log_raw]
+    assert _direction_changes(seq_raw) == 0, seq_raw
+    assert seq_raw == [4] * len(seq_raw), seq_raw  # below reads ~1.0: stay
+    assert all("below_probe" in r for r in log_raw)
+    assert log_raw[0]["below_probe"] == pytest.approx(1.0, abs=1e-3)
+
+
+def test_bidirectional_calibrated_walk(ee_model):
+    """With calibration fitted on the same (sabotaged) checkpoint the
+    threshold lives in realized-error units: the walk steps down exactly
+    when the below-candidate's calibrated error clears the margin, and
+    settles without oscillation."""
     from duodiff_tpu.diffusion.static_exit import make_adaptive_exit_sampler
 
     model, params0 = ee_model
     params = _miscalibrated(params0)
     schedule = NoiseSchedule.create(steps=20)
     shape = (2, 16, 16, 3)
-
-    def direction_changes(seq):
-        deltas = [b - a for a, b in zip(seq, seq[1:]) if b != a]
-        return sum(
-            1 for d1, d2 in zip(deltas, deltas[1:])
-            if (d1 > 0) != (d2 > 0)
-        )
-
-    # raw walk, reference-style threshold in probe units: deep probe reads
-    # ~0 (go shallower), shallow probe reads ~1 (go deeper) -> flip-flop
-    raw = make_adaptive_exit_sampler(
-        CFG, params, schedule=schedule, layers=[1, 4], chunk=2,
-        threshold=0.5, monotone=False, dtype=jnp.float32,
-    )
-    x_raw, log_raw = raw(jax.random.PRNGKey(0), shape)
-    seq_raw = [r["layer"] for r in log_raw]
-    assert direction_changes(seq_raw) >= 3, seq_raw
-
-    # calibrate on the SAME (sabotaged) checkpoint: both pegged probes fit
-    # to constant predictors at their layers' mean realized errors
     u_rows, e_rows = collect_probe_stats(
         lambda x, t, y: model.apply({"params": params}, x, t, y),
         schedule, jax.random.PRNGKey(1), shape,
     )
     calib = fit_probe_calibration(u_rows, e_rows)
     assert calib["a"][1] == 0.0 and calib["a"][4] == 0.0  # pegged probes
-    thr = 2.0 * max(calib["b"][1], calib["b"][4])
+    # threshold comfortably above both layers' mean realized errors: the
+    # below-candidate (slot 1, constant predictor b1) clears the margin,
+    # so the walk descends once and stays
+    thr = 2.0 * max(calib["b"][1], calib["b"][4]) / 0.7
     cal = make_adaptive_exit_sampler(
         CFG, params, schedule=schedule, layers=[1, 4], chunk=2,
         threshold=thr, monotone=False, calibration=calib,
@@ -168,11 +183,25 @@ def test_bidirectional_oscillates_raw_stabilizes_calibrated(ee_model):
     )
     x_cal, log_cal = cal(jax.random.PRNGKey(0), shape)
     seq_cal = [r["layer"] for r in log_cal]
-    assert direction_changes(seq_cal) <= 1, seq_cal
+    assert _direction_changes(seq_cal) == 0, seq_cal
+    assert seq_cal[0] == 4 and seq_cal[-1] == 1, seq_cal
     assert all("calibrated" in r for r in log_cal)
     # decisions used the mapped values: constant predictors -> each row's
     # calibrated value equals its slot's intercept
     for r in log_cal:
         slot = min(r["layer"], CFG.depth - 1)
         assert r["calibrated"] == pytest.approx(calib["b"][slot], rel=1e-4)
+    row0 = log_cal[0]
+    assert row0["below_calibrated"] == pytest.approx(calib["b"][1],
+                                                     rel=1e-4)
     assert np.isfinite(np.asarray(x_cal)).all()
+
+
+def test_probed_apply_rejects_slot_past_truncation(ee_model):
+    from duodiff_tpu.diffusion.static_exit import truncated_ee_apply_probed
+
+    _, params = ee_model
+    with pytest.raises(ValueError, match="probe_slots"):
+        truncated_ee_apply_probed(
+            CFG, params, 2, dtype=jnp.float32, probe_slots=[3]
+        )

@@ -304,24 +304,30 @@ def main(argv=None):
         if want("ee_adaptive_bidir") and args.probe_calibration:
             # the CALIBRATED bidirectional walk (VERDICT r3 #3): decisions
             # in realized-error units via per-slot affine maps
-            # (tools/calibrate_probes.py). Threshold = the middle candidate
-            # layer's mean realized error from the calibration file — the
-            # walk should hover around that depth and move both ways.
+            # (tools/calibrate_probes.py). Threshold = 2x the deepest
+            # slot's mean realized error — the conservative "exit where
+            # it's nearly free" gate (a permissive threshold sanctions
+            # trajectory-destroying shallow descents: measured, the
+            # middle-layer-mean threshold scored within-image std 0.48).
+            # depth-1 joins the candidates so the gate has a nearly-free
+            # rung to use.
             from duodiff_tpu.diffusion.calibration import (
                 load_probe_calibration,
             )
 
             calib = load_probe_calibration(args.probe_calibration)
-            layers = sorted(int(v) for v in args.adaptive_layers.split(","))
-            mid_slot = min(layers[len(layers) // 2],
-                           len(calib["mean_error"]) - 1)
-            thr = calib["mean_error"][mid_slot]
+            depth = len(calib["mean_error"])
+            layers = sorted(
+                {int(v) for v in args.adaptive_layers.split(",")}
+                | {depth - 1}
+            )
+            thr = 2.0 * calib["mean_error"][depth - 1]
             t = time.time()
             eesampler_cli.main([
                 "--config_path", args.ee_config,
                 "--checkpoint_path", args.ee_checkpoint,
                 "--threshold", str(thr),
-                "--adaptive_layers", args.adaptive_layers,
+                "--adaptive_layers", ",".join(str(v) for v in layers),
                 "--adaptive_chunk", "50",
                 "--adaptive_bidirectional",
                 "--probe_calibration", args.probe_calibration,
