@@ -103,9 +103,14 @@ def fit_probe_calibration(u_rows, e_rows, *, min_rel_var: float = 1e-12):
     predictor ``a = 0, b = mean(e)``: the layer's average realized error,
     which keeps cross-layer comparisons meaningful even for a dead probe.
 
-    Returns ``{"a": [...], "b": [...], "r": [...], "mean_error": [...]}``
-    with one entry per probe slot; ``r`` is the Pearson correlation
-    (diagnostic only).
+    Returns ``{"a": [...], "b": [...], "r": [...], "mean_error": [...],
+    "u_min": [...], "u_max": [...]}`` with one entry per probe slot;
+    ``r`` is the Pearson correlation (diagnostic), ``u_min``/``u_max``
+    the fitted input range — :func:`apply_probe_calibration` clips raw
+    values into it, because the affine is meaningless outside the data it
+    was fitted on (measured: a truncated-trajectory probe reading far
+    below its dense-trajectory range extrapolated to error -107, poisoning
+    every walk decision at that depth).
     """
     u = np.asarray(u_rows, np.float64)
     e = np.asarray(e_rows, np.float64)
@@ -134,12 +139,26 @@ def fit_probe_calibration(u_rows, e_rows, *, min_rel_var: float = 1e-12):
         "b": b_out,
         "r": r_out,
         "mean_error": [float(v) for v in e.mean(axis=0)],
+        "u_min": [float(v) for v in u.min(axis=0)],
+        "u_max": [float(v) for v in u.max(axis=0)],
     }
 
 
 def apply_probe_calibration(calib, slot: int, value: float) -> float:
-    """Map a raw probe mean at ``slot`` onto realized-error units."""
-    return float(calib["a"][slot]) * float(value) + float(calib["b"][slot])
+    """Map a raw probe mean at ``slot`` onto realized-error units.
+
+    The raw value is clipped into the slot's fitted input range first
+    (nearest-neighbor extrapolation): outside that range the affine has no
+    data behind it, and an out-of-range reading — e.g. a probe evaluated
+    on a truncated trajectory's states, which can sit far from the dense
+    trajectory it was calibrated on — would otherwise extrapolate to
+    absurd (even negative) error estimates.
+    """
+    v = float(value)
+    if "u_min" in calib and "u_max" in calib:
+        v = min(max(v, float(calib["u_min"][slot])),
+                float(calib["u_max"][slot]))
+    return float(calib["a"][slot]) * v + float(calib["b"][slot])
 
 
 def save_probe_calibration(path, calib, *, meta: Optional[dict] = None):

@@ -76,6 +76,26 @@ def test_fit_degenerate_columns():
     assert calib["b"][1] == pytest.approx(e[:, 1].mean())
 
 
+def test_apply_clips_to_fitted_range():
+    """Out-of-range raw values clamp to the fitted input range instead of
+    extrapolating (measured failure: a truncated-trajectory probe reading
+    far below its dense-trajectory range extrapolated to error -107)."""
+    rng = np.random.RandomState(2)
+    u = 0.7 + 0.3 * rng.rand(100, 1)  # fitted on u in [0.7, 1.0]
+    e = 200.0 * u - 100.0
+    calib = fit_probe_calibration(u, e)
+    lo = apply_probe_calibration(calib, 0, 0.0)   # far below range
+    hi = apply_probe_calibration(calib, 0, 5.0)   # far above range
+    assert lo == pytest.approx(calib["a"][0] * u.min() + calib["b"][0])
+    assert hi == pytest.approx(calib["a"][0] * u.max() + calib["b"][0])
+    assert lo >= 0.0  # no absurd negative error estimates
+    # legacy files without the range fields keep plain affine behavior
+    legacy = {"a": calib["a"], "b": calib["b"]}
+    assert apply_probe_calibration(legacy, 0, 0.0) == pytest.approx(
+        calib["b"][0]
+    )
+
+
 def test_fit_shape_mismatch():
     with pytest.raises(ValueError, match="shape"):
         fit_probe_calibration(np.zeros((10, 3)), np.zeros((10, 2)))
