@@ -141,24 +141,39 @@ def fit_probe_calibration(u_rows, e_rows, *, min_rel_var: float = 1e-12):
         "mean_error": [float(v) for v in e.mean(axis=0)],
         "u_min": [float(v) for v in u.min(axis=0)],
         "u_max": [float(v) for v in u.max(axis=0)],
+        "e_min": [float(v) for v in e.min(axis=0)],
+        "e_max": [float(v) for v in e.max(axis=0)],
     }
 
 
 def apply_probe_calibration(calib, slot: int, value: float) -> float:
     """Map a raw probe mean at ``slot`` onto realized-error units.
 
-    The raw value is clipped into the slot's fitted input range first
-    (nearest-neighbor extrapolation): outside that range the affine has no
-    data behind it, and an out-of-range reading — e.g. a probe evaluated
-    on a truncated trajectory's states, which can sit far from the dense
-    trajectory it was calibrated on — would otherwise extrapolate to
-    absurd (even negative) error estimates.
+    Two clamps bound the estimate to the data the fit actually saw:
+
+    - the raw value is clipped into the slot's fitted INPUT range
+      (nearest-neighbor extrapolation — a probe evaluated on a truncated
+      trajectory's states can read far outside the dense-trajectory range
+      it was calibrated on, and the unclamped affine extrapolated such a
+      reading to error -107);
+    - the output is clipped into the slot's observed REALIZED-ERROR range
+      (the relation e(u) is nonlinear, so a least-squares affine can cross
+      zero inside its own fitted input range — slot 9 mapped its in-range
+      low end to -12.5, sanctioning a destructive shallow move and
+      permanently disabling the deepen gate).
+
+    The estimator therefore never claims an error smaller (or larger) than
+    any it ever measured for that slot.
     """
     v = float(value)
     if "u_min" in calib and "u_max" in calib:
         v = min(max(v, float(calib["u_min"][slot])),
                 float(calib["u_max"][slot]))
-    return float(calib["a"][slot]) * v + float(calib["b"][slot])
+    out = float(calib["a"][slot]) * v + float(calib["b"][slot])
+    if "e_min" in calib and "e_max" in calib:
+        out = min(max(out, float(calib["e_min"][slot])),
+                  float(calib["e_max"][slot]))
+    return out
 
 
 def save_probe_calibration(path, calib, *, meta: Optional[dict] = None):

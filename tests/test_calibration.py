@@ -96,6 +96,22 @@ def test_apply_clips_to_fitted_range():
     )
 
 
+def test_apply_clamps_output_to_observed_errors():
+    """A least-squares affine on a NONLINEAR e(u) can cross zero inside
+    its own fitted input range (measured: slot 9 mapped u_min to -12.5).
+    The output clamp floors estimates at the smallest realized error ever
+    observed for the slot."""
+    rng = np.random.RandomState(3)
+    u = 0.4 + 0.6 * rng.rand(300, 1)
+    e = np.maximum(0.5, 300.0 * (u - 0.7))  # flat floor then steep rise
+    calib = fit_probe_calibration(u, e)
+    # the affine itself is negative at the low end of the fitted range...
+    assert calib["a"][0] * u.min() + calib["b"][0] < 0
+    # ...but the applied estimate never drops below the observed floor
+    assert apply_probe_calibration(calib, 0, float(u.min())) >= 0.5
+    assert apply_probe_calibration(calib, 0, 0.0) >= 0.5
+
+
 def test_fit_shape_mismatch():
     with pytest.raises(ValueError, match="shape"):
         fit_probe_calibration(np.zeros((10, 3)), np.zeros((10, 2)))
