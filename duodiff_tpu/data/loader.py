@@ -108,7 +108,9 @@ class DataLoader:
                     except queue.Full:
                         continue
 
-        thread = threading.Thread(target=producer, daemon=True)
+        thread = threading.Thread(
+            target=producer, daemon=True, name="duodiff-loader-producer"
+        )
         thread.start()
         try:
             while True:
@@ -116,7 +118,12 @@ class DataLoader:
                 self._consumed_state = state
                 yield batch
         finally:
+            # Runs on generator .close() / GC. The producer checks `stop`
+            # both around the fetch and inside the bounded put, so it exits
+            # within one put-timeout even when the queue is full; join so
+            # callers (Trainer.train, tests) observe a thread-clean state.
             stop.set()
+            thread.join(timeout=5.0)
 
     def __iter__(self) -> Iterator[dict]:
         return self.prefetching_iterator()

@@ -389,11 +389,18 @@ class Block(nn.Module):
                     x.astype(self.dtype), ln_scale, ln_bias, wqkv, bqkv,
                     wp, bp, num_heads=self.num_heads, eps=1e-5,
                 )
-                out, ax, ah = mlp_sublayer_int8_calib(
+                out, ax, ah, (xr, hr) = mlp_sublayer_int8_calib(
                     x.astype(self.dtype), ln2_scale, ln2_bias, w1, b1,
                     w2, b2, eps=1e-5, gelu_approx=self.gelu_approx,
+                    with_rows=True,
                 )
                 self.sow("int8_calib", "mlp_amax", jnp.stack([ax, ah]))
+                # per-token amaxes for the percentile / clip-search
+                # calibration modes (utils/int8_calib.py)
+                self.sow(
+                    "int8_calib", "mlp_rowamax",
+                    jnp.stack([xr.reshape(-1), hr.reshape(-1)]),
+                )
                 return out
             x = fused_attn_sublayer_int8(
                 x.astype(self.dtype), ln_scale, ln_bias, wqkv, bqkv, wp, bp,

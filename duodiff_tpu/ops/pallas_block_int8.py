@@ -324,12 +324,19 @@ def attn_sublayer_int8_xla(
 
 def mlp_sublayer_int8_calib(
     x, ln_scale, ln_bias, fc1_kernel, fc1_bias, fc2_kernel, fc2_bias,
-    *, eps: float = 1e-5, gelu_approx: bool = False,
+    *, eps: float = 1e-5, gelu_approx: bool = False, with_rows: bool = False,
 ):
     """Dynamic-int8 MLP sublayer (XLA reference math) that also returns the
     activation amax at the two static-quant sites: (out, xn_amax, h_amax).
     xn is the post-LN input, h the post-GELU hidden — exactly what
     ``fused_mlp_sublayer_int8(static_scales=(xn_amax, h_amax))`` consumes.
+
+    ``with_rows=True`` appends the per-ROW (per-token) amaxes at both sites
+    — ``(xn_rows (B, L), h_rows (B, L))`` — the statistic the percentile /
+    clip-search calibration modes need: the dynamic path quantizes per row,
+    so a static scale's quality damage is governed by the distribution of
+    row amaxes it replaces (outlier rows above the clip saturate; the rest
+    lose resolution proportional to scale/row_amax).
     """
     hidden = fc1_kernel.shape[1]
     d = x.shape[-1]
@@ -352,6 +359,11 @@ def mlp_sublayer_int8_calib(
     out = (
         xv + out + fc2_bias.astype(jnp.float32).reshape(1, 1, d)
     ).astype(x.dtype)
+    if with_rows:
+        # rs/hrs are the per-row amaxes already divided by 127 (dequant
+        # scales); undo the factor so callers see raw activation amaxes
+        return (out, jnp.max(jnp.abs(xn)), jnp.max(jnp.abs(h)),
+                (rs[..., 0] * 127.0, hrs[..., 0] * 127.0))
     return out, jnp.max(jnp.abs(xn)), jnp.max(jnp.abs(h))
 
 

@@ -109,6 +109,19 @@ class Checkpointer:
                     with open(path / "run_args.json", "w") as f:
                         json.dump(args, f, indent=2)
 
+    def close(self) -> None:
+        """Commit any in-flight save and release orbax worker threads.
+        Idempotent; the Checkpointer is unusable for saves afterwards.
+        (The async path owns a background commit thread — without close,
+        every in-process Trainer run leaks it.)"""
+        self.wait_until_finished()
+        closer = getattr(self._ckptr, "close", None)
+        if closer is not None:
+            try:
+                closer()
+            except Exception:
+                pass
+
     # ---------------- discovery ----------------
 
     def tracked_checkpoints(self) -> list[Path]:

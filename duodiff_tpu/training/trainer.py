@@ -518,15 +518,41 @@ class Trainer:
             # terminating the process
             if in_main_thread:
                 signal.signal(signal.SIGTERM, prev_handler)
+            # release run-scoped resources (TB writer threads, jsonl fd,
+            # async-checkpoint threads). Without this, every in-process
+            # train (supervisor restarts, notebooks, test suites) leaks
+            # ~4 threads + open files until a native abort — the round-4
+            # slow-suite SIGABRT.
+            self.close()
+
+    def close(self) -> None:
+        """Release everything the Trainer owns that outlives a train step:
+        the metrics logger (TB event-writer threads + jsonl fd) and the
+        checkpointer (in-flight async saves + orbax worker threads).
+        Idempotent; called automatically when ``train()`` exits."""
+        self.logger.close()
+        self.checkpointer.close()
 
     def _train_loop(self, base_key, bshard, lshard):
-        args = self.args
         logs = []
+        # background prefetch overlaps host decode with the device step;
+        # get_state() stays checkpoint-exact (last *consumed* batch).
+        # Closed in the finally below — the generator's own finally stops
+        # and joins the producer thread (data/loader.py) — so every train
+        # run, including raising ones, is producer-thread-clean.
+        batch_iterator = self.dataloader.prefetching_iterator()
+        try:
+            self._run_steps(batch_iterator, base_key, bshard, lshard, logs)
+        finally:
+            batch_iterator.close()
+        # commit any in-flight async save before returning
+        self.checkpointer.wait_until_finished()
+        return logs
+
+    def _run_steps(self, batch_iterator, base_key, bshard, lshard, logs):
+        args = self.args
         t_last = time.time()
         profiler_active = False
-        # background prefetch overlaps host decode with the device step;
-        # get_state() stays checkpoint-exact (last *consumed* batch)
-        batch_iterator = self.dataloader.prefetching_iterator()
         for step in range(self.start_step + 1, args.n_steps + 1):
             if getattr(args, "profile", False):
                 if step == self.start_step + 3 and not profiler_active:
@@ -590,10 +616,6 @@ class Trainer:
                 print(f"preempted: saved checkpoint at step {step}, "
                       "exiting cleanly (resume with --resume)")
                 break
-
-        # commit any in-flight async save before returning
-        self.checkpointer.wait_until_finished()
-        return logs
 
     def _log_samples(self, step: int):
         """Periodic qualitative sampling to an image grid

@@ -77,10 +77,16 @@ class MetricsLogger:
                 print(f"add_hparams skipped ({e})")
 
     def close(self) -> None:
+        """Flush and release the jsonl fd and the TB event-writer threads.
+        Idempotent; the logger becomes a no-op afterwards (``enabled``
+        flips off) so late calls from embedding code can't crash."""
         if self._jsonl is not None:
             self._jsonl.close()
+            self._jsonl = None
         if self._tb is not None:
             self._tb.close()
+            self._tb = None
+        self.enabled = False
 
 
 def _maybe_str(v):

@@ -64,3 +64,45 @@ def _gc_freeze_between_modules():
     gc.collect()
     gc.freeze()
     yield
+
+
+# ---------------------------------------------------------------------------
+# Resource-leak tripwire. Round 4's slow suite died with a native SIGABRT
+# after ~30 leaked TensorBoard event-writer threads + loader producers piled
+# up across in-process CLI train runs (Trainer never closed its
+# MetricsLogger / prefetch iterator). The Trainer now closes both; this
+# fixture keeps it honest: any test that ends with MORE trainer-owned
+# threads than it started with fails immediately, instead of test #19 of
+# the slow set dying of someone else's leak.
+# ---------------------------------------------------------------------------
+import threading  # noqa: E402
+
+
+def _trainer_owned_threads() -> list:
+    out = []
+    for t in threading.enumerate():
+        if not t.is_alive():
+            continue
+        if t.name.startswith("duodiff-loader-producer"):
+            out.append(t)
+        elif type(t).__name__ == "_AsyncWriterThread":  # TB event writer
+            out.append(t)
+    return out
+
+
+@pytest.fixture(autouse=True)
+def _no_thread_leaks():
+    before = len(_trainer_owned_threads())
+    yield
+    leaked = _trainer_owned_threads()
+    if len(leaked) > before:
+        # give just-closed writers a beat to unwind before declaring a leak
+        for t in leaked:
+            t.join(timeout=2.0)
+        leaked = _trainer_owned_threads()
+    assert len(leaked) <= before, (
+        f"test leaked trainer-owned threads ({len(leaked)} alive, "
+        f"{before} at test start): {[t.name for t in leaked]} — every "
+        "in-process train/CLI run must leave the Trainer closed "
+        "(see duodiff_tpu/training/trainer.py Trainer.close)"
+    )

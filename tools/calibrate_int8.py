@@ -42,7 +42,25 @@ def get_args(argv=None):
     p.add_argument("--chunk", type=int, default=100,
                    help="scan chunk length (compile-time vs dispatch count)")
     p.add_argument("--margin", type=float, default=1.1,
-                   help="headroom multiplier on the calibrated amaxes")
+                   help="headroom multiplier on the calibrated scales")
+    p.add_argument("--mode", type=str, default="amax",
+                   choices=["amax", "percentile", "search"],
+                   help="amax: raw global amax*margin (round-3 behavior); "
+                        "percentile: clip at the --percentile-th percentile "
+                        "of per-row amaxes (outlier-robust); search: score "
+                        "a grid of percentile clips (+ the amax baseline) "
+                        "by final-sample PSNR vs the deployed dynamic-int8 "
+                        "kernels and keep the best")
+    p.add_argument("--percentile", type=float, default=99.9,
+                   help="row-amax percentile for --mode percentile")
+    p.add_argument("--search_grid", type=str,
+                   default="99.5,99.9,99.99,99.999",
+                   help="comma-separated percentiles for --mode search")
+    p.add_argument("--search_margin", type=float, default=1.0,
+                   help="margin applied to percentile candidates in search "
+                        "mode (amax baseline uses --margin)")
+    p.add_argument("--report", type=str, default=None,
+                   help="optional JSON path for the search candidate table")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--parametrization", type=str, default="predict_noise",
                    choices=["predict_noise", "predict_original",
@@ -67,10 +85,7 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from duodiff_tpu.diffusion import NoiseSchedule
-    from duodiff_tpu.utils.int8_calib import (
-        calibrate_int8_mlp_scales,
-        save_int8_scales,
-    )
+    from duodiff_tpu.utils.int8_calib import save_int8_scales
     from duodiff_tpu.utils.model_loading import load_model_from_config
 
     if not args.random_init and args.checkpoint_path is None:
@@ -109,32 +124,132 @@ def main(argv=None):
 
     print(
         f"calibrating {args.num_timesteps}-step trajectory, "
-        f"batch={args.batch_size}, margin={args.margin} ..."
+        f"batch={args.batch_size}, mode={args.mode} ..."
     )
-    scales = calibrate_int8_mlp_scales(
+    from duodiff_tpu.utils.int8_calib import (
+        calibrate_int8_stats,
+        scales_from_stats,
+    )
+
+    amax, quants = calibrate_int8_stats(
         model, params, schedule, jax.random.PRNGKey(args.seed), shape,
         parametrization=args.parametrization, y=y, chunk=args.chunk,
-        margin=args.margin,
     )
-    for name, (sx, sh) in sorted(scales.items()):
-        print(f"  {name:16s} post-LN amax {sx:8.3f}  post-GELU amax {sh:8.3f}")
 
-    save_int8_scales(
-        args.output, scales,
-        meta={
-            "config_path": args.config_path,
-            "checkpoint_path": args.checkpoint_path,
-            "num_timesteps": args.num_timesteps,
-            "batch_size": args.batch_size,
-            "margin": args.margin,
-            "parametrization": args.parametrization,
-            "gelu_approx": args.gelu_approx,
-            "seed": args.seed,
-            "early_exit": args.early_exit,
-            "use_ema": args.use_ema,
-        },
-    )
+    meta = {
+        "config_path": args.config_path,
+        "checkpoint_path": args.checkpoint_path,
+        "num_timesteps": args.num_timesteps,
+        "batch_size": args.batch_size,
+        "margin": args.margin,
+        "mode": args.mode,
+        "parametrization": args.parametrization,
+        "gelu_approx": args.gelu_approx,
+        "seed": args.seed,
+        "early_exit": args.early_exit,
+        "use_ema": args.use_ema,
+    }
+
+    if args.mode in ("amax", "percentile"):
+        scales = scales_from_stats(
+            amax, quants, mode=args.mode, percentile=args.percentile,
+            margin=args.margin,
+        )
+        if args.mode == "percentile":
+            meta["percentile"] = args.percentile
+    else:  # search: PSNR-score candidate clips vs the dynamic kernels
+        if args.early_exit:
+            raise SystemExit(
+                "--mode search supports backbone models only (the EE "
+                "serve path steps on exit-head outputs; calibrate EE "
+                "scales with --mode percentile instead)"
+            )
+        scales, table = _clip_search(args, amax, quants, schedule, shape, y)
+        meta["search"] = table
+        if args.report:
+            import json as _json
+
+            with open(args.report, "w") as f:
+                _json.dump(table, f, indent=2)
+            print(f"wrote search report {args.report}")
+
+    for name, (sx, sh) in sorted(scales.items()):
+        print(f"  {name:16s} post-LN clip {sx:8.3f}  post-GELU clip {sh:8.3f}")
+
+    save_int8_scales(args.output, scales, meta=meta)
     print(f"wrote {args.output}")
+
+
+def _clip_search(args, amax, quants, schedule, shape, y):
+    """Score candidate static-scale sets by final-sample PSNR against the
+    deployed DYNAMIC-int8 kernels (the quality bar the static rows must
+    hold: assets/quality/fd_table_textured.json shows dynamic at
+    fd-vs-dense 2.4-5.2 while round-4's raw amax*1.1 static scales sat at
+    ~20). Returns (best_scales, candidate_table)."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from duodiff_tpu.diffusion.sampling import make_chunked_ddpm_sampler
+    from duodiff_tpu.utils.int8_calib import (
+        save_int8_scales,
+        scales_from_stats,
+    )
+    from duodiff_tpu.utils.model_loading import load_model_from_config
+
+    def build_sampler(scales_path):
+        model, params, _, _ = load_model_from_config(
+            args.config_path,
+            None if args.random_init else args.checkpoint_path,
+            seed=args.seed,
+            attn_impl="fused_int8",
+            gelu_approx=args.gelu_approx,
+            use_ema=args.use_ema,
+            int8_scales=scales_path,
+        )
+        return make_chunked_ddpm_sampler(
+            lambda p, x, t, yy: model.apply({"params": p}, x, t, yy),
+            schedule,
+            parametrization=args.parametrization,
+            chunk=args.chunk,
+            params=params,
+        )
+
+    key = jax.random.PRNGKey(args.seed + 17)
+    print("search: dynamic-int8 reference trajectory ...")
+    ref = jax.block_until_ready(build_sampler(None)(key, shape))
+
+    grid = [float(p) for p in args.search_grid.split(",") if p]
+    candidates = [("amax", None, args.margin)] + [
+        ("percentile", p, args.search_margin) for p in grid
+    ]
+    table = []
+    best = None
+    for mode, pct, margin in candidates:
+        cand = scales_from_stats(
+            amax, quants, mode=mode,
+            percentile=pct if pct is not None else 100.0, margin=margin,
+        )
+        with tempfile.NamedTemporaryFile(
+            "w", suffix=".json", delete=False
+        ) as f:
+            save_int8_scales(f.name, cand)
+            cand_path = f.name
+        x = jax.block_until_ready(build_sampler(cand_path)(key, shape))
+        err = jnp.mean((x.astype(jnp.float32) - ref.astype(jnp.float32))
+                       ** 2)
+        psnr = float(10.0 * jnp.log10(4.0 / jnp.maximum(err, 1e-12)))
+        label = mode if pct is None else f"p{pct}"
+        row = {"candidate": label, "mode": mode, "percentile": pct,
+               "margin": margin, "psnr_vs_dynamic_db": round(psnr, 2)}
+        table.append(row)
+        print(f"search: {label:12s} psnr vs dynamic {psnr:6.2f} dB")
+        if best is None or psnr > best[0]:
+            best = (psnr, cand, row)
+    print(f"search: best candidate {best[2]['candidate']} "
+          f"({best[0]:.2f} dB)")
+    return best[1], table
 
 
 if __name__ == "__main__":
