@@ -105,14 +105,14 @@ def main():
         and os.path.exists(duo_sched_path)
         and not os.environ.get("BENCH_CACHE_SCHEDULE")
         and "BENCH_CACHE_EVERY" not in os.environ
+        # an explicit BENCH_ATTN request measures that single-model leg —
+        # never silently rerouted to the DuoDiff composition
+        and "BENCH_ATTN" not in os.environ
     )
     if "BENCH_ATTN" in os.environ:
-        if duo_on:
-            legs = [(os.environ["BENCH_ATTN"], "duodiff")]
-        else:
-            legs = [(os.environ["BENCH_ATTN"],
-                     head_cache if ("BENCH_CACHE_EVERY" in os.environ
-                                    or sched_path) else None)]
+        legs = [(os.environ["BENCH_ATTN"],
+                 head_cache if ("BENCH_CACHE_EVERY" in os.environ
+                                or sched_path) else None)]
     elif on_tpu:
         legs = [("fused_int8", head_cache),
                 ("fused_int8", None), ("fused", None)]
@@ -150,6 +150,13 @@ def main():
         t_switch = int(os.environ.get(
             "BENCH_T_SWITCH", duo_meta.get("t_switch", 300)
         ))
+        if not 1 <= t_switch <= steps - 1:
+            raise SystemExit(
+                f"BENCH_T_SWITCH={t_switch} is out of range: the "
+                f"shallow/full handoff needs 1 <= t_switch <= "
+                f"steps-1 ({steps - 1}) — a value outside that range "
+                "would index the schedule with negative timesteps"
+            )
         if t_switch != duo_meta.get("t_switch", t_switch):
             print(
                 f"bench: BENCH_T_SWITCH={t_switch} differs from the "

@@ -194,4 +194,15 @@ def load_probe_calibration(path) -> dict:
         )
     if len(calib["a"]) != len(calib["b"]):
         raise ValueError(f"{path}: len(a) != len(b)")
+    # consumers (the bidirectional adaptive walk, quality_matrix's
+    # ee_adaptive_bidir row) derive depth and thresholds from mean_error;
+    # reject legacy/hand-made files here with a clear message instead of a
+    # bare KeyError at use site
+    if "mean_error" not in calib:
+        raise ValueError(
+            f"{path}: missing 'mean_error' (per-layer realized-error "
+            "means) — regenerate with tools/calibrate_probes.py"
+        )
+    if len(calib["mean_error"]) != len(calib["a"]):
+        raise ValueError(f"{path}: len(mean_error) != len(a)")
     return calib

@@ -744,8 +744,14 @@ def make_adaptive_exit_sampler(
             log.append(row)
             if value > threshold and li < len(layers) - 1:
                 li += 1
-            elif (below_value is not None
+            elif (value <= threshold
+                    and below_value is not None
                     and below_value <= threshold * margin):
+                # move shallower only when the OWN calibrated error is
+                # also within budget: at the deepest candidate a
+                # value>threshold reading (deepen impossible) must not
+                # resolve toward less compute just because the
+                # below-candidate's probe clears the margin
                 li -= 1
             t = lo - 1
         return x, log

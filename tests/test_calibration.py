@@ -191,6 +191,44 @@ def test_bidirectional_below_gate_cannot_flipflop(ee_model):
     assert log_raw[0]["below_probe"] == pytest.approx(1.0, abs=1e-3)
 
 
+def test_bidirectional_no_down_move_on_contradictory_readings(ee_model):
+    """At the deepest candidate with the OWN probe over threshold (deepen
+    impossible) and the below-candidate's probe clearing the margin, the
+    walk must STAY: contradictory readings must not resolve toward less
+    compute (round-4 advisor finding — the shallow-move branch had
+    dropped the own-value hysteresis condition)."""
+    from duodiff_tpu.diffusion.static_exit import make_adaptive_exit_sampler
+
+    _, params0 = ee_model
+    probes = jax.tree_util.tree_map(np.asarray, params0["probes"])
+    kernel = probes["classifier"]["kernel"].copy()
+    bias = probes["classifier"]["bias"].copy()
+    kernel[4] = 0.0
+    bias[4] = 20.0   # deepest candidate's probe pegged ~1.0 (> threshold)
+    kernel[1] = 0.0
+    bias[1] = -20.0  # below candidate pegged ~0.0 (clears any margin)
+    params = dict(params0)
+    params["probes"] = {"classifier": {"kernel": jnp.asarray(kernel),
+                                       "bias": jnp.asarray(bias)}}
+    schedule = NoiseSchedule.create(steps=20)
+    raw = make_adaptive_exit_sampler(
+        CFG, params, schedule=schedule, layers=[1, 4], chunk=2,
+        threshold=0.5, monotone=False, dtype=jnp.float32,
+    )
+    _, log = raw(jax.random.PRNGKey(0), (2, 16, 16, 3))
+    seq = [r["layer"] for r in log]
+    assert seq == [4] * len(seq), seq
+
+
+def test_load_probe_calibration_rejects_missing_mean_error(tmp_path):
+    """Legacy/hand-made files without mean_error fail with a clear error
+    at load time, not a KeyError at the use site (round-4 advisor)."""
+    p = tmp_path / "calib.json"
+    p.write_text(json.dumps({"a": [1.0, 1.0], "b": [0.0, 0.0]}))
+    with pytest.raises(ValueError, match="mean_error"):
+        load_probe_calibration(str(p))
+
+
 def test_bidirectional_calibrated_walk(ee_model):
     """With calibration fitted on the same (sabotaged) checkpoint the
     threshold lives in realized-error units: the walk steps down exactly

@@ -192,6 +192,52 @@ def test_calibrate_and_apply_tiny_uvit(tmp_path):
     assert rel < 0.05, rel
 
 
+def test_percentile_calibration_tighter_than_amax():
+    """The percentile/clip-search stats path: union-percentile clips are
+    monotone in p, never exceed the observed amax, and the underlying
+    per-step quantile curves have the documented shapes."""
+    from duodiff_tpu.config import UViTConfig
+    from duodiff_tpu.diffusion import NoiseSchedule
+    from duodiff_tpu.models.uvit import init_uvit
+    from duodiff_tpu.utils.int8_calib import (
+        CALIB_FRACTIONS,
+        calibrate_int8_stats,
+        scales_from_stats,
+    )
+
+    cfg = UViTConfig(
+        img_size=8, patch_size=4, in_chans=3, embed_dim=16, depth=3,
+        num_heads=2, mlp_ratio=2, qkv_bias=False, mlp_time_embed=False,
+        num_classes=-1, normalize_timesteps=True,
+    )
+    model_cal, params = init_uvit(
+        cfg, jax.random.PRNGKey(0), attn_impl="fused_int8",
+        int8_calibrate=True,
+    )
+    schedule = NoiseSchedule.create(steps=4)
+    amax, quants = calibrate_int8_stats(
+        model_cal, params, schedule, jax.random.PRNGKey(1), (2, 8, 8, 3),
+        chunk=4,
+    )
+    assert sorted(amax) == ["in_blocks_0", "mid_block", "out_blocks_0"]
+    q = quants["mid_block"]
+    assert q.shape == (4, 2, len(CALIB_FRACTIONS))
+    # quantile curves are nondecreasing along the fraction axis
+    assert (np.diff(q, axis=-1) >= -1e-6).all()
+    s_amax = scales_from_stats(amax, quants, mode="amax")
+    s_hi = scales_from_stats(amax, quants, mode="percentile",
+                             percentile=99.9)
+    s_lo = scales_from_stats(amax, quants, mode="percentile",
+                             percentile=90.0)
+    for k in s_amax:
+        for i in (0, 1):
+            assert s_lo[k][i] <= s_hi[k][i] <= s_amax[k][i]
+            assert s_hi[k][i] > 0
+    # the fraction-1.0 point of each step's curve is bounded by the amax
+    assert float(q[..., -1].max()) <= float(np.asarray(
+        amax["mid_block"]).max()) + 1e-4
+
+
 def test_flagship_scales_asset_valid():
     """The committed flagship calibration (assets/) must stay loadable and
     depth-matched — bench.py defaults to it for the int8 headline leg."""
