@@ -75,6 +75,13 @@ def get_args(argv=None):
     p.add_argument("--int8_scales", type=str, default=None,
                    help="tools/calibrate_int8.py JSON: static MLP "
                         "activation scales for --attn_impl fused_int8")
+    p.add_argument("--model_parallel", type=int, default=1,
+                   help="tensor-parallel degree for bucket/continuous "
+                        "serving: shard attention heads / MLP hidden over "
+                        "the mesh 'model' axis (sampler.py's TP; heads "
+                        "qkv layout, converted on load). Remaining "
+                        "devices form the 'data' axis the bucket/slot "
+                        "batch shards over")
     p.add_argument("--warmup", action=argparse.BooleanOptionalAction,
                    default=True)
     p.add_argument("--slots", type=int, default=0,
@@ -163,15 +170,55 @@ class _ServiceBase:
             )
 
             self.static_buckets = parse_exit_schedule(args.static_schedule)
+
+        # Multi-chip serving (sampler.py's sampling parallelism behind the
+        # server): --model_parallel N shards heads/hidden over the mesh
+        # "model" axis (Megatron heads layout; TP x fused shard_map kernels
+        # when --attn_impl fused) and the bucket/slot batch shards over
+        # "data"; without TP, a divisible bucket/slot batch still shards
+        # over all devices. Values are sharding-independent (noise drawn
+        # first, then placed) — multi-chip serving is bit-identical to
+        # single-chip for the same request (tested on the CPU mesh).
+        mp = max(1, getattr(args, "model_parallel", 1) or 1)
+        self._mp = mp
+        batch_n = args.slots if args.slots else args.bucket
+        qkv_layout = "heads" if mp > 1 else "packed"
+        tp_mesh = None
+        if mp > 1:
+            if self.static_buckets is not None:
+                raise SystemExit(
+                    "--model_parallel does not compose with "
+                    "--static_schedule yet (each truncated bucket would "
+                    "need its own head-sharded executable); serve "
+                    "static-exit single-chip or shard the batch only"
+                )
+            if args.attn_impl == "fused":
+                # TP x fused needs the mesh at module-build time
+                from duodiff_tpu.parallel import sampling_mesh
+
+                tp_mesh = sampling_mesh(mp, batch_n)
         model, params, cfg, ae_cfg = load_model_from_config(
             args.config_path,
             None if args.random_init else args.checkpoint_path,
             early_exit=self.static_buckets is not None,
             attn_impl=args.attn_impl,
             gelu_approx=args.gelu_approx,
+            qkv_layout=qkv_layout,
             use_ema=args.use_ema,
             int8_scales=args.int8_scales,
+            tp_mesh=tp_mesh,
         )
+        from duodiff_tpu.parallel import setup_sampling_sharding
+        from duodiff_tpu.parallel.mesh import create_mesh, sampling_mesh
+
+        self.batch_shard, (params,) = setup_sampling_sharding(
+            mp, batch_n, [params], mesh=tp_mesh
+        )
+        self.serve_mesh = None
+        if mp > 1:
+            self.serve_mesh = tp_mesh or sampling_mesh(mp, batch_n)
+        elif self.batch_shard is not None:
+            self.serve_mesh = create_mesh()
         self.model = model
         self.params = params
         self.cfg = cfg
@@ -420,6 +467,10 @@ class _ServiceBase:
         return {
             "status": "ok",
             "backend": self.jax.default_backend(),
+            "devices": self.jax.device_count(),
+            "mesh": (dict(self.serve_mesh.shape)
+                     if self.serve_mesh is not None else None),
+            "model_parallel": self._mp,
             "method": self.method,
             "steps": self.steps,
             "img_size": self.cfg.img_size,
@@ -486,8 +537,23 @@ class SamplerService(_ServiceBase):
             return
 
         cache = self.cache
+
+        def sharded_x_init(k):
+            """Pre-draw x_T exactly as dpm/ddim would internally (their
+            first key split), then commit it to the batch sharding —
+            multi-chip runs stay bit-identical to single-chip."""
+            if self.batch_shard is None:
+                return None
+            init_key = jax.random.split(k)[1]
+            import jax.numpy as jnp
+
+            return jax.device_put(
+                jax.random.normal(init_key, self.shape, jnp.float32),
+                self.batch_shard,
+            )
+
         if self.method == "dpm":
-            def run_dpm(p, k, y):
+            def run_dpm(p, k, y, xi):
                 c = None
                 if cache is not None:
                     c = (lambda xx, tt, yy: cache[0](p, xx, tt, yy),
@@ -498,16 +564,19 @@ class SamplerService(_ServiceBase):
                     schedule=schedule, shape=self.shape,
                     dpm_steps=self.steps,
                     parametrization=args.parametrization, y=y, cache=c,
+                    x_init=xi,
                 )
 
-            self._run = jax.jit(run_dpm)
+            jit_dpm = jax.jit(run_dpm)
+            self._run = lambda p, k, y: jit_dpm(p, k, y, sharded_x_init(k))
         elif self.method == "ddim":
             # ddim_sample is predict_noise-form (reference sampler.py:103-126)
-            self._run = jax.jit(lambda p, k, y: ddim_sample(
+            jit_ddim = jax.jit(lambda p, k, y, xi: ddim_sample(
                 lambda xx, tt, yy: apply_fn(p, xx, tt, yy), k,
                 schedule=schedule, shape=self.shape, ddim_steps=self.steps,
-                eta=0.0, y=y,
+                eta=0.0, y=y, x_init=xi,
             )[0])
+            self._run = lambda p, k, y: jit_ddim(p, k, y, sharded_x_init(k))
         else:  # ddpm
             if cache is not None:
                 from duodiff_tpu.diffusion import make_block_cached_apply
@@ -531,7 +600,9 @@ class SamplerService(_ServiceBase):
                     parametrization=args.parametrization, params=params,
                 )
             # params already threaded at construction; sample returns x
-            self._run = lambda p, k, y: sampler.sample(k, self.shape, y=y)
+            self._run = lambda p, k, y: sampler.sample(
+                k, self.shape, y=y, sharding=self.batch_shard
+            )
 
     def sample(self, n=1, seed=None, class_id=None):
         jax = self.jax
@@ -581,6 +652,7 @@ class ContinuousSamplerService(_ServiceBase):
             ddim_steps=self.steps, dpm_steps=self.steps,
             steps_per_poll=args.steps_per_poll,
             conditional=cfg.num_classes > 0,
+            mesh=self.serve_mesh,
             cache=self.cache,
         )
         self._cv = threading.Condition()
