@@ -76,6 +76,11 @@ def main(argv=None):
                              "segment only")
     parser.add_argument("--shallow_config", type=str, default=None)
     parser.add_argument("--shallow_checkpoint", type=str, default=None)
+    parser.add_argument("--label_max", type=int, default=None,
+                        help="conditional models: draw the drift-batch "
+                             "labels in [0, label_max) instead of the full "
+                             "class range (synthetic benchmarks train only "
+                             "the first few class embeddings)")
     parser.add_argument("--static_schedule", type=str, default=None,
                         help="static-exit mode: bucket schedule "
                              "'999-700:3,699-300:8,299-0:13' over an "
@@ -142,8 +147,14 @@ def main(argv=None):
         # class-conditional model: fixed random labels (the same draw
         # tools/bench_matrix.py measures with) — drift is averaged over
         # the batch, so a label mix is what the schedule should see
-        y = jax.random.randint(jax.random.PRNGKey(7), (args.batch,), 0,
-                               cfg.num_classes)
+        hi = cfg.num_classes
+        if args.label_max is not None:
+            if not 1 <= args.label_max <= cfg.num_classes:
+                raise SystemExit(
+                    f"--label_max must be in [1, {cfg.num_classes}]"
+                )
+            hi = args.label_max
+        y = jax.random.randint(jax.random.PRNGKey(7), (args.batch,), 0, hi)
 
     schedule = NoiseSchedule.create(steps=args.steps)
     shape = (args.batch, cfg.img_size, cfg.img_size, cfg.in_chans)
