@@ -105,7 +105,10 @@ def main(argv=None):
         if d.is_dir() and any(_is_final_sample(p) for p in d.glob("*.png"))
     }
     if args.methods:
-        keep = set(args.methods.split(","))
+        # the baseline stays in scope: its samples anchor the *_vs_dense
+        # columns (and its row is deterministic at a fixed seed, so
+        # re-scoring it alongside a restricted method set is harmless)
+        keep = set(args.methods.split(",")) | {args.baseline}
         method_dirs = {k: v for k, v in method_dirs.items() if k in keep}
     if args.baseline not in method_dirs:
         raise SystemExit(f"baseline method '{args.baseline}' has no samples "
