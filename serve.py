@@ -183,6 +183,7 @@ class _ServiceBase:
         self._mp = mp
         batch_n = args.slots if args.slots else args.bucket
         qkv_layout = "heads" if mp > 1 else "packed"
+        serve_mesh = None
         tp_mesh = None
         if mp > 1:
             if self.static_buckets is not None:
@@ -192,11 +193,12 @@ class _ServiceBase:
                     "need its own head-sharded executable); serve "
                     "static-exit single-chip or shard the batch only"
                 )
+            from duodiff_tpu.parallel import sampling_mesh
+
+            serve_mesh = sampling_mesh(mp, batch_n)
             if args.attn_impl == "fused":
                 # TP x fused needs the mesh at module-build time
-                from duodiff_tpu.parallel import sampling_mesh
-
-                tp_mesh = sampling_mesh(mp, batch_n)
+                tp_mesh = serve_mesh
         model, params, cfg, ae_cfg = load_model_from_config(
             args.config_path,
             None if args.random_init else args.checkpoint_path,
@@ -208,17 +210,21 @@ class _ServiceBase:
             int8_scales=args.int8_scales,
             tp_mesh=tp_mesh,
         )
-        from duodiff_tpu.parallel import setup_sampling_sharding
-        from duodiff_tpu.parallel.mesh import create_mesh, sampling_mesh
-
-        self.batch_shard, (params,) = setup_sampling_sharding(
-            mp, batch_n, [params], mesh=tp_mesh
-        )
+        self.batch_shard = None
         self.serve_mesh = None
-        if mp > 1:
-            self.serve_mesh = tp_mesh or sampling_mesh(mp, batch_n)
-        elif self.batch_shard is not None:
-            self.serve_mesh = create_mesh()
+        if self.static_buckets is None:
+            from duodiff_tpu.parallel import setup_sampling_sharding
+            from duodiff_tpu.parallel.mesh import create_mesh
+
+            self.batch_shard, (params,) = setup_sampling_sharding(
+                mp, batch_n, [params], mesh=serve_mesh
+            )
+            self.serve_mesh = serve_mesh
+            if mp == 1 and self.batch_shard is not None:
+                self.serve_mesh = create_mesh()
+        # else: the truncated-bucket static-exit sampler has no sharding
+        # path — keep placement single-chip and report it honestly in
+        # /healthz rather than advertising a mesh serving never uses
         self.model = model
         self.params = params
         self.cfg = cfg

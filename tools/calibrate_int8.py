@@ -166,6 +166,11 @@ def main(argv=None):
             )
         scales, table = _clip_search(args, amax, quants, schedule, shape, y)
         meta["search"] = table
+        # the saved scales are the best-PSNR candidate's — record WHICH
+        # (and its actual margin; the top-level "margin" field only
+        # describes the amax baseline candidate)
+        winner = max(table, key=lambda r: r["psnr_vs_dynamic_db"])
+        meta["search_winner"] = winner
         if args.report:
             import json as _json
 
@@ -218,7 +223,9 @@ def _clip_search(args, amax, quants, schedule, shape, y):
 
     key = jax.random.PRNGKey(args.seed + 17)
     print("search: dynamic-int8 reference trajectory ...")
-    ref = jax.block_until_ready(build_sampler(None)(key, shape))
+    # same labels the stats trajectory calibrated on (conditional models
+    # assert y is not None at apply time)
+    ref = jax.block_until_ready(build_sampler(None)(key, shape, y=y))
 
     grid = [float(p) for p in args.search_grid.split(",") if p]
     candidates = [("amax", None, args.margin)] + [
@@ -226,27 +233,28 @@ def _clip_search(args, amax, quants, schedule, shape, y):
     ]
     table = []
     best = None
-    for mode, pct, margin in candidates:
-        cand = scales_from_stats(
-            amax, quants, mode=mode,
-            percentile=pct if pct is not None else 100.0, margin=margin,
-        )
-        with tempfile.NamedTemporaryFile(
-            "w", suffix=".json", delete=False
-        ) as f:
-            save_int8_scales(f.name, cand)
-            cand_path = f.name
-        x = jax.block_until_ready(build_sampler(cand_path)(key, shape))
-        err = jnp.mean((x.astype(jnp.float32) - ref.astype(jnp.float32))
-                       ** 2)
-        psnr = float(10.0 * jnp.log10(4.0 / jnp.maximum(err, 1e-12)))
-        label = mode if pct is None else f"p{pct}"
-        row = {"candidate": label, "mode": mode, "percentile": pct,
-               "margin": margin, "psnr_vs_dynamic_db": round(psnr, 2)}
-        table.append(row)
-        print(f"search: {label:12s} psnr vs dynamic {psnr:6.2f} dB")
-        if best is None or psnr > best[0]:
-            best = (psnr, cand, row)
+    with tempfile.TemporaryDirectory(prefix="int8_search_") as tmp:
+        for i, (mode, pct, margin) in enumerate(candidates):
+            cand = scales_from_stats(
+                amax, quants, mode=mode,
+                percentile=pct if pct is not None else 100.0, margin=margin,
+            )
+            cand_path = f"{tmp}/cand_{i}.json"
+            save_int8_scales(cand_path, cand)
+            x = jax.block_until_ready(
+                build_sampler(cand_path)(key, shape, y=y)
+            )
+            err = jnp.mean(
+                (x.astype(jnp.float32) - ref.astype(jnp.float32)) ** 2
+            )
+            psnr = float(10.0 * jnp.log10(4.0 / jnp.maximum(err, 1e-12)))
+            label = mode if pct is None else f"p{pct}"
+            row = {"candidate": label, "mode": mode, "percentile": pct,
+                   "margin": margin, "psnr_vs_dynamic_db": round(psnr, 2)}
+            table.append(row)
+            print(f"search: {label:12s} psnr vs dynamic {psnr:6.2f} dB")
+            if best is None or psnr > best[0]:
+                best = (psnr, cand, row)
     print(f"search: best candidate {best[2]['candidate']} "
           f"({best[0]:.2f} dB)")
     return best[1], table
