@@ -76,6 +76,12 @@ def main(argv=None):
                              "segment only")
     parser.add_argument("--shallow_config", type=str, default=None)
     parser.add_argument("--shallow_checkpoint", type=str, default=None)
+    parser.add_argument("--full_seed", type=int, default=None,
+                        help="random-init DuoDiff mode: init the FULL "
+                             "model from this seed instead of --seed "
+                             "(bench.py pairs shallow PRNGKey(0) with "
+                             "full PRNGKey(1) — derive on that exact "
+                             "pair)")
     parser.add_argument("--label_max", type=int, default=None,
                         help="conditional models: draw the drift-batch "
                              "labels in [0, label_max) instead of the full "
@@ -120,20 +126,25 @@ def main(argv=None):
     attn = args.attn_impl or ("fused" if on_tpu else "xla")
     gelu = bool(args.gelu_approx) if args.gelu_approx is not None else on_tpu
 
+    full_seed = args.seed if args.full_seed is None else args.full_seed
+    if args.full_seed is not None and (
+            args.checkpoint is not None or args.t_switch is None):
+        raise SystemExit("--full_seed is for the random-init DuoDiff mode "
+                         "only (no --checkpoint, with --t_switch)")
     if args.config:
         from duodiff_tpu.utils.model_loading import load_model_from_config
 
         model, params, cfg, _ = load_model_from_config(
             args.config, args.checkpoint,
             early_exit=args.static_schedule is not None,
-            seed=args.seed, attn_impl=attn, gelu_approx=gelu,
+            seed=full_seed, attn_impl=attn, gelu_approx=gelu,
         )
     else:
         from duodiff_tpu.models.uvit import init_uvit
 
         cfg = flagship_config()
         model, params = init_uvit(
-            cfg, jax.random.PRNGKey(args.seed), dtype=jnp.bfloat16,
+            cfg, jax.random.PRNGKey(full_seed), dtype=jnp.bfloat16,
             attn_impl=attn, gelu_approx=gelu,
         )
 
@@ -241,6 +252,7 @@ def main(argv=None):
             "t_switch": args.t_switch,
             "shallow_config": args.shallow_config,
             "shallow_checkpoint": args.shallow_checkpoint,
+            "full_seed": full_seed,
         }
     elif args.static_schedule is not None:
         # --- static-exit mode: per-bucket truncated-backbone drift with
